@@ -1,0 +1,77 @@
+"""Sources.
+
+The reference's only source is a directory of newline-delimited text files
+(``read_filename``, mapreduce.c:39-54; one map task per file).  Spark's text
+source subsumes it — splittable, parallel, predicate-prunable — so the text
+reader here is a thin wrapper.  The structured fixtures (TESTDATA.md) are
+parquet; we read them with explicit paths and rely on Catalyst for column
+pruning / filter pushdown (check via plans.inspect).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# every driver-generated fixture table (TESTDATA.md)
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as long (runtime-settable legacy conf) and
+    integer-divide to micros — identical truncation to DuckDB's ns->us, and
+    plain int arithmetic (double division would lose precision at 1.7e18 ns
+    epochs).  Works on any caller-provided session, including the driver's.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # AnalysisException: PARQUET_TYPE_ILLEGAL (nanos)
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all fixture tables; keys match DuckDB oracle view names."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory-of-text-files source (reference O1+O2, mapreduce.c:39-54,94-107).
+
+    One row per line, column ``value: string``.  Unlike the reference's
+    file-per-task grain, Spark packs/splits files into
+    ``spark.sql.files.maxPartitionBytes`` partitions — finer-grained and
+    skew-resistant at 100 TB.
+    """
+    return spark.read.text(path)
+
+
+def read_int_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Integer-per-line source of the reference sort job (mapreduce.c:151-163).
+
+    The reference tokenizes each line on spaces and ``stoi``-parses each
+    token; we mirror that (a line may hold several ints) and use LongType
+    for headroom over the reference's 32-bit assumption.  Column ``n: long``.
+    """
+    lines = spark.read.text(path)
+    tok = F.explode(F.split(F.col("value"), " ")).alias("tok")
+    return (
+        lines.select(tok)
+        .filter(F.col("tok") != "")
+        .select(F.col("tok").cast("long").alias("n"))
+        .filter(F.col("n").isNotNull())
+    )
