@@ -1,0 +1,119 @@
+"""Join operators — all absent from the reference (SURVEY.md §2: "no
+joins"), added per the §2b extension surface (Tenzing-style SQL-on-MR).
+
+Strategy notes for 100 TB:
+
+* ``broadcast=`` hints mark dimension tables; Catalyst also
+  auto-broadcasts under ``spark.sql.autoBroadcastJoinThreshold`` and AQE
+  can upgrade a shuffle join to broadcast at runtime.
+* fact-fact joins shuffle on the join key; AQE skew-join splits hot
+  partitions (enabled in session.py).
+* ``asof_join`` is a cogrouped merge-asof: both sides shuffle ONCE on the
+  key, then each key-group is matched in sorted order via Arrow-batched
+  pandas — no time-range blowup, no driver collect.  This is the (b)
+  tier of the custom-operator policy (SURVEY.md §4): built-ins cannot
+  express "latest row at or before t" without an O(matches) intermediate.
+* ``range_join_bucketed`` turns an inequality time-window join into an
+  equi-join on (key, time_bucket) + residual filter — the standard trick
+  to avoid BroadcastNestedLoopJoin on big-big range predicates.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["join_tables", "semi_join", "anti_join", "asof_join", "range_join_bucketed"]
+
+
+def join_tables(left: DataFrame, right: DataFrame, on, how: str = "inner",
+                broadcast_right: bool = False) -> DataFrame:
+    right = F.broadcast(right) if broadcast_right else right
+    return left.join(right, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS — right side only filters, never widens (no dup explosion)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    right_values: list[str],
+    direction: Literal["backward", "forward"] = "backward",
+) -> DataFrame:
+    """For each left row, the single right row with the greatest
+    ``right_on`` <= ``left_on`` (backward) within the same ``by`` key.
+
+    Cogroup both sides on the by-key (one shuffle each), then
+    ``pd.merge_asof`` per key group — sorted-merge, O(n log n) per group,
+    Arrow-batched.  Inner semantics: left rows with no match are dropped
+    (mirrors DuckDB ASOF JOIN, the oracle).
+    """
+    left_cols = left.columns
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"{f.name} {f.dataType.simpleString()}" for f in right.schema.fields
+           if f.name in right_values]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=left_cols + right_values)
+        if len(rpdf) == 0:
+            return pd.DataFrame(columns=left_cols + right_values).iloc[:0]
+        lpdf = lpdf.sort_values(left_on)
+        rpdf = rpdf[[right_on] + [c for c in right_values if c != right_on]]
+        rpdf = rpdf.sort_values(right_on)
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=left_on, right_on=right_on,
+            direction=direction, suffixes=("", "_r"),
+        )
+        merged = merged.dropna(subset=[right_on if right_on in right_values else right_values[0]])
+        return merged[left_cols + right_values]
+
+    return left.groupBy(left_by).cogroup(right.groupBy(right_by)).applyInPandas(
+        merge, schema=out_schema
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Pairs (l, r) with same ``key`` and ``l.ts < r.ts <= l.ts + window``.
+
+    Equi-join on (key, bucket) with the left side exploded to its two
+    candidate buckets, then a residual range filter — shuffle volume is
+    O(2·|left| + |right|) instead of the O(|left|·|right|/keys) of a
+    naive inequality join.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / window_seconds)  # noqa: E731
+    l = left.withColumn(
+        "_bkt", F.explode(F.array(bucket(left_ts), bucket(left_ts) + 1))
+    )
+    r = right.withColumn("_bkt", bucket(right_ts))
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return (
+        l.alias("l")
+        .join(r.alias("r"), on=[F.col("l._bkt") == F.col("r._bkt"), F.col(f"l.{key}") == F.col(f"r.{key}")])
+        .where((rcol > lcol) & (rcol <= lcol + F.expr(f"INTERVAL {window_seconds} SECONDS")))
+        .drop("_bkt")
+    )

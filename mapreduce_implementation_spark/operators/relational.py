@@ -1,0 +1,66 @@
+"""Relational core: aggregation, top-k, set ops, multi-dim grouping.
+
+Generalizes the reference's single hash-aggregate (O8, mapreduce.c:176-218
+— COUNT per word) to the full agg surface, and its global sort + merge
+(O10/O11) to top-k.  All declarative: Catalyst plans partial+final
+HashAggregateExec (map-side combine the reference lacks), and
+``orderBy().limit()`` becomes TakeOrderedAndProject — no global sort is
+ever materialized for a top-k at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_aggregate", "top_k", "union_all", "union_distinct",
+    "intersect_distinct", "except_distinct", "rollup_agg", "cube_agg",
+    "pivot_agg",
+]
+
+
+def hash_aggregate(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """groupBy(keys).agg(aggs) — one shuffle on the grouping keys (O5+O8)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k (O10 + limit): TakeOrderedAndProject physical op —
+    per-partition heap of k then driver merge of k*num_partitions rows,
+    never a full global sort."""
+    return df.orderBy(*order).limit(k)
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b)
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b).distinct()
+
+
+def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL EXCEPT: distinct rows of ``a`` absent from ``b`` (NOT
+    exceptAll+distinct, which keeps rows whose left multiplicity merely
+    exceeds the right)."""
+    return a.subtract(b)
+
+
+def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)
+
+
+def pivot_agg(df: DataFrame, key: str, pivot_col: str, values: list[str],
+              agg: Column) -> DataFrame:
+    """Pivot with an explicit value list — mandatory at scale (without it
+    Spark runs an extra distinct job over the pivot column)."""
+    return df.groupBy(key).pivot(pivot_col, values).agg(agg)

@@ -1,0 +1,204 @@
+"""Join queries (SURVEY.md §2b Q6): broadcast/shuffle, semi/anti, outer,
+multi-way, as-of, and bucketed range join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import (
+    anti_join, asof_join, join_tables, range_join_bucketed, semi_join,
+)
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*)                  AS n_customers,
+           round(avg(c_acctbal), 2)  AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="Star-schema rollup; both dims broadcast — zero shuffle for the joins, "
+        "one for the final agg.",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = join_tables(c, n, on=c.c_nationkey == n.n_nationkey, broadcast_right=True)
+    j = join_tables(j, r, on=F.col("n_regionkey") == r.r_regionkey, broadcast_right=True)
+    return j.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    )
+
+
+@register(
+    "join_shuffle_facts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                           AS n_lineitems,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)  AS revenue
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Fact-fact equi-join: shuffle both sides on orderkey (AQE handles skew).",
+)
+def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+    doc="Left-semi join (EXISTS): right side filters, never widens.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return semi_join(c, o, on=c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 480000)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no order above 480k.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    return anti_join(c, o, on=c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                       AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Left outer join preserving customers with zero orders.",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_tpch_q5_shape",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 5-way join, dims broadcast, facts shuffled; the "
+        "r_name filter prunes before any fact shuffle.",
+)
+def q_join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+    SELECT e.event_id,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
+    FROM events e
+    ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+    doc="As-of join: latest order at-or-before each event, per user. "
+        "Cogrouped pd.merge_asof (one shuffle per side, sorted merge per key); "
+        "output limited to the asof timestamp, which is unique per event even "
+        "when several orders tie on it.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    matched = asof_join(
+        e, o, left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        right_values=["o_orderdate"],
+    )
+    return matched.select(
+        "event_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("asof_orderdate"),
+    )
+
+
+@register(
+    "range_join_sessions",
+    oracle="""
+    SELECT a.event_id AS anchor_event, count(*) AS n_following
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.event_id
+    """,
+    doc="Time-window range join via bucketed equi-join + residual filter — "
+        "no BroadcastNestedLoopJoin at scale.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    left = e.select(F.col("event_id").alias("anchor_event"), "user_id", "ts")
+    right = e.select("user_id", F.col("ts").alias("ts2"))
+    joined = range_join_bucketed(left, right, key="user_id",
+                                 left_ts="ts", right_ts="ts2", window_seconds=3600)
+    return joined.groupBy("anchor_event").agg(F.count(F.lit(1)).alias("n_following"))

@@ -1,0 +1,276 @@
+"""Relational-core queries (SURVEY.md §2b Q4/Q5/Q7/Q8): aggregations,
+scalar expressions, top-k, set ops, multi-dimensional grouping.
+
+Oracle conventions: float aggregates round(2) on both sides; DuckDB int
+sums cast to BIGINT; timestamps formatted to strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import (
+    cube_agg, hash_aggregate, pivot_agg, rollup_agg, top_k,
+    union_distinct, intersect_distinct, except_distinct,
+)
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "agg_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 2)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filtered scan -> 2-key groupBy -> 8 aggregates (O8 generalized).",
+)
+def q_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_minmax_multi_key",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                        AS n_orders,
+           round(sum(o_totalprice), 2)     AS sum_price,
+           round(min(o_totalprice), 2)     AS min_price,
+           round(max(o_totalprice), 2)     AS max_price,
+           count(DISTINCT o_custkey)       AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="Multi-key hash aggregate with count/sum/min/max/count-distinct.",
+)
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return hash_aggregate(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        ],
+    )
+
+
+@register(
+    "scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                          AS brand_uc,
+           length(p_name)                          AS name_len,
+           substr(p_name, 1, 8)                    AS name_prefix,
+           concat(p_brand, ':', p_type)            AS brand_type,
+           round(p_retailprice * 1.1, 2)           AS price_bumped,
+           round(sqrt(p_size), 4)                  AS size_sqrt,
+           abs(p_size - 25)                        AS size_dev,
+           CAST(p_size % 5 AS INTEGER)             AS size_mod
+    FROM part
+    WHERE p_size >= 10 AND p_type LIKE '%AND%'
+    """,
+    doc="Scalar expression surface (Q5): string/math functions + predicates.",
+)
+def q_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter((F.col("p_size") >= 10) & F.col("p_type").like("%AND%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_uc"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("price_bumped"),
+            F.round(F.sqrt("p_size"), 4).alias("size_sqrt"),
+            F.abs(F.col("p_size") - 25).alias("size_dev"),
+            (F.col("p_size") % 5).alias("size_mod"),
+        )
+    )
+
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)    AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)   AS order_month,
+           CAST(day(o_orderdate) AS INTEGER)     AS order_day,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           strftime(o_orderdate, '%Y-%m-%d')     AS order_date_str
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    """,
+    doc="Date/time scalar functions (Q5); timestamps stringified for the oracle.",
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        )
+    )
+
+
+@register(
+    "top_k",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Global top-k (Q7): TakeOrderedAndProject, never a full sort at scale.",
+)
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k(
+        orders.select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"),
+                      F.col("o_totalprice").alias("_ord")),
+        [F.desc("_ord"), F.asc("o_orderkey")], 25,
+    ).drop("_ord")
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION (distinct) of customer and supplier nation keys (Q8).",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return union_distinct(c, s)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct) of nation-key sets (Q8).",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return intersect_distinct(c, s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="EXCEPT (distinct): nations with customers but no suppliers (Q8).",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return except_distinct(c, s)
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="Multi-column DISTINCT (Q8/Q10 exact-dedup primitive).",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (grouping-sets family).",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return rollup_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")],
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return cube_agg(
+        orders, ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")],
+    )
+
+
+@register(
+    "pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS O,
+           round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot with explicit value list (no extra distinct job at scale).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return pivot_agg(li, "l_returnflag", "l_linestatus", ["O", "F"],
+                     F.round(F.sum("l_quantity"), 2))

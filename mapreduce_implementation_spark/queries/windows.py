@@ -1,0 +1,130 @@
+"""Window-function queries (Q9): rank/dense_rank/row_number, lag/lead,
+cumulative and moving frames, per-group top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.windows import ranked, running_agg, top_k_per_group, with_lag
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="rank + dense_rank per customer by order value (deterministic tiebreak).",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    df = ranked(o, ["o_custkey"], order, kind="rank", out="rnk")
+    df = ranked(df, ["o_custkey"], order, kind="dense_rank", out="drnk")
+    return df.select("o_custkey", "o_orderkey", "rnk", "drnk")
+
+
+@register(
+    "window_row_number_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer: the scalable per-group top-k idiom.",
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    top = top_k_per_group(o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3)
+    return top.select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(lag(o_orderdate)  OVER w, '%Y-%m-%d') AS prev_order_date,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_order_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead over each customer's order history.",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    order = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    df = with_lag(o, "o_orderdate", ["o_custkey"], order, out="_prev")
+    from pyspark.sql import Window
+    spec = Window.partitionBy("o_custkey").orderBy(*order)
+    df = df.withColumn("_next", F.lead("o_orderdate").over(spec))
+    return df.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("_prev", "yyyy-MM-dd").alias("prev_order_date"),
+        F.date_format("_next", "yyyy-MM-dd").alias("next_order_date"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders
+    """,
+    doc="Cumulative spend per customer (unbounded-preceding frame).",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    df = running_agg(o, F.sum("o_totalprice"), ["o_custkey"],
+                     [F.asc("o_orderdate"), F.asc("o_orderkey")], out="_rs")
+    return df.select("o_custkey", "o_orderkey", F.round("_rs", 2).alias("running_spend"))
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg5
+    FROM events
+    """,
+    doc="5-row moving average per user; round(6) is tie-free because the\n        "
+        "true avg of 2-decimal values over a <=5-row frame has <=4 decimals "
+        "(round(2) would tie on exact .xx5 and engines disagree).",
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    df = running_agg(e, F.avg("value"), ["user_id"],
+                     [F.asc("ts"), F.asc("event_id")], out="_ma", preceding=4)
+    return df.select("user_id", "event_id", F.round("_ma", 6).alias("moving_avg5"))
+
+
+@register(
+    "window_global_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+    FROM orders
+    """,
+    doc="Global ntile — single-partition window; fine for ranking whole small "
+        "outputs, an anti-pattern on raw 100 TB facts (documented as such).",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    spec = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.withColumn("decile", F.ntile(10).over(spec)).select("o_orderkey", "decile")
