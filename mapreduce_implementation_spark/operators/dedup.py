@@ -1,0 +1,240 @@
+"""Deduplication suite (north-star Q10/Q11): exact, MinHash+LSH, SimHash,
+exact n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB corpus):
+
+* exact dedup is a groupBy on the dedup key — one shuffle, map-side
+  partial agg; for long texts dedup on a 128-bit hash of the text, not
+  the text itself (shuffle bytes ~ 16/row instead of document size).
+* MinHash signatures are computed in ONE aggregation over the exploded
+  shingle stream (64 ``min(xxhash64(shingle, seed))`` aggregates fused in
+  a single HashAggregateExec) — no per-doc Python, no iteration.
+* LSH banding turns all-pairs comparison into an equi-join on
+  (band_id, band_hash): shuffle volume O(docs x bands), candidate pairs
+  only within buckets.  Bucket-size skew (a degenerate band value) is
+  the classic hazard — AQE skew-join handles moderate cases; a hard cap
+  per bucket would be added for adversarial corpora.
+* SimHash is one aggregation over exploded tokens (64 signed-sum
+  aggregates), near-dup candidates via 16-bit band buckets, verified by
+  ``bit_count(xor)`` Hamming distance.
+* all hash functions are ``xxhash64`` with fixed seeds — deterministic
+  across runs/cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens_array
+
+__all__ = [
+    "exact_dedup_representatives", "char_shingles", "word_ngrams",
+    "minhash_signatures", "lsh_candidate_pairs", "minhash_dedup_pairs",
+    "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+]
+
+
+def exact_dedup_representatives(df: DataFrame, key_cols: list[str],
+                                id_col: str) -> DataFrame:
+    """One representative (min id) per distinct key — deterministic, unlike
+    dropDuplicates whose survivor is partition-order dependent."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 9) -> DataFrame:
+    """(id, shingle) — k-char shingles of the normalized text.
+
+    ``substr`` over an exploded position sequence; regex normalization
+    stays upstream of the explode (textfn note).
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z ]", ""))
+    return (
+        df.select(F.col(id_col), norm.alias("_t"))
+        .filter(F.length("_t") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_i"),
+            F.col("_t"),
+        )
+        .select(id_col, F.expr(f"substr(_t, _i, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, ngram, pos) — word n-grams via lead() windows over the token
+    stream; positions come from posexplode BEFORE the empty-token filter
+    (the DuckDB oracle mirrors this exactly)."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(id_col, F.posexplode(tokens_array(F.col(text_col))).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    out = toks.select(id_col, F.col("pos"), *[c.alias(f"_w{i}") for i, c in enumerate(cols)])
+    notnull = out
+    for i in range(n):
+        notnull = notnull.filter(F.col(f"_w{i}").isNotNull())
+    return notnull.select(
+        id_col, "pos",
+        F.concat_ws(" ", *[F.col(f"_w{i}") for i in range(n)]).alias("ngram"),
+    )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str,
+                       num_hashes: int = 64) -> DataFrame:
+    """(id, mh0..mh{n-1}) — one fused aggregation over the shingle stream."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh{seed}")
+        for seed in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        bands: int = 16, rows: int = 4) -> DataFrame:
+    """(a, b) candidate pairs sharing >=1 LSH band bucket (a < b)."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b)).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    buckets = (
+        signatures.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    )
+    left = buckets.select(F.col(id_col).alias("a"), "band", "bh")
+    right = buckets.select(F.col(id_col).alias("b"), "band", "bh")
+    return (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        num_hashes: int = 64, bands: int = 16, rows: int = 4,
+                        shingle_k: int = 9,
+                        min_jaccard: float | None = None) -> DataFrame:
+    """Near-dup pairs (a, b, est_jaccard): MinHash -> LSH banding ->
+    signature-agreement estimate; optional threshold filter."""
+    sh = char_shingles(df, id_col, text_col, k=shingle_k)
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows)
+    sig_arr = sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+    a_sig = sig_arr.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    b_sig = sig_arr.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    out = (
+        cand.join(a_sig, "a").join(b_sig, "b")
+        .select("a", "b", F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"))
+    )
+    if min_jaccard is not None:
+        out = out.filter(F.col("est_jaccard") >= min_jaccard)
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over the token stream: per bit, the
+    sign of sum(+1/-1) across token hashes."""
+    toks = (
+        df.select(id_col, F.explode(tokens_array(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("_h", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{i}")
+        for i in range(bits)
+    ]
+    summed = toks.groupBy(id_col).agg(*bit_sums)
+    sh = None
+    for i in range(bits):
+        bit = F.when(F.col(f"_s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sh = term if sh is None else sh.bitwiseOR(term)
+    return summed.select(id_col, sh.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming) — SimHash pairs within Hamming distance, candidates
+    from 16-bit band buckets (a pair within distance 3 must agree on at
+    least one of 4 bands)."""
+    sh = simhash(df, id_col, text_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+        )
+        for b in range(4)
+    ])
+    buckets = sh.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    left = buckets.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band", "bh")
+    right = buckets.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band", "bh")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, min_jaccard: float = 0.5) -> DataFrame:
+    """(a, b, jaccard) — EXACT n-gram Jaccard similarity join: pairs from
+    shared n-grams (inverted-index join), |A∩B| by count, |A∪B| by
+    inclusion-exclusion.  SQL-expressible -> full DuckDB oracle."""
+    grams = word_ngrams(df, id_col, text_col, n=n).select(id_col, "ngram").distinct()
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col(id_col).alias("a"), "ngram")
+    b = grams.select(F.col(id_col).alias("b"), "ngram")
+    inter = (
+        a.join(b, "ngram").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             min_cosine: float = 0.95) -> DataFrame:
+    """(a, b, cos) — embedding near-duplicates above a cosine threshold.
+
+    Brute-force all-pairs baseline (O(n^2) dot products, JVM-side HOFs).
+    The 100 TB path replaces the crossJoin with LSH bucket candidates
+    (similarity.random_hyperplane_buckets) — same verify step.
+    """
+    from ..functions.vectorfn import cosine
+
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= min_cosine)
+    )

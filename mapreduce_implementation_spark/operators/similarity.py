@@ -1,0 +1,107 @@
+"""Similarity search over embeddings (north-star Q12).
+
+* ``cosine_topk`` — brute-force exact top-k: one scan, JVM-side dot
+  products, TakeOrderedAndProject.  The correctness baseline.
+* ``random_hyperplane_buckets`` + ``ann_topk_lsh`` — the scale path:
+  sign-LSH (random hyperplanes -> b-bit bucket), search only the query's
+  bucket ring (Hamming radius <= 1).  Recall < 1 by construction; at
+  100 TB the bucket join prunes the candidate set by ~2^b/(1+b).
+  Hyperplanes are seeded (numpy RandomState) -> deterministic plans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectorfn import cosine
+
+__all__ = ["cosine_topk", "random_hyperplane_buckets", "ann_topk_lsh"]
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
+                query_vec: list[float], k: int = 10,
+                exclude_id: int | None = None) -> DataFrame:
+    """Exact top-k by cosine to ``query_vec``: (id, cos) ordered
+    (cos desc, id asc).  Ordering uses the ROUNDED score so results are
+    reproducible across engines/row orders."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos")
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def random_hyperplane_buckets(df: DataFrame, vec_col: str,
+                              dim: int, bits: int = 8, seed: int = 42,
+                              out: str = "bucket") -> DataFrame:
+    """Append a sign-LSH bucket id: bit j = sign(v . h_j)."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucket: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        h = F.array(*[F.lit(float(x)) for x in planes[j]])
+        dot_j = F.aggregate(
+            F.zip_with(F.col(vec_col), h, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(F.when(dot_j > 0, 1).otherwise(0).cast("long"), j))
+    return df.withColumn(out, bucket)
+
+
+def ann_topk_lsh(df: DataFrame, id_col: str, vec_col: str,
+                 query_vec: list[float], dim: int, k: int = 10,
+                 bits: int = 4, tables: int = 16, seed: int = 42,
+                 exclude_id: int | None = None) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH candidates + exact re-rank.
+
+    Candidates = vectors sharing the query's bucket in >=1 of ``tables``
+    independent hash tables.  For neighbors at angle theta, per-bit
+    agreement p = 1 - theta/pi, per-table collision p^bits, overall
+    recall 1-(1-p^bits)^tables: the (bits, tables) trade-off tunes recall
+    vs candidate-set size.  Defaults (4, 16) target weakly-correlated
+    corpora (cos ~0.3 -> recall ~0.9); for high-similarity near-dup
+    embeddings (cos >= 0.9, p >= 0.9) raise bits to 12-16 to cut
+    candidates to ~tables/2^bits of the corpus.
+    """
+    qv = np.asarray(query_vec, dtype=np.float64)
+    table_keys: list[int] = []
+    per_table_key_exprs: list[Column] = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + t)
+        qb = 0
+        bucket: Column = F.lit(0).cast("long")
+        for j in range(bits):
+            if float(planes[j] @ qv) > 0:
+                qb |= 1 << j
+            h = F.array(*[F.lit(float(x)) for x in planes[j]])
+            dot_j = F.aggregate(
+                F.zip_with(F.col(vec_col), h, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            bucket = bucket.bitwiseOR(
+                F.shiftleft(F.when(dot_j > 0, 1).otherwise(0).cast("long"), j))
+        table_keys.append((t << bits) | qb)
+        per_table_key_exprs.append(bucket.bitwiseOR(F.lit(t << bits).cast("long")))
+
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col),
+                  F.explode(F.array(*per_table_key_exprs)).alias("_tb"))
+        .filter(F.col("_tb").isin(table_keys))
+        .dropDuplicates([id_col])
+    )
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

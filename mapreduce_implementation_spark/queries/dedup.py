@@ -1,0 +1,130 @@
+"""Dedup queries (north-star Q10/Q11) over ``documents``.
+
+The synthetic corpus has no byte- or normalized-exact duplicate texts, so
+``exact_dedup`` demonstrates representative-selection on the (lang,
+source) key; the near-dup family (trigram Jaccard / MinHash / SimHash /
+embedding cosine) does real work — the corpus contains pairs up to
+Jaccard 0.99.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_near_dup_pairs, exact_dedup_representatives,
+    minhash_dedup_pairs, ngram_jaccard_pairs, simhash_near_dup_pairs,
+)
+from ..registry import register
+from ..sources.tables import load_table
+
+# DuckDB twin of the Spark tokenizer+trigram pipeline (positions assigned
+# before the empty-token filter, exactly like posexplode-then-filter).
+_DUCK_TRIGRAMS = """
+WITH toks AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+    FROM (SELECT doc_id,
+                 string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ') AS toks
+          FROM documents)
+  ) WHERE tok <> ''
+),
+grams AS (
+  SELECT DISTINCT doc_id, tri FROM (
+    SELECT doc_id,
+           concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w) AS tri,
+           lead(tok,2) OVER w AS _l2
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE _l2 IS NOT NULL
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT lang, source, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Exact dedup (Q10): deterministic representative (min id) per key — "
+        "NOT dropDuplicates, whose survivor is partition-order dependent.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    reps = exact_dedup_representatives(
+        docs.select("lang", "source", F.col("doc_id")), ["lang", "source"], "doc_id")
+    counts = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        reps.withColumnRenamed("doc_id", "rep_doc_id")
+        .join(counts, ["lang", "source"])
+        .select("lang", "source", "rep_doc_id", "n_docs")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_TRIGRAMS + """,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+      FROM grams g1 JOIN grams g2 USING (tri)
+      WHERE g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a = sa.doc_id
+    JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    """,
+    doc="EXACT word-trigram Jaccard similarity join (Q11 exact baseline): "
+        "inverted-index equi-join on shared trigrams, inclusion-exclusion "
+        "union size — never an all-pairs product.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # hash-based candidates: no SQL twin; recall vs exact
+    # jaccard asserted in tests/test_dedup.py
+    doc="MinHash(64)+LSH(16x4) near-dup candidate pairs with signature-"
+        "estimated Jaccard (Q11 scale path). Deterministic xxhash64 seeds.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", min_jaccard=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, "
+        "candidates via 16-bit band buckets.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs (brute-force baseline; LSH-bucketed "
+        "variant is the 100 TB path — see operators/similarity.py).",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.35)

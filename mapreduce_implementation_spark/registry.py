@@ -69,5 +69,5 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .queries import core, joins, relational, windows  # noqa: F401
+    from .queries import core, dedup, joins, relational, similarity, windows  # noqa: F401
     _LOADED = True

@@ -1,0 +1,80 @@
+"""Quality checks for the approximate (non-SQL-oracle) dedup/similarity
+operators: the hash-based candidate generators must recall the
+ground-truth pairs that exact methods find."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.dedup import (
+    char_shingles, lsh_candidate_pairs, minhash_signatures, minhash_dedup_pairs,
+)
+from mapreduce_implementation_spark.operators.similarity import ann_topk_lsh, cosine_topk
+from mapreduce_implementation_spark.registry import all_specs
+from mapreduce_implementation_spark.sources.tables import load_table
+from tests.conftest import SF_DIR_01
+
+
+def test_minhash_lsh_recalls_true_near_dups(spark):
+    """Every pair with true char-shingle Jaccard >= 0.9 must appear in the
+    LSH candidate set (P(miss) = (1-0.9^4)^16 ~ 3e-8 per pair)."""
+    docs = load_table(spark, SF_DIR_01, "documents")
+    sh = char_shingles(docs, "doc_id", "text", k=9).cache()
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .withColumn("j", F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")))
+        .filter(F.col("j") >= 0.9)
+    )
+    true_pairs = {(r["a"], r["b"]) for r in truth.collect()}
+    assert true_pairs, "corpus should contain at least one >=0.9 near-dup pair"
+
+    cand = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    cand_pairs = {(r["a"], r["b"]) for r in cand.collect()}
+    missed = true_pairs - cand_pairs
+    assert not missed, f"LSH missed true near-dups: {sorted(missed)[:10]}"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """Signature-estimated Jaccard within 0.25 of truth for flagged pairs."""
+    docs = load_table(spark, SF_DIR_01, "documents")
+    est = {(r["a"], r["b"]): r["est_jaccard"]
+           for r in minhash_dedup_pairs(docs, "doc_id", "text", min_jaccard=0.5).collect()}
+    assert est, "expected some MinHash near-dup pairs"
+    sh = char_shingles(docs, "doc_id", "text", k=9)
+    sets = {r["doc_id"]: set(r["shs"]) for r in
+            sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs")).collect()}
+    for (x, y), e in list(est.items())[:50]:
+        t = len(sets[x] & sets[y]) / len(sets[x] | sets[y])
+        assert abs(t - e) <= 0.25, f"pair ({x},{y}): est {e} vs true {t}"
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """8-bit sign-LSH with Hamming<=1 ring should recall >=50% of the exact
+    top-10 (random hyperplanes, cos>=0.3 neighborhood)."""
+    emb = load_table(spark, SF_DIR_01, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).head()
+    qv = [float(x) for x in row["embedding"]]
+    exact = [r["vec_id"] for r in
+             cosine_topk(emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()]
+    approx = [r["vec_id"] for r in
+              ann_topk_lsh(emb, "vec_id", "embedding", qv, dim=64, k=10, exclude_id=0).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"ANN recall too low: {recall} (exact={exact}, approx={approx})"
+
+
+def test_simhash_pairs_are_high_jaccard(spark):
+    """SimHash Hamming<=3 pairs should overlap the high-Jaccard truth set."""
+    specs = all_specs()
+    sim = {(r["a"], r["b"]) for r in specs["dedup_simhash"].fn(spark, SF_DIR_01).collect()}
+    jac = {(r["a"], r["b"]) for r in specs["dedup_ngram_jaccard"].fn(spark, SF_DIR_01).collect()}
+    assert sim, "expected some SimHash pairs"
+    assert jac & sim, "SimHash pairs should include some exact-Jaccard near-dups"
