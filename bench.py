@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Methodology:
+* each query is materialized with a noop sink (full execution, zero
+  collect/serialization cost — measures the engine, not the driver);
+* one warmup pass absorbs the session's one-time JIT/codegen costs
+  (this container shows 10-100 s first-use stalls; see
+  functions/textfn.py) so per-query numbers reflect steady state;
+* headline set spans every family: scan+agg, sort, joins, windows,
+  dedup, similarity, text analysis — the queries a 100 TB deployment
+  would actually be sized by.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "word_count",
+    "distributed_sort_desc",
+    "agg_tpch_q1",
+    "join_shuffle_facts",
+    "join_tpch_q5_shape",
+    "window_running_sum",
+    "window_sliding_events",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "text_tfidf_top3",
+    "text_quality_score",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from mapreduce_implementation_spark.registry import all_specs
+    from mapreduce_implementation_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = all_specs()
+
+    # warmup: exercise regex+explode, hash agg, exchange, pandas-arrow paths
+    from pyspark.sql import functions as F
+    warm = (
+        spark.range(0, 10_000)
+        .select(F.concat(F.lit("w x9 "), F.col("id").cast("string")).alias("t"))
+        .select(F.explode(F.split(F.lower(F.regexp_replace("t", "[^A-Za-z ]", "")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").count()
+    )
+    _materialize(warm)
+    _materialize(specs["word_count"].fn(spark, sf_dir).limit(5))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

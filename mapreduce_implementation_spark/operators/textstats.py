@@ -1,0 +1,152 @@
+"""Text-analysis operators (north-star Q13): language-ID heuristic,
+quality scoring, token statistics, fingerprinting, TF-IDF.
+
+All pure column expressions / declarative aggregations — each one is a
+single scan + (at most) one shuffle, so they run as map-side work on a
+100 TB corpus.  Ratios are round(6); the only hashes are md5 (shared
+with DuckDB for oracle parity) and xxhash64 (Spark-side fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens_array
+
+__all__ = [
+    "EN_STOPWORDS", "token_stats", "quality_score", "lang_id",
+    "fingerprint", "tf_idf_top_terms",
+]
+
+# tiny deterministic stopword profile (shared with the DuckDB oracle)
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def _tok_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        df.select(id_col, F.explode(tokens_array(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc token statistics: counts by three tokenizer definitions
+    (whitespace, alpha-normalized, BPE-ish regex pieces) + type/token."""
+    ws_tokens = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    bpe_pieces = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+    per_doc = df.select(
+        id_col,
+        ws_tokens.alias("n_ws_tokens"),
+        bpe_pieces.alias("n_bpe_pieces"),
+        F.length(text_col).alias("n_chars_actual"),
+    )
+    toks = _tok_df(df, id_col, text_col).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_alpha_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+    return per_doc.join(toks, id_col, "left").select(
+        id_col, "n_ws_tokens", "n_bpe_pieces", "n_chars_actual",
+        F.coalesce("n_alpha_tokens", F.lit(0)).alias("n_alpha_tokens"),
+        F.coalesce("n_distinct_tokens", F.lit(0)).alias("n_distinct_tokens"),
+        F.round(
+            F.coalesce("n_distinct_tokens", F.lit(0)) /
+            F.greatest(F.coalesce("n_alpha_tokens", F.lit(0)), F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: weighted mix of length band,
+    alpha ratio, stopword presence, and mean word length band — the
+    standard cheap pre-filters of LLM data pipelines."""
+    toks = _tok_df(df, id_col, text_col)
+    stats = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.avg(F.length("tok")).alias("mean_wlen"),
+        F.sum(F.col("tok").isin(*EN_STOPWORDS).cast("int")).alias("n_stop"),
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")) /
+        F.greatest(F.length(text_col), F.lit(1))
+    )
+    base = df.select(id_col, F.length(text_col).alias("n_chars_t"), alpha_ratio.alias("alpha_ratio"))
+    j = base.join(stats, id_col, "left").fillna(0, ["n_tok", "n_stop"]).fillna(0.0, ["mean_wlen"])
+    len_band = F.when((F.col("n_tok") >= 20) & (F.col("n_tok") <= 1000), 1.0).otherwise(0.3)
+    wlen_band = F.when((F.col("mean_wlen") >= 3) & (F.col("mean_wlen") <= 10), 1.0).otherwise(0.4)
+    stop_ratio = F.col("n_stop") / F.greatest(F.col("n_tok"), F.lit(1))
+    stop_band = F.when(stop_ratio >= 0.02, 1.0).otherwise(0.5)
+    score = 0.3 * len_band + 0.25 * wlen_band + 0.25 * stop_band + 0.2 * F.col("alpha_ratio")
+    return j.select(
+        id_col,
+        F.col("n_tok").alias("n_tokens"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("mean_wlen"), 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language heuristic.  The fixture corpus is synthetic
+    (one shared vocabulary), so this demonstrates the *mechanism*: a
+    deterministic per-doc score against per-language stopword profiles,
+    argmax wins, 'und' (undetermined) below threshold."""
+    toks = _tok_df(df, id_col, text_col)
+    profiles = {
+        "en": EN_STOPWORDS,
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+        "fr": ("le", "la", "les", "et", "est", "un", "une"),
+        "es": ("el", "la", "los", "y", "es", "un", "una"),
+    }
+    aggs = [
+        (F.sum(F.col("tok").isin(*words).cast("int")) /
+         F.greatest(F.count(F.lit(1)), F.lit(1))).alias(f"r_{lang}")
+        for lang, words in profiles.items()
+    ]
+    scored = toks.groupBy(id_col).agg(*aggs)
+    best_score = F.greatest(*[F.col(f"r_{l}") for l in profiles])
+    pred = F.lit("und")
+    for lang in reversed(list(profiles)):  # earlier profiles win exact ties
+        pred = F.when(F.col(f"r_{lang}") == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score < 0.01, F.lit("und")).otherwise(pred)
+    return scored.select(
+        id_col,
+        F.round("r_en", 6).alias("score_en"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprints: md5 of the normalized token stream (stable
+    under whitespace/punctuation noise — the classic content-defined
+    dedup key) plus raw-text md5."""
+    norm_joined = F.concat_ws(" ", F.filter(tokens_array(F.col(text_col)), lambda t: t != ""))
+    return df.select(
+        id_col,
+        F.md5(F.col(text_col).cast("binary")).alias("raw_md5"),
+        F.md5(norm_joined.cast("binary")).alias("content_md5"),
+    )
+
+
+def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per doc: tf = n/len_doc, idf = ln(N/df); pure
+    aggregations + one window — no ML-lib dependency, fully SQL-mirrorable."""
+    from pyspark.sql import Window
+
+    toks = _tok_df(df, id_col, text_col)
+    n_docs = toks.select(id_col).distinct().count()  # scalar: cheap, one agg job
+    term_freq = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n"))
+    doc_len = term_freq.groupBy(id_col).agg(F.sum("n").alias("len"))
+    doc_freq = term_freq.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = (
+        term_freq.join(doc_len, id_col).join(doc_freq, "tok")
+        .withColumn("tfidf", F.round(
+            (F.col("n") / F.col("len")) * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        tfidf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, F.col("tok").alias("term"), "tfidf", F.col("_rn").alias("term_rank"))
+    )

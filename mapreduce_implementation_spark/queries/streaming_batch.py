@@ -1,0 +1,151 @@
+"""Batch twins of the streaming operators (Q14) — identical window
+semantics expressed on bounded data so DuckDB can oracle-check them, plus
+the multimodal metadata query.
+
+Window starts are epoch-aligned exactly like Spark's ``F.window``
+(start = floor(epoch/slide)*slide - k*slide), and rendered as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import binary_metadata, decode_image_features, to_binary_payload
+from ..registry import register
+from ..sources.tables import load_table
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "window_tumbling_events",
+    oracle=f"""
+    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+                    + (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) * INTERVAL 1 SECOND,
+                    '{_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour windowed aggregation (Q14 batch twin of "
+        "streaming.windowed_event_agg; same epoch-aligned windows).",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("win.start", _FMT_SPARK).alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+@register(
+    "window_sliding_events",
+    oracle=f"""
+    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+                    + ((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900) * INTERVAL 1 SECOND,
+                    '{_FMT_DUCK}') AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events CROSS JOIN range(4) r(k)
+    GROUP BY 1
+    """,
+    doc="Sliding 1-hour/15-min windowed aggregation (each event in 4 "
+        "overlapping windows — the explode-to-slides plan F.window uses).",
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("win.start", _FMT_SPARK).alias("window_start"),
+            "n", "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '{_FMT_DUCK}') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min) via lag + cumulative-sum session "
+        "ids — batch twin of streaming session_window.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull() |
+        (F.col("ts").cast("double") - prev.cast("double") > 1800)
+    ).cast("int")
+    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.withColumn("new_session", new_s)
+        .withColumn("session_id", F.sum("new_session").over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), _FMT_SPARK).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS sha256_hex,
+           md5(text) AS md5_hex
+    FROM documents
+    """,
+    doc="Opaque binary payload + typed metadata (multimodal column model): "
+        "size/sha256/md5 without decoding, all JVM-side.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return binary_metadata(to_binary_payload(docs, "text"), "doc_id")
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle=None,  # stubbed decoder: deterministic fake, no SQL twin
+    doc="Arrow-batched mapInPandas decode plumbing with a deterministic "
+        "stub decoder (no imaging libs in env); schema/batching real.",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_features(to_binary_payload(docs, "text"), "doc_id")

@@ -1,0 +1,183 @@
+"""Text-analysis queries (Q13) over ``documents``, plus JSON extraction
+over ``events.props`` — every oracle mirrors the Spark expressions
+term-for-term (same stopword lists, same bands, same rounding)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textstats import (
+    fingerprint, lang_id, quality_score, tf_idf_top_terms, token_stats,
+)
+from ..registry import register
+from ..sources.tables import load_table
+
+# DuckDB twin of the normalized token stream (textfn.tokens_array + filter)
+_DUCK_TOKS = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+)
+"""
+
+_STOP = "('the','a','of','to','and','in','is','it')"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_pieces,
+             length(text) AS n_chars_actual
+      FROM documents
+    ),
+    alpha AS (
+      SELECT doc_id, count(*) AS n_alpha_tokens, count(DISTINCT tok) AS n_distinct_tokens
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY doc_id
+    )
+    SELECT ws.doc_id, n_ws_tokens, n_bpe_pieces, n_chars_actual,
+           coalesce(n_alpha_tokens, 0) AS n_alpha_tokens,
+           coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+           round(coalesce(n_distinct_tokens, 0) * 1.0 /
+                 greatest(coalesce(n_alpha_tokens, 0), 1), 6) AS type_token_ratio
+    FROM ws LEFT JOIN alpha ON ws.doc_id = alpha.doc_id
+    """,
+    doc="Per-doc token counts under three tokenizer definitions + type/token "
+        "ratio (Q13 token counting).",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    {_DUCK_TOKS},
+    stats AS (
+      SELECT doc_id, count(*) AS n_tok, avg(length(tok)) AS mean_wlen,
+             sum(CASE WHEN tok IN {_STOP} THEN 1 ELSE 0 END) AS n_stop
+      FROM toks GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 /
+               greatest(length(text), 1) AS alpha_ratio
+      FROM documents
+    )
+    SELECT b.doc_id,
+           coalesce(n_tok, 0) AS n_tokens,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(coalesce(n_stop, 0) * 1.0 / greatest(coalesce(n_tok, 0), 1), 6) AS stopword_ratio,
+           round(coalesce(mean_wlen, 0.0), 6) AS mean_word_len,
+           round(0.3 * (CASE WHEN coalesce(n_tok,0) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.3 END)
+               + 0.25 * (CASE WHEN coalesce(mean_wlen,0.0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
+               + 0.25 * (CASE WHEN coalesce(n_stop,0) * 1.0 / greatest(coalesce(n_tok,0), 1) >= 0.02
+                              THEN 1.0 ELSE 0.5 END)
+               + 0.2 * alpha_ratio, 6) AS quality_score
+    FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id
+    """,
+    doc="Heuristic quality score: length/word-length/stopword bands + alpha "
+        "ratio (Q13 quality scoring — the cheap LLM-corpus pre-filter).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    {_DUCK_TOKS},
+    scored AS (
+      SELECT doc_id,
+             sum(CASE WHEN tok IN {_STOP} THEN 1 ELSE 0 END) * 1.0 / greatest(count(*),1) AS r_en,
+             sum(CASE WHEN tok IN ('der','die','das','und','ist','nicht','ein') THEN 1 ELSE 0 END) * 1.0 / greatest(count(*),1) AS r_de,
+             sum(CASE WHEN tok IN ('le','la','les','et','est','un','une') THEN 1 ELSE 0 END) * 1.0 / greatest(count(*),1) AS r_fr,
+             sum(CASE WHEN tok IN ('el','la','los','y','es','un','una') THEN 1 ELSE 0 END) * 1.0 / greatest(count(*),1) AS r_es
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, round(r_en, 6) AS score_en,
+           CASE WHEN greatest(r_en, r_de, r_fr, r_es) < 0.01 THEN 'und'
+                WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+                WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+                WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+    doc="Stopword-profile language-ID heuristic (Q13): deterministic argmax "
+        "over per-language stopword ratios, 'und' below threshold.",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS raw_md5,
+           md5(array_to_string(list_filter(
+               string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+               t -> t <> ''), ' ')) AS content_md5
+    FROM documents
+    """,
+    doc="Content fingerprints (Q13): md5 of raw text and of the normalized "
+        "token stream (whitespace/punctuation-invariant dedup key).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_tfidf_top3",
+    oracle=_DUCK_TOKS.replace("WITH toks", "WITH toks") + """,
+    tf AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, sum(n) AS len FROM tf GROUP BY doc_id),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.tok AS term,
+             round((tf.n * 1.0 / dl.len) * ln(nd.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN df ON tf.tok = df.tok CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf, CAST(term_rank AS INTEGER) AS term_rank FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+      FROM scored
+    ) WHERE term_rank <= 3
+    """,
+    doc="Top-3 TF-IDF terms per doc (Q13): tf=n/len, idf=ln(N/df), pure "
+        "aggregations + one window; no ML-lib dependency.",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tf_idf_top_terms(load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON extraction from the events.props payload (scalar function "
+        "surface; Spark get_json_object == DuckDB json_extract_string).",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )

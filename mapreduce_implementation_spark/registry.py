@@ -69,5 +69,8 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .queries import core, dedup, joins, relational, similarity, windows  # noqa: F401
+    from .queries import (  # noqa: F401
+        core, dedup, joins, relational, similarity, streaming_batch,
+        textanalysis, windows,
+    )
     _LOADED = True

@@ -1,0 +1,102 @@
+"""Structured Streaming operators (north-star Q14).
+
+The reference is batch-only; these give its aggregation semantics an
+unbounded-input form.  Every function here is a *transformation* on a
+(possibly streaming) DataFrame — source/sink wiring stays with the
+caller, so the same code serves ``readStream`` (production),
+``availableNow`` triggers (tests), and plain batch DataFrames (the
+oracle-checked twins in queries/streaming_batch.py).
+
+Scale posture: watermarks bound state (late rows beyond the watermark
+are dropped, state for closed windows is evicted); stateful ops key
+their state by user — state size O(active keys), not O(events).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.textfn import tokens_array
+
+__all__ = [
+    "streaming_word_count", "windowed_event_agg", "sessionize_stream",
+    "running_user_totals_stateful",
+]
+
+
+def streaming_word_count(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Job A over an unbounded stream: same tokenizer expressions, running
+    counts (update/complete mode)."""
+    return (
+        lines.select(F.explode(tokens_array(F.col(col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def windowed_event_agg(events: DataFrame, window: str = "1 hour",
+                       slide: str | None = None,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Tumbling/sliding windowed counts per event_type with a watermark
+    bounding state and admitting late data up to ``watermark``."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based) — state evicted once the
+    watermark passes a session's close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id", "n_events", "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+
+
+def _running_totals(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Custom stateful operator body: running (count, sum) per user."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+
+def running_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user running totals emitted every
+    micro-batch — the custom-stateful-operator escape hatch (state is a
+    2-tuple per key; Arrow-batched)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals, _OUT_SCHEMA, _STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

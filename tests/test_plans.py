@@ -1,0 +1,81 @@
+"""Physical-plan assertions (the scale discipline): broadcasts, pruning,
+pushdown, partial aggregation, top-k operator — checked on the real
+registry queries so a plan regression fails CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.text import word_count
+from mapreduce_implementation_spark.plans.inspect import (
+    assert_broadcast_join, assert_partial_aggregate, assert_pushed_filter,
+    assert_read_schema_only, assert_take_ordered, plan_string,
+)
+from mapreduce_implementation_spark.registry import all_specs
+from mapreduce_implementation_spark.sources.tables import load_table
+from tests.conftest import SF_DIR_01
+
+SPECS = all_specs()
+
+
+def test_broadcast_dims_join_plan(spark):
+    df = SPECS["join_broadcast_dims"].fn(spark, SF_DIR_01)
+    assert_broadcast_join(df, forbid_sort_merge=True)
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    df = SPECS["join_tpch_q5_shape"].fn(spark, SF_DIR_01)
+    assert_broadcast_join(df)
+
+
+def test_word_count_has_map_side_combine(spark):
+    df = word_count(load_table(spark, SF_DIR_01, "documents"), col="text")
+    assert_partial_aggregate(df)
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark):
+    df = SPECS["agg_tpch_q1"].fn(spark, SF_DIR_01)
+    assert_partial_aggregate(df)
+    assert_pushed_filter(df, "l_shipdate")
+
+
+def test_tokenize_prunes_columns(spark):
+    df = SPECS["tokenize"].fn(spark, SF_DIR_01)
+    assert_read_schema_only(df, {"doc_id", "text"})
+
+
+def test_top_k_uses_take_ordered(spark):
+    df = SPECS["top_k"].fn(spark, SF_DIR_01)
+    assert_take_ordered(df)
+
+
+def test_window_topk_single_shuffle(spark):
+    """Per-group top-k: exactly one exchange (on the partition key), and
+    Spark's WindowGroupLimit pushdown (per-partition top-k before the
+    shuffle) must be present."""
+    import re
+
+    df = SPECS["window_row_number_topk"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_semi_join_no_row_explosion(spark):
+    plan = plan_string(SPECS["join_semi"].fn(spark, SF_DIR_01))
+    assert "LeftSemi" in plan, plan
+
+
+def test_filter_pushdown_scalar_query(spark):
+    df = SPECS["scalar_string_math"].fn(spark, SF_DIR_01)
+    assert_pushed_filter(df, "p_size")
+
+
+def test_sort_is_range_partitioned_not_single(spark):
+    """Global sort compiles to rangepartitioning exchange, never a
+    single-partition sort."""
+    df = SPECS["distributed_sort"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan

@@ -1,0 +1,104 @@
+"""Structured Streaming tests: drive each streaming operator to completion
+with an availableNow trigger over a file source, and check the final
+state equals the equivalent batch computation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.sources.tables import load_table
+from mapreduce_implementation_spark.streaming.ops import (
+    running_user_totals_stateful, sessionize_stream, streaming_word_count,
+    windowed_event_agg,
+)
+from tests.conftest import SF_DIR_001
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Events with micro-precision ts materialized for readStream (the
+    raw fixture's nano timestamps need the batch loader's conversion)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, SF_DIR_001, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(df, name, mode):
+    q = (df.writeStream.outputMode(mode).format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return name
+
+
+def test_streaming_word_count_matches_batch(spark):
+    docs_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    try:
+        docs = load_table(spark, SF_DIR_001, "documents").select(
+            F.col("text").alias("value"))
+        docs.write.mode("overwrite").parquet(docs_dir)
+        stream = spark.readStream.schema("value string").parquet(docs_dir)
+        _run_stream(streaming_word_count(stream), "wc_out", "complete")
+        got = {(r["word"], r["cnt"]) for r in spark.sql("SELECT * FROM wc_out").collect()}
+        want = {(r["word"], r["cnt"])
+                for r in streaming_word_count(docs).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_streaming_windowed_agg_matches_batch(spark, events_dir):
+    """Append mode emits only watermark-closed windows: emitted rows must
+    exactly match the batch result for those windows; trailing windows
+    (within the 2h watermark of max event time) are legitimately held."""
+    import datetime as dt
+
+    schema = load_table(spark, SF_DIR_001, "events").schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _run_stream(windowed_event_agg(stream), "win_out", "append")
+    got = {(str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
+           for r in spark.sql("SELECT * FROM win_out").collect()}
+    batch_df = windowed_event_agg(load_table(spark, SF_DIR_001, "events"))
+    want_rows = batch_df.collect()
+    want = {(str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
+            for r in want_rows}
+    max_ts = load_table(spark, SF_DIR_001, "events").agg(F.max("ts")).head()[0]
+    cutoff = max_ts - dt.timedelta(hours=3)  # watermark 2h + 1h window slack
+    must_emit = {(str(r["window_start"]), r["event_type"], r["n"], r["sum_value"])
+                 for r in want_rows if r["window_end"] < cutoff}
+    assert got <= want, f"streaming emitted rows not in batch: {sorted(got - want)[:5]}"
+    assert must_emit <= got, f"closed windows missing: {sorted(must_emit - got)[:5]}"
+    assert len(got) > 0
+
+
+def test_streaming_sessionize_runs(spark, events_dir):
+    schema = load_table(spark, SF_DIR_001, "events").schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _run_stream(sessionize_stream(stream), "sess_out", "append")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_stateful_running_totals(spark, events_dir):
+    schema = load_table(spark, SF_DIR_001, "events").schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _run_stream(running_user_totals_stateful(stream), "state_out", "update")
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.sql(
+               "SELECT user_id, max_by(n_events, n_events) AS n_events,"
+               " max_by(total_value, n_events) AS total_value"
+               " FROM state_out GROUP BY user_id").collect()}
+    e = load_table(spark, SF_DIR_001, "events")
+    want = {r["user_id"]: (r["n"], r["t"]) for r in
+            e.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("t")).collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 0.05
