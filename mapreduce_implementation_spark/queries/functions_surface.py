@@ -1,0 +1,285 @@
+"""Scalar/aggregate/array function surface beyond the core queries:
+percentiles, conditional aggregation, null handling, date arithmetic,
+array/struct ops, grouping sets, full-outer/cross joins, subqueries —
+the long tail a user of a general-purpose engine reaches for.  The
+``sql_*`` entries run through spark.sql on registered views to exercise
+the SQL entry point (same Catalyst plans as the DataFrame API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+from ..sql import sql as run_sql
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact continuous percentiles (Spark percentile == DuckDB "
+        "quantile_cont); at 100 TB swap to approx_percentile — "
+        "see agg_approx_stats.",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "agg_approx_stats",
+    oracle=None,  # approximate by design (HLL / KLL sketches)
+    doc="Sketch aggregates for the 100 TB path: approx_count_distinct "
+        "(HyperLogLog++) and approx_percentile — single pass, bounded "
+        "memory, mergeable across partitions.",
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
+    )
+
+
+@register(
+    "agg_conditional_filter",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (o_totalprice > 250000)              AS n_big,
+           count(*) FILTER (o_totalprice <= 250000)             AS n_small,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 0), 2)
+                                                                AS urgent_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Conditional aggregation (FILTER clauses == when().otherwise(null) "
+        "inside aggregates).",
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") > 250000, 1)
+    small = F.when(F.col("o_totalprice") <= 250000, 1)
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+    return o.groupBy("o_orderstatus").agg(
+        F.count(big).alias("n_big"),
+        F.count(small).alias("n_small"),
+        F.round(F.coalesce(F.sum(urgent), F.lit(0.0)), 2).alias("urgent_total"),
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(o.n_orders, 0) AS n_orders,
+           CASE WHEN o.n_orders IS NULL THEN 'inactive' ELSE 'active' END AS status,
+           nullif(coalesce(o.n_orders, 0), 0) AS n_or_null
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+               WHERE o_totalprice > 480000 GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    doc="NULL-handling surface: coalesce / nullif / CASE over outer-join "
+        "nulls.",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 480000)
+         .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")))
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_orders").isNull(), "inactive").otherwise("active").alias("status"),
+        F.nullif(F.coalesce("n_orders", F.lit(0)), F.lit(0)).alias("n_or_null"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')   AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           CAST(date_part('dow', o_orderdate) AS INTEGER)        AS day_of_week,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-03-01'
+    """,
+    doc="Date arithmetic: interval add, day diffs, date_part, date_trunc.",
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                          "yyyy-MM-dd").alias("due_date"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+             .cast("long").alias("days_since_epoch_start"),
+            (F.dayofweek("o_orderdate") - 1).alias("day_of_week"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+             .alias("month_start"),
+        )
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                       AS dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)        AS max_val,
+           round(CAST(list_min(embedding) AS DOUBLE), 6)        AS min_val,
+           round(list_sum(CAST(embedding AS DOUBLE[])), 6)      AS sum_val,
+           round(CAST(embedding[1] AS DOUBLE), 6)               AS first_val,
+           len(list_filter(embedding, x -> x > 0))              AS n_positive
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    doc="Array function surface over the embedding column: size/min/max/"
+        "sum/index/filter — all JVM-side.",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    summed = F.aggregate(F.col("embedding"), F.lit(0.0),
+                         lambda acc, x: acc + x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(summed, 6).alias("sum_val"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS through the SQL entry point "
+        "(mapreduce_implementation_spark.sql).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           count(DISTINCT c.c_custkey)  AS n_customers,
+           count(DISTINCT s.s_suppkey)  AS n_suppliers
+    FROM customer c
+    FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+    doc="Full outer join preserving keys present on either side only.",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.groupBy(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey")
+    ).agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.9 FROM orders
+                          WHERE o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar subquery (decorrelated by Catalyst into an "
+        "aggregate + join) via the SQL entry point.",
+)
+def q_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.9 FROM orders
+                              WHERE o_custkey = o.o_custkey)
+    """)
+
+
+@register(
+    "union_all_counts",
+    oracle="""
+    SELECT kind, count(*) AS n FROM (
+        SELECT 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT 'supplier' AS kind FROM supplier
+        UNION ALL
+        SELECT 'order' AS kind FROM orders
+    ) GROUP BY kind
+    """,
+    doc="UNION ALL (duplicate-preserving) across heterogeneous inputs.",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"))
+    s = load_table(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"))
+    o = load_table(spark, sf_dir, "orders").select(F.lit("order").alias("kind"))
+    return c.unionByName(s).unionByName(o).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+                                                      AS last_price,
+           round(percent_rank() OVER w, 6)            AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="first_value/last_value (explicit full frame for last) and "
+        "percent_rank.",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

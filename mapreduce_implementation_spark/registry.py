@@ -70,7 +70,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .queries import (  # noqa: F401
-        core, dedup, joins, relational, similarity, streaming_batch,
-        textanalysis, windows,
+        core, dedup, functions_surface, joins, relational, similarity,
+        streaming_batch, textanalysis, windows,
     )
     _LOADED = True
