@@ -1,0 +1,33 @@
+"""Bucketing — co-located joins without a shuffle (SURVEY.md §4 / the
+100 TB fact-fact join strategy).
+
+Writing both fact tables bucketed (+sorted) on the join key means later
+joins read pre-distributed, pre-sorted buckets: the SortMergeJoin gets
+its required distribution from the scan, so the plan has ZERO Exchange
+nodes (pinned by tests/test_bucketing.py).  At 100 TB this converts
+every recurring orderkey join from a 2-sided shuffle of ~TBs into a
+bucket-aligned local merge.
+
+Uses the session catalog (in-memory by default locally; Hive/Glue on a
+cluster).  Bucket count is a physical layout decision: pick
+~(table size / 256 MiB) rounded to a power of two, identical on both
+sides of the recurring join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "bucketed"]
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
+                   sort: bool = True, mode: str = "overwrite") -> None:
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

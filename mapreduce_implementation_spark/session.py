@@ -55,6 +55,9 @@ def get_spark(app_name: str = "mapreduce_implementation_spark",
         # -- local-mode memory (driver == only JVM here) --
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # bucketed tables (in-memory catalog) land outside any repo checkout
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
