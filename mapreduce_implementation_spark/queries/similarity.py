@@ -46,11 +46,26 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_ann_lsh",
     oracle=None,  # approximate: recall vs exact top-k asserted in tests
-    doc="Sign-LSH (8-bit random-hyperplane, Hamming<=1 bucket ring) ANN "
-        "top-10 — the 100 TB path: candidate set ~ (1+bits)/2^bits of the "
-        "corpus, then exact re-rank.",
+    doc="Sign-LSH (multi-table random-hyperplane) ANN top-10 — scale path "
+        "#1: candidate set from bucket collisions, then exact re-rank.",
 )
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_lsh(emb, "vec_id", "embedding",
                         _query_vec(spark, sf_dir), dim=_DIM, k=10, exclude_id=0)
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate: recall vs exact top-k asserted in tests
+    doc="IVF ANN top-10 — scale path #2: seeded k-means inverted lists "
+        "(built on a sample at 100 TB), probe nprobe nearest lists, exact "
+        "re-rank inside them.",
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_topk, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    centroids = kmeans_fit(emb, "embedding", dim=_DIM, k=8, iters=3)
+    return ivf_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir),
+                    centroids, k=10, nprobe=4, exclude_id=0)

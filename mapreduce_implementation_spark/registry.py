@@ -71,6 +71,6 @@ def _ensure_loaded() -> None:
         return
     from .queries import (  # noqa: F401
         core, dedup, functions_surface, joins, relational, similarity,
-        streaming_batch, textanalysis, windows,
+        streaming_batch, textanalysis, udf_surface, windows,
     )
     _LOADED = True

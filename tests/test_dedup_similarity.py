@@ -71,6 +71,27 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall} (exact={exact}, approx={approx})"
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF with k=8/nprobe=4 (half the lists) should recall >=50% of the
+    exact top-10 even on near-random vectors."""
+    from mapreduce_implementation_spark.operators.ivf import ivf_topk, kmeans_fit
+
+    emb = load_table(spark, SF_DIR_01, "embeddings").cache()
+    row = emb.filter(F.col("vec_id") == 0).head()
+    qv = [float(x) for x in row["embedding"]]
+    cents = kmeans_fit(emb, "embedding", dim=64, k=8, iters=3)
+    exact = [r["vec_id"] for r in
+             cosine_topk(emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(emb, "vec_id", "embedding", qv, cents, k=10, nprobe=4,
+                       exclude_id=0).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # determinism: same seed -> same centroids -> same result
+    cents2 = kmeans_fit(emb, "embedding", dim=64, k=8, iters=3)
+    assert (cents == cents2).all()
+
+
 def test_simhash_pairs_are_high_jaccard(spark):
     """SimHash Hamming<=3 pairs should overlap the high-Jaccard truth set."""
     specs = all_specs()
