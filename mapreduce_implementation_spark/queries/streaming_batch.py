@@ -123,6 +123,35 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_attribution",
+    oracle=f"""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           strftime(c.ts, '{_FMT_DUCK}') AS click_ts,
+           p.event_id AS purchase_id,
+           strftime(p.ts, '{_FMT_DUCK}') AS purchase_ts,
+           round(p.value, 2) AS amount
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="Batch twin of streaming.click_attribution_join: purchases "
+        "attributed to a same-user click within 1 hour (the watermarked "
+        "stream-stream join's exact semantics on bounded input).",
+)
+def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ops import click_attribution_join
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        click_attribution_join(e, e)
+        .withColumn("click_ts", F.date_format("click_ts", _FMT_SPARK))
+        .withColumn("purchase_ts", F.date_format("purchase_ts", _FMT_SPARK))
+    )
+
+
+@register(
     "multimodal_binary_meta",
     oracle="""
     SELECT doc_id,

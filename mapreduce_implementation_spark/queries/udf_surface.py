@@ -34,6 +34,38 @@ def _make_udfs():
 
 
 @register(
+    "udtf_order_years",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(unnest(generate_series(CAST(year(o_orderdate) AS BIGINT), 1998)) AS INT) AS yr
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    doc="Python UDTF (table function) in a SQL lateral join — one row per "
+        "year from each order's year through 1998; the row-expanding UDF "
+        "surface (reference O13 has no table functions at all).",
+)
+def q_udtf_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, yr int")
+    class OrderYears:
+        def eval(self, o_orderkey: int, start_year: int):
+            for y in range(start_year, 1999):
+                yield o_orderkey, y
+
+    spark.udtf.register("order_years", OrderYears)
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    ).createOrReplaceTempView("_udtf_orders")
+    return spark.sql("""
+        SELECT t.o_orderkey, t.yr
+        FROM _udtf_orders o,
+             LATERAL order_years(o.o_orderkey, year(o.o_orderdate)) t
+    """)
+
+
+@register(
     "pandas_udf_charge",
     oracle="""
     SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_bucket,

@@ -25,7 +25,7 @@ from ..functions.textfn import tokens_array
 
 __all__ = [
     "streaming_word_count", "windowed_event_agg", "sessionize_stream",
-    "running_user_totals_stateful",
+    "running_user_totals_stateful", "dedup_stream", "click_attribution_join",
 ]
 
 
@@ -71,6 +71,60 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
             F.col("sw.end").alias("session_end"),
             "user_id", "n_events", "sum_value",
         )
+    )
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup (north-star Q10 over unbounded input):
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    evicts it once the watermark passes — state is O(keys in horizon),
+    not O(stream), which is what makes exact dedup viable on an
+    unbounded 100 TB/day feed (plain ``dropDuplicates`` on a stream
+    retains every key forever)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys or ["user_id", "event_type"])
+    )
+
+
+def click_attribution_join(clicks: DataFrame, purchases: DataFrame,
+                           horizon: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user
+    click within ``horizon`` after the click.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time to [click_ts, click_ts + horizon], so each side's buffered
+    state is evicted once the other side's watermark passes the bound —
+    the canonical bounded-state stream-stream join.  On batch inputs
+    the watermarks are no-ops and this is a plain range join (the
+    oracle-checked twin in queries/streaming_batch.py)."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(F.col("user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.round(F.col("value"), 2).alias("amount"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        c.join(
+            p,
+            (c["user_id"] == p["p_user_id"])
+            & (p["purchase_ts"] >= c["click_ts"])
+            & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {horizon}")),
+            "inner",
+        )
+        .select("user_id", "click_id", "click_ts", "purchase_id",
+                "purchase_ts", "amount")
     )
 
 

@@ -12,8 +12,8 @@ from pyspark.sql import functions as F
 
 from mapreduce_implementation_spark.sources.tables import load_table
 from mapreduce_implementation_spark.streaming.ops import (
-    running_user_totals_stateful, sessionize_stream, streaming_word_count,
-    windowed_event_agg,
+    click_attribution_join, dedup_stream, running_user_totals_stateful,
+    sessionize_stream, streaming_word_count, windowed_event_agg,
 )
 from tests.conftest import SF_DIR_001
 
@@ -82,6 +82,41 @@ def test_streaming_sessionize_runs(spark, events_dir):
     rows = spark.sql("SELECT * FROM sess_out").collect()
     assert len(rows) > 0
     assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events_dir):
+    """dropDuplicatesWithinWatermark over the whole fixture (one
+    availableNow batch, so every duplicate lands inside the horizon)
+    must keep exactly one row per key, same key set as batch distinct."""
+    schema = load_table(spark, SF_DIR_001, "events").schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _run_stream(dedup_stream(stream), "dedup_out", "append")
+    got = [ (r["user_id"], r["event_type"]) for r in
+            spark.sql("SELECT user_id, event_type FROM dedup_out").collect() ]
+    want = {(r["user_id"], r["event_type"]) for r in
+            load_table(spark, SF_DIR_001, "events")
+            .select("user_id", "event_type").distinct().collect()}
+    assert len(got) == len(set(got)), "stream emitted duplicate keys"
+    assert set(got) == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream click->purchase join: emitted matches
+    must be a subset of the batch join, and pairs whose event times are
+    safely inside the watermark horizon must all be emitted."""
+    schema = load_table(spark, SF_DIR_001, "events").schema
+    s1 = spark.readStream.schema(schema).parquet(events_dir)
+    s2 = spark.readStream.schema(schema).parquet(events_dir)
+    _run_stream(click_attribution_join(s1, s2), "ssj_out", "append")
+    got = {(r["click_id"], r["purchase_id"]) for r in
+           spark.sql("SELECT * FROM ssj_out").collect()}
+    e = load_table(spark, SF_DIR_001, "events")
+    batch = click_attribution_join(e, e).collect()
+    want = {(r["click_id"], r["purchase_id"]) for r in batch}
+    assert got <= want, f"stream emitted pairs not in batch: {sorted(got - want)[:5]}"
+    # single availableNow batch => watermark starts unset; all pairs join
+    assert got == want
+    assert len(want) > 0
 
 
 def test_stateful_running_totals(spark, events_dir):
