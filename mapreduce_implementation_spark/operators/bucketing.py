@@ -16,13 +16,28 @@ sides of the recurring join.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["write_bucketed", "bucketed"]
 
 
+def _drop_stale(spark: SparkSession, table: str) -> None:
+    # A killed session leaves the managed location on disk while the
+    # (in-memory) catalog forgets the table; saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS. Drop both the entry and any orphan dir.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    path = urlparse(warehouse).path or warehouse
+    if path:
+        shutil.rmtree(f"{path.rstrip('/')}/{table.lower()}", ignore_errors=True)
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
                    sort: bool = True, mode: str = "overwrite") -> None:
+    _drop_stale(df.sparkSession, table)
     w = df.write.mode(mode).bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "plan_string", "assert_broadcast_join", "assert_partial_aggregate",
-    "assert_pushed_filter", "assert_read_schema_only", "assert_take_ordered",
+    "assert_partition_pruning", "assert_pushed_filter",
+    "assert_read_schema_only", "assert_take_ordered",
 ]
 
 
@@ -54,6 +55,17 @@ def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
     assert any(fragment in p for p in pushed), (
         f"filter '{fragment}' not pushed to scan; PushedFilters={pushed}"
+    )
+
+
+def assert_partition_pruning(df: DataFrame, fragment: str) -> None:
+    """``fragment`` appears in the scan's PartitionFilters — the filter
+    prunes whole partition directories instead of scanning 100 TB and
+    filtering rows."""
+    plan = plan_string(df)
+    pruned = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert any(fragment in p for p in pruned), (
+        f"filter '{fragment}' not in PartitionFilters; found={pruned}"
     )
 
 

@@ -36,6 +36,20 @@ def test_parquet_roundtrip(spark, tmpdir):
     assert one.count() > 0
 
 
+def test_partition_pruning_in_plan(spark, tmpdir):
+    """A filter on the partition column must land in PartitionFilters
+    (directory pruning), not just a row-level filter after a full scan."""
+    from mapreduce_implementation_spark.plans.inspect import assert_partition_pruning
+
+    src = load_table(spark, SF_DIR_001, "customer")
+    out = os.path.join(tmpdir, "pq_pruned")
+    write_parquet(src, out, partition_by=["c_mktsegment"])
+    seg = src.select("c_mktsegment").head()[0]
+    pruned = spark.read.parquet(out).filter(F.col("c_mktsegment") == seg)
+    assert_partition_pruning(pruned, "c_mktsegment")
+    assert pruned.count() == src.filter(F.col("c_mktsegment") == seg).count()
+
+
 def test_csv_roundtrip_with_schema(spark, tmpdir):
     src = load_table(spark, SF_DIR_001, "nation")
     out = os.path.join(tmpdir, "csv")
