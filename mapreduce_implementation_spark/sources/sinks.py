@@ -31,3 +31,19 @@ def write_text(df: DataFrame, path: str, mode: str = "overwrite",
     """One-column text sink (reference O12 bare-int lines, mapreduce.c:255,434)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).text(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Newline-delimited JSON — the interchange format training-data
+    pipelines exchange documents in. Many parts, splittable line-wise."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """Columnar ORC sink — same pushdown/pruning properties as parquet
+    for deployments standardized on ORC."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

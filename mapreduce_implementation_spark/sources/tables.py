@@ -60,6 +60,22 @@ def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Newline-delimited JSON source. Pass an explicit ``schema``
+    (StructType or DDL string) in production — schema inference costs a
+    full extra pass over the data, which at 100 TB is a second scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC source — filter pushdown and column pruning apply as
+    with parquet (verify via plans.inspect assertions)."""
+    return spark.read.orc(path)
+
+
 def read_int_lines(spark: SparkSession, path: str) -> DataFrame:
     """Integer-per-line source of the reference sort job (mapreduce.c:151-163).
 

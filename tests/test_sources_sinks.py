@@ -11,8 +11,12 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from mapreduce_implementation_spark.sources.sinks import write_csv, write_parquet, write_text
-from mapreduce_implementation_spark.sources.tables import load_table, read_text_dir
+from mapreduce_implementation_spark.sources.sinks import (
+    write_csv, write_json, write_orc, write_parquet, write_text,
+)
+from mapreduce_implementation_spark.sources.tables import (
+    load_table, read_json, read_orc, read_text_dir,
+)
 from tests.conftest import SF_DIR_001
 
 
@@ -63,10 +67,23 @@ def test_csv_roundtrip_with_schema(spark, tmpdir):
 def test_json_roundtrip(spark, tmpdir):
     src = load_table(spark, SF_DIR_001, "region")
     out = os.path.join(tmpdir, "json")
-    src.write.mode("overwrite").json(out)
-    back = spark.read.schema("r_regionkey int, r_name string").json(out)
+    write_json(src, out)
+    back = read_json(spark, out, schema="r_regionkey int, r_name string")
     assert sorted(tuple(r) for r in back.select("r_regionkey", "r_name").collect()) == \
            sorted(tuple(r) for r in src.collect())
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmpdir):
+    """ORC preserves values and, like parquet, pushes filters to the scan."""
+    src = load_table(spark, SF_DIR_001, "nation")
+    out = os.path.join(tmpdir, "orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert sorted(tuple(r) for r in back.collect()) == \
+           sorted(tuple(r) for r in src.collect())
+    from mapreduce_implementation_spark.plans.inspect import assert_pushed_filter
+    assert_pushed_filter(read_orc(spark, out).filter(F.col("n_regionkey") == 1),
+                         "EqualTo(n_regionkey,1)")
 
 
 def test_text_sink_and_dir_source(spark, tmpdir):
