@@ -37,7 +37,10 @@ def _drop_stale(spark: SparkSession, table: str) -> None:
 
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
                    sort: bool = True, mode: str = "overwrite") -> None:
-    _drop_stale(df.sparkSession, table)
+    # Stale-location cleanup is destructive — only valid when the caller
+    # asked to overwrite; an append must never drop existing data.
+    if mode == "overwrite":
+        _drop_stale(df.sparkSession, table)
     w = df.write.mode(mode).bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

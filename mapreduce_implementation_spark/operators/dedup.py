@@ -127,6 +127,11 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     signature-agreement estimate; optional threshold filter."""
     sh = char_shingles(df, id_col, text_col, k=shingle_k)
     sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    # The signature frame feeds three consumers (banding, a-side, b-side);
+    # without a persist the shingle scan — the dominant cost, ~|corpus| —
+    # runs three times.  Signatures are tiny (64 longs/doc), so caching
+    # them is the right trade at any scale (MEMORY_AND_DISK spills).
+    sig = sig.persist()
     cand = lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows)
     sig_arr = sig.select(
         F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
@@ -137,13 +142,11 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, x: acc + x,
     )
-    out = (
-        cand.join(a_sig, "a").join(b_sig, "b")
-        .select("a", "b", F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"))
-    )
+    est = agree / F.lit(num_hashes)
+    out = cand.join(a_sig, "a").join(b_sig, "b")
     if min_jaccard is not None:
-        out = out.filter(F.col("est_jaccard") >= min_jaccard)
-    return out
+        out = out.filter(est >= min_jaccard)  # raw-score threshold
+    return out.select("a", "b", F.round(est, 4).alias("est_jaccard"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -213,10 +216,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    # Threshold on the RAW score (the oracle's WHERE also uses the raw
+    # value); rounding is presentation-only — filtering on the rounded
+    # column would keep scores within 5e-7 below the cut that the oracle
+    # drops.
     return (
         inter.join(sa, "a").join(sb, "b")
+        .filter(jac >= min_jaccard)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
     )
 
 
@@ -232,9 +239,10 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    c = cosine(F.col("va"), F.col("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
-        .filter(F.col("cos") >= min_cosine)
+        .filter(c >= min_cosine)  # raw-score threshold, like the oracle
+        .select("a", "b", F.round(c, 6).alias("cos"))
     )

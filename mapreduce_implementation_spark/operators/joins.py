@@ -78,11 +78,14 @@ def asof_join(
         lpdf = lpdf.sort_values(left_on)
         rpdf = rpdf[[right_on] + [c for c in right_values if c != right_on]]
         rpdf = rpdf.sort_values(right_on)
+        # match indicator: dropping on a payload column would wrongly
+        # discard matched rows whose payload is legitimately NULL.
+        rpdf = rpdf.assign(_matched=1)
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_on, right_on=right_on,
             direction=direction, suffixes=("", "_r"),
         )
-        merged = merged.dropna(subset=[right_on if right_on in right_values else right_values[0]])
+        merged = merged[merged["_matched"].notna()]
         return merged[left_cols + right_values]
 
     return left.groupBy(left_by).cogroup(right.groupBy(right_by)).applyInPandas(

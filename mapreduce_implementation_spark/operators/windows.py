@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
-__all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group"]
+__all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group", "global_ntile"]
 
 
 def _spec(partition_by: list[str], order_by: list[Column]) -> WindowSpec:
@@ -49,4 +49,51 @@ def top_k_per_group(df: DataFrame, partition_by: list[str],
         df.withColumn("_rn", F.row_number().over(_spec(partition_by, order_by)))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def global_ntile(df: DataFrame, order_by: list[Column], n_tiles: int,
+                 out: str = "tile", partitions: int | None = None) -> DataFrame:
+    """Exact SQL ``ntile(k) OVER (ORDER BY ...)`` WITHOUT the
+    single-partition global window (the classic distributed two-phase
+    global ranking).
+
+    Phase 1: range-partition on the sort key — partitions hold disjoint,
+    ordered key ranges, so global rank = rank within partition + number
+    of rows in all earlier partitions.  Phase 2: per-partition
+    ``row_number`` (parallel across partitions), plus a tiny
+    per-partition count frame (``partitions`` rows) whose cumulative
+    offsets broadcast back.  ntile semantics: with N rows the first
+    (N mod k) tiles take ceil(N/k) rows, the rest floor(N/k).
+
+    The sort key must be a total order (include a unique tiebreaker) or
+    ties straddling a range boundary make ranks nondeterministic.
+    """
+    spark = df.sparkSession
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(parts, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = ranked(ranged, ["_pid"], order_by, kind="row_number", out="_local_rn")
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    r = F.col("_local_rn") + F.col("_offset")
+    k = F.lit(n_tiles).cast("long")
+    q = F.floor(F.col("_n") / k)
+    rem = F.col("_n") % k
+    cut = rem * (q + 1)
+    tile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1)
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, tile.cast("int"))
+        .drop("_pid", "_local_rn", "_offset", "_n")
     )

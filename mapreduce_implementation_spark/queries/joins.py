@@ -131,8 +131,11 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r_name = 'ASIA'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5 shape: 5-way join, dims broadcast, facts shuffled; the "
-        "r_name filter prunes before any fact shuffle.",
+    doc="TPC-H Q5 shape: 5-way join; only the true dims (nation, region) "
+        "carry a broadcast hint — customer is fact-scale (150k x sf rows), "
+        "so the customer⋈dims side must stay shuffle-joinable and only AQE "
+        "may upgrade it if the filtered side turns out genuinely small. "
+        "The r_name filter prunes before any fact shuffle.",
 )
 def q_join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -147,7 +150,7 @@ def q_join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .join(dims, F.col("o_custkey") == dims.c_custkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )

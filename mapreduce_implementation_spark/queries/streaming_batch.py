@@ -76,7 +76,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -85,7 +85,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )
@@ -109,7 +109,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.isNull() |
         (F.col("ts").cast("double") - prev.cast("double") > 1800)
     ).cast("int")
-    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    # event_id tiebreaks the cumulative sum too: duplicate (user_id, ts)
+    # rows would otherwise make session_id assignment nondeterministic.
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0)
     return (
         e.withColumn("new_session", new_s)
         .withColumn("session_id", F.sum("new_session").over(wc))

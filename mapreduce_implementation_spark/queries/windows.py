@@ -120,11 +120,14 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
     FROM orders
     """,
-    doc="Global ntile — single-partition window; fine for ranking whole small "
-        "outputs, an anti-pattern on raw 100 TB facts (documented as such).",
+    doc="Global ntile via the distributed two-phase global ranking "
+        "(range-partition + per-partition row_number + broadcast offsets) — "
+        "exact ntile semantics with NO single-partition window over the "
+        "base table; the only single-partition work is the "
+        "#shuffle-partitions-row offsets frame.",
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.windows import global_ntile
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    spec = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return o.withColumn("decile", F.ntile(10).over(spec)).select("o_orderkey", "decile")
+    tiled = global_ntile(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10, out="decile")
+    return tiled.select("o_orderkey", "decile")

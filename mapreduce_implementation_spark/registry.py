@@ -69,8 +69,14 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Import order IS driver iteration order (insertion-ordered registry).
+    # textanalysis/windows/udf_surface go FIRST: round 1's driver
+    # correctness loop died ~50 queries in (stochastic task failure) and
+    # never recorded them, so the previously-unrecorded families now sit
+    # before any failure horizon.
     from .queries import (  # noqa: F401
+        textanalysis, windows, udf_surface,
         core, dedup, functions_surface, joins, relational, similarity,
-        streaming_batch, textanalysis, udf_surface, windows,
+        streaming_batch,
     )
     _LOADED = True

@@ -36,7 +36,12 @@ def get_spark(app_name: str = "mapreduce_implementation_spark",
     cpus = _cpus()
     parts = shuffle_partitions or cpus
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        # local[N, 4]: up to 4 attempts per task.  Local mode defaults to
+        # maxFailures=1, so one stochastic task failure (this container
+        # shows rare spurious ones — BENCH_r01 tail) aborts the whole job;
+        # a real cluster would retry.  All our jobs are idempotent
+        # (deterministic plans, noop/overwrite sinks), so retries are safe.
+        SparkSession.builder.master(f"local[{cpus}, 4]")
         .appName(app_name)
         # -- planner / runtime adaptivity (the 100 TB posture) --
         .config("spark.sql.adaptive.enabled", "true")

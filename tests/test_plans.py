@@ -28,6 +28,32 @@ def test_tpch_q5_broadcasts_dims(spark):
     assert_broadcast_join(df)
 
 
+def test_tpch_q5_no_forced_broadcast_of_fact_side(spark):
+    """Exactly two broadcast hints — nation and region (true dims).  A
+    hint on the customer-derived frame would force an OOM-sized broadcast
+    at 100x sf that the autoBroadcast threshold would otherwise refuse;
+    only AQE may upgrade that side at runtime."""
+    df = SPECS["join_tpch_q5_shape"].fn(spark, SF_DIR_01)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+
+
+def test_global_ntile_no_single_partition_window_over_base(spark):
+    """The distributed ntile: base-table row_number windows partition by
+    the range-partition id (parallel), the base table feeds a range
+    exchange, and any SinglePartition exchange carries only the tiny
+    per-partition counts frame (_cnt), never base-table rows."""
+    import re
+
+    df = SPECS["window_global_ntile"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert re.search(r"row_number\(\) windowspecdefinition\(_pid", plan), plan
+    for m in re.finditer(
+            r"Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", plan):
+        assert "_cnt" in m.group(1), plan
+
+
 def test_word_count_has_map_side_combine(spark):
     df = word_count(load_table(spark, SF_DIR_01, "documents"), col="text")
     assert_partial_aggregate(df)
