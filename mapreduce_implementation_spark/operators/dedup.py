@@ -32,7 +32,7 @@ __all__ = [
     "exact_dedup_representatives", "char_shingles", "word_ngrams",
     "minhash_signatures", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
-    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
 ]
 
 
@@ -244,5 +244,54 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
         .filter(c >= min_cosine)  # raw-score threshold, like the oracle
+        .select("a", "b", F.round(c, 6).alias("cos"))
+    )
+
+
+def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
+                                 dim: int, min_cosine: float = 0.35,
+                                 bits: int = 4, tables: int = 16,
+                                 seed: int = 42) -> DataFrame:
+    """(a, b, cos) — the bucketed 100 TB path for embedding near-dup:
+    sign-LSH candidates + exact cosine verify.  Same output schema as
+    ``embedding_near_dup_pairs``; recall < 1 by construction.
+
+    Candidates = pairs sharing a random-hyperplane bucket in >=1 of
+    ``tables`` independent tables (per-pair recall 1-(1-p^bits)^tables,
+    p = 1 - theta/pi).  Defaults (4, 16) target the moderate-similarity
+    regime (cos ~0.35 -> recall ~0.9); for true near-dup thresholds
+    (cos >= 0.9) raise ``bits`` to 12-16 so buckets prune ~2^bits harder.
+
+    Scale shape: the bucket self-join shuffles only (id, bucket-key)
+    pairs — vectors are joined back by id AFTER candidate distinct, so
+    the dim*4-byte payload is never duplicated ``tables`` times through
+    the shuffle.  The verify step is identical to the brute-force
+    operator's, on a candidate set ~tables/2^bits of the square.
+    """
+    from ..functions.vectorfn import cosine
+    from .similarity import random_hyperplane_buckets
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    wb = base
+    keys = []
+    for t in range(tables):
+        wb = random_hyperplane_buckets(wb, vec_col, dim, bits=bits,
+                                       seed=seed + t, out=f"_b{t}")
+        keys.append(F.col(f"_b{t}").bitwiseOR(F.lit(t << bits).cast("long")))
+    buckets = wb.select(F.col(id_col), F.explode(F.array(*keys)).alias("_bk"))
+    left = buckets.select(F.col(id_col).alias("a"), "_bk")
+    right = buckets.select(F.col(id_col).alias("b"), "_bk")
+    cand = (
+        left.join(right, "_bk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    c = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .filter(c >= min_cosine)
         .select("a", "b", F.round(c, 6).alias("cos"))
     )

@@ -86,3 +86,29 @@ def q_distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distributed_sort_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     return li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"))
+
+
+@register(
+    "partitioned_scan_events_week",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY event_type
+    """,
+    doc="Date-partitioned-table scan (the 100 TB fact layout): events "
+        "materialized once as event_date=YYYY-MM-DD/ directories, then a "
+        "one-week date predicate prunes partitions at PLAN time "
+        "(PartitionFilters — pinned in tests/test_plans.py) instead of "
+        "scanning the table and filtering rows.",
+)
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import partitioned_events_path
+
+    path = partitioned_events_path(spark, sf_dir)
+    e = spark.read.parquet(path)
+    return (
+        e.filter(F.col("event_date").between("2024-01-08", "2024-01-14"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )

@@ -13,8 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    embedding_near_dup_pairs, exact_dedup_representatives,
-    minhash_dedup_pairs, ngram_jaccard_pairs, simhash_near_dup_pairs,
+    embedding_near_dup_pairs, embedding_near_dup_pairs_lsh,
+    exact_dedup_representatives, minhash_dedup_pairs, ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
 )
 from ..registry import register
 from ..sources.tables import load_table
@@ -128,3 +129,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.35)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,  # seeded-LSH candidate set: no SQL twin; recall vs the
+    # exact pairs pinned in tests/test_dedup_similarity.py
+    doc="Bucketed embedding near-dup (the 100 TB path): multi-table "
+        "sign-LSH candidates joined on (table, bucket) — never all-pairs — "
+        "then exact-cosine verified at the same threshold as "
+        "dedup_embedding_cosine.  Deterministic seeded hyperplanes.",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", dim=64, min_cosine=0.35)

@@ -33,6 +33,24 @@ def _make_udfs():
     return discounted_charge, bucket10k
 
 
+def _make_grouped_agg_udfs():
+    @F.pandas_udf("double")
+    def rms(v: pd.Series) -> float:
+        # GROUPED_AGG flavor: whole group arrives as one Series, returns a
+        # scalar — Spark runs it per group after the hash shuffle (and, on
+        # a cluster, per partial batch with Arrow transfer each way)
+        return float((v.astype("float64") ** 2).mean() ** 0.5)
+
+    @F.pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+        # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+        # count rides the same Arrow path.
+        return len(v)
+
+    return rms, pd_count
+
+
 @register(
     "udtf_order_years",
     oracle="""
@@ -89,4 +107,28 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price_bucket")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("_charge"), 2).alias("charged"))
+    )
+
+
+@register(
+    "pandas_udaf_rms_spend",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sqrt(avg(o_totalprice * o_totalprice)), 2) AS rms_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Grouped-aggregate Pandas UDFs (GROUPED_AGG — the O13 UDAF flavor): "
+        "per-customer root-mean-square order value + count, both over the "
+        "grouped Arrow path; oracle-checked against the pure-SQL equivalent "
+        "so the UDAF transport itself is under test.",
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rms, pd_count = _make_grouped_agg_udfs()
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(pd_count(F.col("o_orderkey")).alias("n_orders"),
+             F.round(rms(F.col("o_totalprice")), 2).alias("rms_spend"))
     )

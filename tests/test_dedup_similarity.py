@@ -92,6 +92,23 @@ def test_ivf_recall_vs_exact(spark):
     assert (cents == cents2).all()
 
 
+def test_embedding_lsh_recall_and_precision(spark):
+    """The bucketed embedding near-dup (sign-LSH candidates + exact-cosine
+    verify) must recall >=85% of the brute-force pairs at the same
+    threshold (seeded hyperplanes -> deterministic; measured 0.919 at
+    (bits=4, tables=16), matching 1-(1-p^4)^16 for p = 1 - theta/pi), and
+    the verify step makes false positives impossible."""
+    specs = all_specs()
+    exact = {(r["a"], r["b"])
+             for r in specs["dedup_embedding_cosine"].fn(spark, SF_DIR_01).collect()}
+    lsh = {(r["a"], r["b"])
+           for r in specs["dedup_embedding_lsh"].fn(spark, SF_DIR_01).collect()}
+    assert exact, "corpus should contain pairs above the cosine threshold"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.85, f"embedding-LSH recall too low: {recall}"
+    assert not (lsh - exact), f"verified candidates above threshold yet absent from exact: {sorted(lsh - exact)[:5]}"
+
+
 def test_simhash_pairs_are_high_jaccard(spark):
     """SimHash Hamming<=3 pairs should overlap the high-Jaccard truth set."""
     specs = all_specs()

@@ -8,8 +8,9 @@ from pyspark.sql import functions as F
 
 from mapreduce_implementation_spark.operators.text import word_count
 from mapreduce_implementation_spark.plans.inspect import (
-    assert_broadcast_join, assert_partial_aggregate, assert_pushed_filter,
-    assert_read_schema_only, assert_take_ordered, plan_string,
+    assert_broadcast_join, assert_partial_aggregate, assert_partition_pruning,
+    assert_pushed_filter, assert_read_schema_only, assert_take_ordered,
+    plan_string,
 )
 from mapreduce_implementation_spark.registry import all_specs
 from mapreduce_implementation_spark.sources.tables import load_table
@@ -96,6 +97,13 @@ def test_semi_join_no_row_explosion(spark):
 def test_filter_pushdown_scalar_query(spark):
     df = SPECS["scalar_string_math"].fn(spark, SF_DIR_01)
     assert_pushed_filter(df, "p_size")
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """The registered partitioned-table query's date predicate must land
+    in PartitionFilters (directory pruning), not just a row filter."""
+    df = SPECS["partitioned_scan_events_week"].fn(spark, SF_DIR_01)
+    assert_partition_pruning(df, "event_date")
 
 
 def test_sort_is_range_partitioned_not_single(spark):
