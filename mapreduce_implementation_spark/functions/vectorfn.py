@@ -11,10 +11,12 @@ accumulation order (sequential over the array), same width.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine"]
+__all__ = ["dot", "l2_norm", "cosine", "make_cosine_arrow"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -28,3 +30,30 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def make_cosine_arrow():
+    """Arrow-vectorized cosine (pandas_udf factory; build per query —
+    pandas_udf type resolution wants an active session).
+
+    For BULK pair scoring (millions of candidate pairs) the JVM HOF
+    ``cosine`` pays interpreted per-element lambda cost; a numpy einsum
+    over the Arrow batch is ~5-10x faster (measured 27 s -> ~4 s on the
+    2M-pair brute-force frame at sf0.1).  Accumulation order differs from
+    the sequential JVM/DuckDB fold (SIMD pairwise), so use this where the
+    consumer tolerates ~1e-15 relative drift — candidate verify against a
+    threshold — never in a value-hash-oracled output column.
+    """
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        b = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        num = np.einsum("ij,ij->i", a, b)
+        den = (np.sqrt(np.einsum("ij,ij->i", a, a)) *
+               np.sqrt(np.einsum("ij,ij->i", b, b)))
+        return pd.Series(num / den)
+
+    return _cos

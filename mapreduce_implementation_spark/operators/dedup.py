@@ -265,20 +265,18 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     Scale shape: the bucket self-join shuffles only (id, bucket-key)
     pairs — vectors are joined back by id AFTER candidate distinct, so
     the dim*4-byte payload is never duplicated ``tables`` times through
-    the shuffle.  The verify step is identical to the brute-force
+    the shuffle.  All tables*bits hyperplane dots come from one
+    vectorized Arrow matmul (hyperplane_bucket_keys), not per-table
+    column expressions.  The verify step is identical to the brute-force
     operator's, on a candidate set ~tables/2^bits of the square.
     """
-    from ..functions.vectorfn import cosine
-    from .similarity import random_hyperplane_buckets
+    from ..functions.vectorfn import make_cosine_arrow
+    from .similarity import hyperplane_bucket_keys
 
     base = df.select(F.col(id_col), F.col(vec_col))
-    wb = base
-    keys = []
-    for t in range(tables):
-        wb = random_hyperplane_buckets(wb, vec_col, dim, bits=bits,
-                                       seed=seed + t, out=f"_b{t}")
-        keys.append(F.col(f"_b{t}").bitwiseOR(F.lit(t << bits).cast("long")))
-    buckets = wb.select(F.col(id_col), F.explode(F.array(*keys)).alias("_bk"))
+    wb = hyperplane_bucket_keys(base, vec_col, dim, bits=bits,
+                                tables=tables, seed=seed, out="_bks")
+    buckets = wb.select(F.col(id_col), F.explode("_bks").alias("_bk"))
     left = buckets.select(F.col(id_col).alias("a"), "_bk")
     right = buckets.select(F.col(id_col).alias("b"), "_bk")
     cand = (
@@ -289,9 +287,14 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     )
     va = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    c = cosine(F.col("va"), F.col("vb"))
+    # bulk verify: Arrow-batched numpy cosine — the candidate set is
+    # millions of pairs, where the JVM HOF's per-element lambda cost
+    # dominates the whole query (see make_cosine_arrow)
+    cos_arrow = make_cosine_arrow()
+    c = cos_arrow(F.col("va"), F.col("vb"))
     return (
         cand.join(va, "a").join(vb, "b")
-        .filter(c >= min_cosine)
-        .select("a", "b", F.round(c, 6).alias("cos"))
+        .withColumn("_c", c)
+        .filter(F.col("_c") >= min_cosine)
+        .select("a", "b", F.round("_c", 6).alias("cos"))
     )
