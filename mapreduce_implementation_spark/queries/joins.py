@@ -205,3 +205,113 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join_bucketed(left, right, key="user_id",
                                  left_ts="ts", right_ts="ts2", window_seconds=3600)
     return joined.groupBy("anchor_event").agg(F.count(F.lit(1)).alias("n_following"))
+
+
+@register(
+    "join_tpch_q3_shape",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter (mktsegment, pushed to the "
+        "customer scan) -> two fact joins -> grouped revenue -> global "
+        "top-10 via TakeOrderedAndProject, never a full sort.",
+)
+def q_join_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-01-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_tpch_q9_shape",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+    doc="TPC-H Q9 shape: lineitem joined to TWO dimension paths (part via "
+        "partkey, supplier->nation via suppkey) AND the orders fact via "
+        "orderkey — a join DAG, not a chain.  part/supplier/nation "
+        "broadcast under threshold; the only big shuffle is "
+        "lineitem⋈orders on orderkey.  The p_name LIKE filter prunes "
+        "part before its broadcast.",
+)
+def q_join_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("amount"))
+    )
+
+
+@register(
+    "string_similarity_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS a, b.p_partkey AS b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="Blocked string-similarity join: candidate pairs only within a "
+        "blocking key (brand) equi-join, then edit-distance verify — the "
+        "scalable fuzzy-match shape (never an all-pairs levenshtein).",
+)
+def q_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_brand").alias("brand"),
+                 F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_brand").alias("brand"),
+                 F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "brand")
+        .filter(F.col("a") < F.col("b"))
+        .filter(dist <= 2)
+        .select("a", "b", dist.alias("dist"))
+    )

@@ -274,3 +274,50 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return pivot_agg(li, "l_returnflag", "l_linestatus", ["O", "F"],
                      F.round(F.sum("l_quantity"), 2))
+
+
+@register(
+    "pagination_offset",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    doc="Pagination surface (page 3 of 20): ORDER BY + OFFSET + LIMIT.  "
+        "Spark plans a bounded take of offset+limit rows — fine for UI-"
+        "depth pages; deep pagination should switch to keyset predicates "
+        "(WHERE sortkey < last_seen), which is a filter, not an offset.",
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40).limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_exact
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact DECIMAL aggregation: money sums in decimal(18,2) are "
+        "order-insensitive and reproducible across cluster sizes, unlike "
+        "double sums (the engine's recommended money type at 100 TB; the "
+        "fixture's 2-decimal doubles cast exactly, so engines agree "
+        "bit-for-bit).",
+)
+def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .alias("sum_price_exact"))
+    )

@@ -181,3 +181,40 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
     )
+
+
+@register(
+    "pipeline_fingerprint_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars,
+             md5(array_to_string(list_filter(
+                 string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                 t -> t <> ''), ' ')) AS content_md5
+      FROM documents
+    ),
+    reps AS (SELECT content_md5, min(doc_id) AS rep_doc_id
+             FROM fp GROUP BY content_md5)
+    SELECT lang,
+           count(*) AS n_unique_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM fp JOIN reps ON fp.doc_id = reps.rep_doc_id
+    GROUP BY lang
+    """,
+    doc="Composite LLM-pipeline stage chain in ONE plan: content "
+        "fingerprint (normalized-token md5) -> exact dedup (deterministic "
+        "min-id representative per fingerprint) -> per-language corpus "
+        "stats of the survivors.  The dedup shuffle carries the 16-byte "
+        "hash, never the document text.",
+)
+def q_pipeline_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(docs, "doc_id", "text").select("doc_id", "content_md5")
+    enriched = docs.select("doc_id", "lang", "n_chars").join(fp, "doc_id")
+    reps = enriched.groupBy("content_md5").agg(F.min("doc_id").alias("rep_doc_id"))
+    return (
+        enriched.join(reps, enriched.doc_id == reps.rep_doc_id)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_unique_docs"),
+             F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+    )
