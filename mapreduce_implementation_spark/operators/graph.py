@@ -1,0 +1,129 @@
+"""Distributed connected components over a pair/edge DataFrame.
+
+The LLM-dedup pipeline's clustering step: near-dup *pairs* (MinHash / LSH /
+Jaccard joins, operators/dedup.py) become dedup *clusters* by computing the
+connected components of the pair graph and keeping min(doc_id) per component
+as the canonical representative.
+
+Algorithm: the alternating **large-star / small-star** method of Kiveris et
+al., "Connected Components in MapReduce and Beyond" (SoCC'14) — the standard
+formulation for exactly this setting (GraphFrames/GraphX use the same
+scheme).  Each round is two hash aggregations + joins on the edge list (pure
+DataFrame ops, map-side combinable), and the edge list *contracts* toward
+star graphs rooted at component minima in O(log n) rounds — unlike naive
+min-label flooding, which needs O(graph diameter) rounds and keeps the full
+edge list live throughout.  At 100 TB the edge list is the near-dup pair
+output (orders of magnitude smaller than the corpus), every round shrinks
+it, and nothing ever reaches the driver except a per-round convergence
+scalar (count + order-insensitive checksum of the edge list).
+
+Reference parity: the reference engine (mapreduce.c) has no graph operator;
+this is north-star surface (SURVEY §2b Q10/Q11 — dedup at scale needs the
+clustering step, not just pairwise candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components"]
+
+# Rounds are O(log n); 25 covers any graph that fits on a real cluster
+# (2^25 nodes of *diameter* after contraction).  Hitting the cap raises —
+# silently returning a half-contracted clustering would be wrong.
+_MAX_ROUNDS = 25
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Distinct edges oriented large→small, self-loops dropped."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's minimum neighborhood.
+
+    Emit (v, m(u)) for v in N(u), v > u, where m(u) = min(N(u) ∪ {u});
+    operates on the symmetrized edge list.
+    """
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor (and u itself) to the minimum.
+
+    Operates on large→small oriented edges: for each u with smaller
+    neighbors N(u), m = min(N(u)); emit (v, m) for v in N(u) ∪ {u}, v != m.
+    """
+    e = _canon(edges)
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        e.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-insensitive checksum) — the only values that ever
+    reach the driver; used purely as the convergence test."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cluster assignment for every node appearing in ``pairs``.
+
+    Returns ``(node, cluster_id)`` with ``cluster_id`` = the minimum node id
+    of the component (deterministic canonical representative).  Runs
+    large-star/small-star rounds until the edge list is a fixed point (a
+    star forest rooted at each component's minimum).
+    """
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .union(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    edges = _canon(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
+    edges = edges.localCheckpoint(eager=True)
+    sig = _signature(edges)
+    for _ in range(_MAX_ROUNDS):
+        stepped = _small_star(_large_star(edges))
+        # localCheckpoint truncates the per-round lineage (plans would
+        # otherwise nest one analysis tree per round) and materializes the
+        # contracted edge list so each round scans its predecessor once.
+        stepped = stepped.localCheckpoint(eager=True)
+        new_sig = _signature(stepped)
+        edges = stepped
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {_MAX_ROUNDS} rounds")
+    # Fixed point: every edge is (member, root).  Roots map to themselves.
+    membership = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    return (
+        nodes.join(membership, "node", "left")
+        .select("node", F.coalesce("cluster_id", "node").alias("cluster_id"))
+    )

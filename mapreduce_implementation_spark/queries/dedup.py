@@ -17,6 +17,7 @@ from ..operators.dedup import (
     exact_dedup_representatives, minhash_dedup_pairs, ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+from ..operators.graph import connected_components
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -129,6 +130,51 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.35)
+
+
+@register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE " + _DUCK_TRIGRAMS.replace("WITH ", "", 1) + """,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+      FROM grams g1 JOIN grams g2 USING (tri)
+      WHERE g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON inter.a = sa.doc_id
+      JOIN sizes sb ON inter.b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM edges e JOIN reach r ON r.node = e.u
+    ),
+    cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+    FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
+                  FROM cc GROUP BY cluster_id) sz USING (cluster_id)
+    """,
+    doc="Near-dup CLUSTERS (the step after pairwise candidates): connected "
+        "components of the trigram-Jaccard>=0.5 pair graph via alternating "
+        "large-star/small-star rounds (Kiveris et al.), cluster_id = min "
+        "doc_id of the component.  Oracle: DuckDB recursive reachability.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5)
+    cc = connected_components(pairs, "a", "b")
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    )
 
 
 @register(

@@ -315,3 +315,32 @@ def q_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("a", "b", dist.alias("dist"))
     )
+
+
+@register(
+    "skew_join_salted",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_events,
+           CAST(round(sum(e.value), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Salted skew join (events fact x customer, 8-way salt): the "
+        "manual mitigation for a hot key whose single shuffle partition "
+        "would exceed executor memory even after AQE splitting.  "
+        "Row-level results identical to the plain join (the oracle IS "
+        "the plain join); only the physical key distribution differs.",
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    joined = salted_join(ev, cust, "user_id", salt=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )

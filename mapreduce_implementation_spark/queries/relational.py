@@ -321,3 +321,46 @@ def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
              .alias("sum_price_exact"))
     )
+
+
+@register(
+    "agg_stat_moments",
+    oracle="""
+    WITH mu AS (
+      SELECT l_returnflag AS flag, avg(l_quantity) AS mu_q,
+             avg(l_extendedprice) AS mu_p, count(*) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT flag AS returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(avg(pow(l.l_quantity - mu_q, 3))
+                 / pow(avg(pow(l.l_quantity - mu_q, 2)), 1.5), 6) AS skew_qty,
+           round(avg(pow(l.l_quantity - mu_q, 4))
+                 / pow(avg(pow(l.l_quantity - mu_q, 2)), 2) - 3, 6) AS kurt_qty,
+           round(stddev_samp(l.l_quantity), 6) AS std_qty,
+           round(corr(l.l_quantity, l.l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l.l_quantity, l.l_discount), 6) AS cov_qty_disc
+    FROM lineitem l JOIN mu ON l.l_returnflag = mu.flag
+    GROUP BY flag, n
+    """,
+    doc="Higher statistical moments per group: population skewness / "
+        "excess kurtosis (Spark's definitions — the oracle derives the "
+        "same centered moments explicitly, since DuckDB's skewness() / "
+        "kurtosis() are bias-corrected sample statistics), plus "
+        "stddev_samp / corr / covar_samp which both engines define "
+        "identically.  Single-pass partial-aggregable moment sketches — "
+        "one shuffle regardless of table size.",
+)
+def q_agg_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        )
+    )

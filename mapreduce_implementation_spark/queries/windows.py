@@ -131,3 +131,37 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     tiled = global_ntile(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10, out="decile")
     return tiled.select("o_orderkey", "decile")
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+    doc="Value-RANGE window frame (vs the ROWS frames elsewhere): per-"
+        "customer trailing-30-day spend.  RANGE frames include ties "
+        "(same-day orders), so the result is deterministic per row even "
+        "with duplicate order dates — no tiebreaker column needed.  One "
+        "shuffle on o_custkey; frame evaluation is a per-partition "
+        "sliding aggregate.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.unix_date(F.to_date("o_orderdate"))
+    w = (Window.partitionBy("o_custkey").orderBy(day.cast("long"))
+         .rangeBetween(-30, Window.currentRow))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )

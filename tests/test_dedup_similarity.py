@@ -116,3 +116,36 @@ def test_simhash_pairs_are_high_jaccard(spark):
     jac = {(r["a"], r["b"]) for r in specs["dedup_ngram_jaccard"].fn(spark, SF_DIR_01).collect()}
     assert sim, "expected some SimHash pairs"
     assert jac & sim, "SimHash pairs should include some exact-Jaccard near-dups"
+
+
+def test_connected_components_vs_union_find(spark):
+    """Large-star/small-star CC must match a pure-Python union-find on an
+    adversarial edge list: a long chain (worst case for naive min-label
+    flooding), a star, a cycle, two singleton-ish pairs, and shuffled ids."""
+    from mapreduce_implementation_spark.operators.graph import connected_components
+
+    edges = (
+        [(i + 1, i) for i in range(40, 60)]            # chain 40..60
+        + [(100, v) for v in (101, 102, 103, 104)]     # star rooted high
+        + [(7, 8), (8, 9), (9, 7)]                     # cycle
+        + [(1, 2), (3, 4)]                             # two pairs
+        + [(200, 45)]                                  # bridge into the chain
+    )
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expect = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(df, "a", "b").collect()}
+    assert got == expect
