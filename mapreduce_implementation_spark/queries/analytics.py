@@ -120,3 +120,97 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset", "active_users",
         )
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS revenue
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(day) AS mn, max(day) AS mx
+      FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    )
+    SELECT s.event_type,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(d.revenue, 0.0) AS DOUBLE) AS revenue,
+           CAST(coalesce(last_value(d.revenue IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0) AS DOUBLE) AS revenue_locf
+    FROM spine s LEFT JOIN daily d USING (event_type, day)
+    """,
+    doc="Time-series gap filling: a per-key date spine (sequence + "
+        "explode over each key's [min, max] day range) left-joined to the "
+        "daily aggregate, zero-filled plus last-observation-carried-"
+        "forward.  Spine generation is O(days) per key with no driver "
+        "round-trip; LOCF is one ordered window per key.",
+)
+def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"), "value")
+    daily = ev.groupBy("event_type", "day").agg(
+        F.round(F.sum("value"), 2).alias("revenue"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("event_type",
+                F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce(F.last("revenue", ignorenulls=True).over(w),
+                       F.lit(0.0)).alias("revenue_locf"),
+        )
+    )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+                    'CURRENT') AS valid_to,
+           CAST(round(value, 2) AS DOUBLE) AS value
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD Type-2 validity intervals from a change log: each state "
+        "change opens an interval closed by the next change's timestamp "
+        "(lead), with the latest row left open ('CURRENT').  One shuffle "
+        "on the business key; event_id tiebreaks equal timestamps so "
+        "version numbering is deterministic.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "signup")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(F.date_format(F.lead("ts").over(w), fmt),
+                   F.lit("CURRENT")).alias("valid_to"),
+        F.round("value", 2).alias("value"),
+    )

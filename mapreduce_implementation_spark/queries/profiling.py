@@ -1,0 +1,126 @@
+"""Data-profiling queries: column stats, histograms, deterministic sampling.
+
+The data-quality layer of an LLM-pipeline engine: profile a table before
+ingest, histogram a measure, and draw a *reproducible* sample without any
+seed state (hash-based, so the same rows are sampled on any cluster size,
+any partitioning, any engine — the DuckDB oracle literally reproduces it).
+
+Reference parity: none (mapreduce.c has no profiling); north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+# (column, kind) pairs profiled on orders; kind picks the min/max rendering.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+        count(o_orderkey) AS nn0, count(DISTINCT o_orderkey) AS nd0,
+          CAST(min(o_orderkey) AS VARCHAR) AS mn0, CAST(max(o_orderkey) AS VARCHAR) AS mx0,
+        count(o_custkey) AS nn1, count(DISTINCT o_custkey) AS nd1,
+          CAST(min(o_custkey) AS VARCHAR) AS mn1, CAST(max(o_custkey) AS VARCHAR) AS mx1,
+        count(o_orderstatus) AS nn2, count(DISTINCT o_orderstatus) AS nd2,
+          min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
+        count(o_totalprice) AS nn3, count(DISTINCT o_totalprice) AS nd3,
+          CAST(min(o_totalprice) AS VARCHAR) AS mn3, CAST(max(o_totalprice) AS VARCHAR) AS mx3,
+        count(o_orderdate) AS nn4, count(DISTINCT o_orderdate) AS nd4,
+          strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn4,
+          strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx4,
+        count(o_orderpriority) AS nn5, count(DISTINCT o_orderpriority) AS nd5,
+          min(o_orderpriority) AS mn5, max(o_orderpriority) AS mx5
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, n - nn0 AS n_nulls, nd0 AS n_distinct, mn0 AS min_val, mx0 AS max_val FROM s
+    UNION ALL SELECT 'o_custkey', n - nn1, nd1, mn1, mx1 FROM s
+    UNION ALL SELECT 'o_orderstatus', n - nn2, nd2, mn2, mx2 FROM s
+    UNION ALL SELECT 'o_totalprice', n - nn3, nd3, mn3, mx3 FROM s
+    UNION ALL SELECT 'o_orderdate', n - nn4, nd4, mn4, mx4 FROM s
+    UNION ALL SELECT 'o_orderpriority', n - nn5, nd5, mn5, mx5 FROM s
+    """,
+    doc="Whole-table column profile (nulls / exact distinct / min / max "
+        "per column) in ONE pass: a single multi-distinct aggregate "
+        "(Catalyst expands it map-side) unpivoted with stack() — never "
+        "one scan per column.  min/max rendered to strings so every "
+        "column type shares one output schema.",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, (c, kind) in enumerate(_PROFILE_COLS):
+        if kind == "ts":
+            mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn, mx = F.min(c).cast("string"), F.max(c).cast("string")
+        aggs += [F.count(c).alias(f"nn{i}"), F.count_distinct(F.col(c)).alias(f"nd{i}"),
+                 mn.alias(f"mn{i}"), mx.alias(f"mx{i}")]
+    row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n - nn{i}, nd{i}, mn{i}, mx{i}" for i, (c, _) in enumerate(_PROFILE_COLS))
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (column_name, n_nulls, n_distinct, min_val, max_val)")
+
+
+@register(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS lo,
+           count(*) AS n,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_in_bucket,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_in_bucket
+    FROM orders GROUP BY 1
+    """,
+    doc="Fixed-width histogram of order totals (50k buckets): one "
+        "partial-aggregable shuffle keyed on the bucket id; output is "
+        "O(range/width) rows regardless of table size.",
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.min("o_totalprice"), 2).alias("min_in_bucket"),
+             F.round(F.max("o_totalprice"), 2).alias("max_in_bucket"))
+        .select("bucket", (F.col("bucket") * 50000).alias("lo"),
+                "n", "min_in_bucket", "max_in_bucket")
+    )
+
+
+@register(
+    "sample_hash_pct",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+    doc="Deterministic ~10% sample via content hashing (md5 of the key, "
+        "keep hex prefix < '1a' = 26/256): reproducible across engines, "
+        "cluster sizes and partitionings — no RNG seed state, unlike "
+        "df.sample().  The filter pushes to the scan; no shuffle at all.",
+)
+def q_sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -76,7 +76,7 @@ def _ensure_loaded() -> None:
     # before any failure horizon.
     from .queries import (  # noqa: F401
         textanalysis, windows, udf_surface,
-        analytics, core, dedup, functions_surface, joins, relational,
-        similarity, streaming_batch,
+        analytics, core, dedup, functions_surface, joins, profiling,
+        relational, similarity, streaming_batch,
     )
     _LOADED = True
