@@ -154,3 +154,40 @@ def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
         .filter(F.col("_rn") <= k)
         .select(id_col, F.col("tok").alias("term"), "tfidf", F.col("_rn").alias("term_rank"))
     )
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str, terms: tuple[str, ...],
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 ranking of documents against a fixed term set.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contribution
+    tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).  Everything is aggregation over
+    the token stream: tf filtered to the query terms (the corpus-wide
+    token stream is scanned once), dl/avgdl/N as 1-row or per-term
+    aggregates that broadcast — so corpus size only affects the first
+    scan.  Final top-k is TakeOrderedAndProject on the per-doc scores;
+    the rank window runs on k rows only.
+    """
+    from pyspark.sql import Window
+
+    toks = _tok_df(df, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"),
+                   F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (toks.where(F.col("tok").isin(list(terms)))
+          .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    doc_score = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    topk = doc_score.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return topk.select(id_col, "bm25",
+                       F.row_number().over(w).cast("int").alias("rank"))

@@ -69,3 +69,35 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = kmeans_fit(emb, "embedding", dim=_DIM, k=8, iters=3)
     return ivf_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir),
                     centroids, k=10, nprobe=4, exclude_id=0)
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label,
+           CAST(pos AS INTEGER) AS pos,
+           count(*) AS n_vectors,
+           round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    doc="Per-label mean embedding (the class-centroid building block of "
+        "IVF / clustering / nearest-class-mean): posexplode to "
+        "(label, dim, value) then one partial-aggregable shuffle keyed on "
+        "(label, dim) — output is O(labels x dim) no matter how many "
+        "vectors; centroids never pass through the driver.",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+        .select("label", F.col("pos").cast("int").alias("pos"),
+                "n_vectors", "centroid_val")
+    )

@@ -218,3 +218,146 @@ def q_pipeline_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique_docs"),
              F.round(F.avg("n_chars"), 6).alias("avg_chars"))
     )
+
+
+@register(
+    "text_bm25_top10",
+    oracle=f"""
+    {_DUCK_TOKS},
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN ('hash', 'join', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+      FROM tf JOIN dl USING (doc_id)
+      JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN stats
+    ),
+    agg AS (SELECT doc_id, round(sum(c), 6) AS bm25 FROM scored GROUP BY doc_id)
+    SELECT doc_id, bm25, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM agg
+    ) WHERE rank <= 10
+    """,
+    doc="Okapi BM25 top-10 for the query {{hash, join, window}} "
+        "(k1=1.2, b=0.75): the full-text relevance-ranking surface on top "
+        "of the tokenizer — tf/df/dl/avgdl as aggregations, "
+        "TakeOrderedAndProject top-k, rank window on 10 rows only.",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import bm25_topk
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", ("hash", "join", "window"), k=10)
+
+
+@register(
+    "text_pmi_pairs",
+    oracle=f"""
+    {_DUCK_TOKS},
+    dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+    df AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok
+           HAVING count(*) >= 0.2 * (SELECT n FROM nd)),
+    co AS (
+      SELECT a.tok AS w1, b.tok AS w2, count(*) AS c_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      WHERE a.tok IN (SELECT tok FROM df) AND b.tok IN (SELECT tok FROM df)
+      GROUP BY 1, 2 HAVING count(*) >= 0.3 * (SELECT n FROM nd)
+    )
+    SELECT w1, w2, c_ab,
+           round(ln(c_ab * 1.0 * nd.n / (fa.c * 1.0 * fb.c)), 6) AS pmi
+    FROM co JOIN df fa ON co.w1 = fa.tok JOIN df fb ON co.w2 = fb.tok
+    CROSS JOIN nd
+    """,
+    doc="Pointwise mutual information of token co-occurrence (collocation "
+        "mining): document-level inverted-index self-join restricted to a "
+        "df>=100 vocabulary — the vocab filter bounds the per-doc pair "
+        "blowup, the standard trick for PMI at corpus scale.  "
+        "PMI = ln(P(a,b)/(P(a)P(b))) with document-event probabilities.",
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import _tok_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = _tok_df(docs, "doc_id", "text").distinct()
+    df_ = (dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= 100))
+    nd = dt.agg(F.count_distinct("doc_id").alias("n"))
+    a = dt.join(F.broadcast(df_.select("tok")), "tok").select(
+        "doc_id", F.col("tok").alias("w1"))
+    b = dt.join(F.broadcast(df_.select("tok")), "tok").select(
+        "doc_id", F.col("tok").alias("w2"))
+    co = (a.join(b, "doc_id").where(F.col("w1") < F.col("w2"))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+          .where(F.col("c_ab") >= 150))
+    fa = df_.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    fb = df_.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    return (
+        co.join(F.broadcast(fa), "w1").join(F.broadcast(fb), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select("w1", "w2", "c_ab",
+                F.round(F.log(F.col("c_ab") * F.lit(1.0) * F.col("n")
+                              / (F.col("ca") * F.lit(1.0) * F.col("cb"))), 6)
+                .alias("pmi"))
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        FROM (SELECT doc_id,
+                     string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ') AS toks
+              FROM documents)
+      ) WHERE tok <> ''
+    ),
+    bigrams AS (
+      SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    bg AS (SELECT doc_id, w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS ctot FROM c12 GROUP BY 1)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(c12.c * 1.0 / c1.ctot)), 6) AS avg_logprob
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY bg.doc_id
+    """,
+    doc="Bigram language-model scoring (the perplexity-style quality "
+        "signal of an LLM-data pipeline): MLE bigram probs trained on the "
+        "corpus itself, per-doc mean log-probability.  Token stream is "
+        "scanned once; the model (c12/c1 counts) is aggregation output "
+        "joined back — never driver-side.",
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.textfn import tokens_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.posexplode(tokens_array(F.col("text")))
+                    .alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (toks.select("doc_id", F.col("tok").alias("w1"),
+                      F.lead("tok").over(w).alias("w2"))
+          .where(F.col("w2").isNotNull()))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("ctot"))
+    return (
+        bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.avg(F.log(F.col("c") * F.lit(1.0) / F.col("ctot"))), 6)
+             .alias("avg_logprob"))
+    )
