@@ -214,3 +214,33 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit("CURRENT")).alias("valid_to"),
         F.round("value", 2).alias("value"),
     )
+
+
+@register(
+    "agg_regression_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                                  AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6)         AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6)     AS intercept,
+           round(corr(l_extendedprice, l_quantity), 6)               AS r,
+           round(regr_r2(l_extendedprice, l_quantity), 6)            AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Per-group OLS regression + correlation of extendedprice on "
+        "quantity via the SQL-standard REGR_* aggregates: the whole fit "
+        "is ONE partial-aggregable shuffle (each aggregate reduces to "
+        "sums/products maintained map-side), i.e. linear-model fitting "
+        "at 100 TB without any driver-side math.",
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.corr(y, x), 6).alias("r"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

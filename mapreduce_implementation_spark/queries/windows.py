@@ -165,3 +165,30 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+    doc="Distribution-rank window functions (percent_rank + cume_dist) "
+        "partitioned by priority: rank-based, so tied totalprices get "
+        "identical values — deterministic per row without a tiebreaker.  "
+        "One shuffle on the partition key; both functions evaluate in a "
+        "single Window operator pass.",
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
