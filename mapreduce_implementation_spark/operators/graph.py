@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 # Rounds are O(log n); 25 covers any graph that fits on a real cluster
 # (2^25 nodes of *diameter* after contraction).  Hitting the cap raises —
@@ -127,3 +127,46 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
         nodes.join(membership, "node", "left")
         .select("node", F.coalesce("cluster_id", "node").alias("cluster_id"))
     )
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
+             damping: float = 0.85) -> DataFrame:
+    """Weighted PageRank over an edge list ``(src, dst, w)``.
+
+    Power iteration expressed as DataFrame ops: each round is ONE join of
+    the (small) rank vector onto the (large) edge list + one aggregation
+    on dst — the edge list is hash-partitioned once and reused, the rank
+    vector is broadcast-sized (O(nodes)), and nothing touches the driver.
+    ``edges``/out-weights are persisted so the expensive edge build runs
+    once, not once per iteration.  Dangling-node mass is dropped (the
+    standard simplification); node count enters the plan as a broadcast
+    1-row aggregate, never a Python scalar.
+
+    Reference parity: none — mapreduce.c has no graph surface; this is
+    north-star iterative-analytics surface (the PageRank-in-MapReduce
+    formulation of Page et al. / the classic Hadoop example, re-expressed
+    declaratively).
+    """
+    e = edges.select("src", "dst", F.col("w").cast("double").alias("w")).persist()
+    outw = e.groupBy("src").agg(F.sum("w").alias("_ow")).persist()
+    n1 = nodes.select(F.col("v")).distinct()
+    cnt = n1.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ranks = n1.crossJoin(F.broadcast(cnt)).select(
+        "v", (F.lit(1.0) / F.col("_n")).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(outw, "src")
+            .join(F.broadcast(ranks), F.col("src") == F.col("v"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("_ow")).alias("_s"))
+        )
+        ranks = (
+            n1.crossJoin(F.broadcast(cnt))
+            .join(contrib, F.col("v") == F.col("dst"), "left")
+            .select(
+                "v",
+                ((1.0 - damping) / F.col("_n")
+                 + damping * F.coalesce(F.col("_s"), F.lit(0.0))).alias("r"),
+            )
+        )
+    return ranks

@@ -283,3 +283,31 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@register(
+    "pii_mask_digits",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name,
+           CAST(length(c_name) -
+                length(regexp_replace(c_name, '[0-9]', '', 'g'))
+                AS INTEGER) AS n_masked
+    FROM customer
+    """,
+    doc="PII-style scrubbing surface: mask every digit in a free-text "
+        "identifier column and report how many characters were redacted. "
+        "Pure JVM-side regexp expressions inside whole-stage codegen — "
+        "the per-row scrub pattern (emails/phones/SSNs at prod) with "
+        "zero shuffle; the digit class stands in for the PII classes "
+        "this synthetic data lacks.",
+)
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(name, "[0-9]", "X").alias("masked_name"),
+        (F.length(name) - F.length(F.regexp_replace(name, "[0-9]", "")))
+        .cast("int").alias("n_masked"),
+    )

@@ -124,3 +124,41 @@ def q_sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a")
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)       AS n_sampled,
+           round(sum(o_totalprice), 2)    AS sum_price
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+          CASE WHEN o_orderpriority = '1-URGENT' THEN '33'
+               WHEN o_orderpriority = '2-HIGH'   THEN '1a'
+               ELSE '0d' END
+    GROUP BY o_orderpriority
+    """,
+    doc="Stratified deterministic sampling: per-stratum rates (~20% "
+        "urgent, ~10% high, ~5% rest) applied via the content-hash trick "
+        "— the rate table is a broadcast map joined onto the scan, so "
+        "sampling is a pushable filter with NO rng state, reproducible "
+        "across engines, partitionings and cluster sizes (df.sampleBy is "
+        "none of those).  This is how you build a fixed eval slice out "
+        "of 100 TB without materializing an intermediate.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rates = o.sparkSession.createDataFrame(
+        [("1-URGENT", "33"), ("2-HIGH", "1a"), ("3-MEDIUM", "0d"),
+         ("4-NOT SPECIFIED", "0d"), ("5-LOW", "0d")],
+        "o_orderpriority string, _thresh string",
+    )
+    return (
+        o.join(F.broadcast(rates), "o_orderpriority")
+        .where(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+               < F.col("_thresh"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )

@@ -361,3 +361,105 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg(F.log(F.col("c") * F.lit(1.0) / F.col("ctot"))), 6)
              .alias("avg_logprob"))
     )
+
+
+_DUCK_POSTOKS = """
+WITH toks AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+    FROM (SELECT doc_id,
+                 string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ') AS toks
+          FROM documents)
+  ) WHERE tok <> ''
+)
+"""
+
+
+@register(
+    "text_contamination_4gram",
+    oracle=_DUCK_POSTOKS + """,
+    grams AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                 || ' ' || lead(tok, 3) OVER w AS g
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    g2 AS (SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL),
+    ev AS (SELECT DISTINCT g FROM g2 WHERE doc_id % 100 = 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+    FROM g2
+    WHERE doc_id % 100 <> 0 AND g IN (SELECT g FROM ev)
+    GROUP BY doc_id
+    """,
+    doc="Benchmark-contamination / decontamination check (the eval-overlap "
+        "filter every LLM data pipeline runs): the held-out set is "
+        "doc_id%100==0; its distinct 4-grams form a fixed-size broadcast "
+        "set matched against each corpus doc's distinct 4-grams.  The "
+        "corpus side is one scan + one distinct; the eval side is "
+        "O(eval-set) no matter the corpus size — exactly the shape used "
+        "to decontaminate 100 TB against a benchmark suite.",
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(docs, "doc_id", "text", n=4)
+    g2 = grams.select("doc_id", "ngram").distinct()
+    ev = (g2.where(F.col("doc_id") % 100 == 0)
+          .select("ngram").distinct())
+    return (
+        g2.where(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(ev), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    )
+
+
+@register(
+    "text_repetition_gopher",
+    oracle=_DUCK_POSTOKS + """,
+    bg AS (
+      SELECT doc_id, tok || ' ' || lead(tok) OVER (
+        PARTITION BY doc_id ORDER BY pos) AS g
+      FROM toks
+    ),
+    cnts AS (SELECT doc_id, g, count(*) AS c FROM bg
+             WHERE g IS NOT NULL GROUP BY doc_id, g),
+    per AS (SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   max(c) AS top_c,
+                   count(*) AS n_distinct
+            FROM cnts GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           round(1 - n_distinct * 1.0 / n_bigrams, 6) AS dup_bigram_frac,
+           round(top_c * 1.0 / n_bigrams, 6)          AS top_bigram_frac,
+           CAST(top_c * 1.0 / n_bigrams <= 0.18
+                AND 1 - n_distinct * 1.0 / n_bigrams <= 0.6
+                AS INTEGER) AS keep
+    FROM per
+    """,
+    doc="Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): "
+        "per-doc duplicate-bigram fraction and top-bigram mass, with a "
+        "keep flag at the classic thresholds.  One token-stream scan, one "
+        "shuffle on (doc_id, bigram), then a per-doc rollup — the filter "
+        "shape used to drop repetitive boilerplate from web-scale crawls.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = word_ngrams(docs, "doc_id", "text", n=2)
+    cnts = bg.groupBy("doc_id", "ngram").agg(F.count(F.lit(1)).alias("c"))
+    per = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    dup = 1 - F.col("n_distinct") * F.lit(1.0) / F.col("n_bigrams")
+    top = F.col("top_c") * F.lit(1.0) / F.col("n_bigrams")
+    return per.select(
+        "doc_id", "n_bigrams",
+        F.round(dup, 6).alias("dup_bigram_frac"),
+        F.round(top, 6).alias("top_bigram_frac"),
+        ((top <= 0.18) & (dup <= 0.6)).cast("int").alias("keep"),
+    )

@@ -75,7 +75,7 @@ def _ensure_loaded() -> None:
     # never recorded them, so the previously-unrecorded families now sit
     # before any failure horizon.
     from .queries import (  # noqa: F401
-        textanalysis, windows, udf_surface, subqueries,
+        textanalysis, windows, udf_surface, subqueries, graph,
         analytics, core, dedup, functions_surface, joins, profiling,
         relational, similarity, streaming_batch,
     )
