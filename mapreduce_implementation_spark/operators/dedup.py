@@ -64,25 +64,22 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 9) -> Data
 
 
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, ngram, pos) — word n-grams via lead() windows over the token
-    stream; positions come from posexplode BEFORE the empty-token filter
-    (the DuckDB oracle mirrors this exactly)."""
-    from pyspark.sql import Window
-
-    toks = (
-        df.select(id_col, F.posexplode(tokens_array(F.col(text_col))).alias("pos", "tok"))
-        .filter(F.col("tok") != "")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    out = toks.select(id_col, F.col("pos"), *[c.alias(f"_w{i}") for i, c in enumerate(cols)])
-    notnull = out
-    for i in range(n):
-        notnull = notnull.filter(F.col(f"_w{i}").isNotNull())
-    return notnull.select(
-        id_col, "pos",
-        F.concat_ws(" ", *[F.col(f"_w{i}") for i in range(n)]).alias("ngram"),
-    )
+    """(id, pos, ngram) — word n-grams built per-row from the normalized,
+    empty-filtered token array: slide an n-window via transform + slice,
+    then posexplode.  ZERO shuffle — gram generation is a pure map inside
+    whole-stage codegen.  (The previous lead()-window formulation
+    shuffled the entire token stream on the id before emitting a single
+    gram — a full-corpus Exchange that dominates at 100 TB.  The n-gram
+    *strings* are identical: leads over the filtered stream == sliding
+    window over the filtered array.)  ``pos`` is the gram's index in the
+    filtered token stream; regex normalization stays upstream of the
+    explode (textfn note)."""
+    arr = F.filter(tokens_array(F.col(text_col)), lambda t: t != F.lit(""))
+    starts = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
+    return df.select(F.col(id_col), F.posexplode(grams).alias("pos", "ngram"))
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str,

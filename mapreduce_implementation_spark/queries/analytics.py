@@ -244,3 +244,85 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr(y, x), 6).alias("r"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+@register(
+    "stats_chi2_event_dow",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(n) AS rn FROM cells GROUP BY 1),
+    ct AS (SELECT dow, sum(n) AS cn FROM cells GROUP BY 1),
+    tot AS (SELECT sum(n) AS nn FROM cells)
+    SELECT round(sum(pow(n - rn * cn / nn, 2) / (rn * cn / nn)), 6) AS chi2,
+           CAST((SELECT count(*) - 1 FROM rt)
+                * (SELECT count(*) - 1 FROM ct) AS BIGINT) AS dof
+    FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+    """,
+    doc="Chi-square independence test of event_type x day-of-week: the "
+        "contingency table, marginals and expected counts are all "
+        "aggregations; marginals are broadcast back onto the cells "
+        "(O(types x 7) rows), so the only corpus-scale work is the first "
+        "groupBy — the canonical distributed hypothesis-test shape.",
+)
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = (e.groupBy("event_type", F.dayofweek("ts").alias("dow"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    rt = cells.groupBy("event_type").agg(F.sum("n").alias("rn"))
+    ct = cells.groupBy("dow").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    ndof = (
+        rt.agg((F.count(F.lit(1)) - 1).alias("_r"))
+        .crossJoin(ct.agg((F.count(F.lit(1)) - 1).alias("_c")))
+        .select((F.col("_r") * F.col("_c")).cast("long").alias("dof"))
+    )
+    exp = F.col("rn") * F.col("cn") / F.col("nn")
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 6).alias("chi2"))
+        .crossJoin(F.broadcast(ndof))
+    )
+
+
+@register(
+    "anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      FROM daily GROUP BY 1
+    )
+    SELECT daily.event_type, day, CAST(n AS BIGINT) AS n_events,
+           round((n - mu) / sd, 6) AS zscore
+    FROM daily JOIN stats ON daily.event_type = stats.event_type
+    WHERE sd > 0 AND abs((n - mu) / sd) > 2
+    """,
+    doc="Time-series anomaly detection: per-type daily counts, per-type "
+        "mean/stddev as a second (tiny) aggregate broadcast back, flag "
+        "days beyond 2 sigma.  Two partial-aggregable shuffles total; "
+        "the stats side is O(types) rows regardless of corpus size.",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd"))
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .where((F.col("sd") > 0) & (F.abs(z) > 2))
+        .select("event_type", "day", F.col("n").cast("long").alias("n_events"),
+                F.round(z, 6).alias("zscore"))
+    )

@@ -101,3 +101,22 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("pos").cast("int").alias("pos"),
                 "n_vectors", "centroid_val")
     )
+
+
+@register(
+    "similarity_quantized_topk",
+    oracle=None,
+    doc="Approximate cosine top-10 over int8-quantized embeddings "
+        "(symmetric per-vector SQ8): the 100 TB memory rung — the scan "
+        "reads a 4x-smaller column and the dot products are integer "
+        "arithmetic in codegen.  Score = exact cosine of the quantized "
+        "vectors, so recall vs the float baseline is pinned by "
+        "tests/test_graph_text.py (no SQL oracle: DuckDB has no "
+        "round-half-even int8 quantization twin; rows-only check).",
+)
+def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantized_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_cosine_topk(emb, "vec_id", "embedding",
+                                 _query_vec(spark, sf_dir), k=10, exclude_id=0)

@@ -338,20 +338,16 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "joined back — never driver-side.",
 )
 def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..functions.textfn import tokens_array
+    from ..operators.dedup import word_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.posexplode(tokens_array(F.col("text")))
-                    .alias("pos", "tok"))
-        .filter(F.col("tok") != "")
+    # Zero-shuffle bigram stream (array sliding window); split is safe —
+    # tokens never contain spaces.
+    bg = word_ngrams(docs, "doc_id", "text", n=2).select(
+        "doc_id",
+        F.split("ngram", " ").getItem(0).alias("w1"),
+        F.split("ngram", " ").getItem(1).alias("w2"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (toks.select("doc_id", F.col("tok").alias("w1"),
-                      F.lead("tok").over(w).alias("w2"))
-          .where(F.col("w2").isNotNull()))
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     c1 = c12.groupBy("w1").agg(F.sum("c").alias("ctot"))
     return (

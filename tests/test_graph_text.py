@@ -1,0 +1,129 @@
+"""Unit tests for the iterative-graph and ranking operators against
+pure-Python reference implementations (no Spark in the expected-value
+path, so a planner/operator bug can't cancel itself out)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.graph import pagerank
+from mapreduce_implementation_spark.operators.textstats import bm25_topk
+
+
+def _py_pagerank(edges, nodes, iters=5, d=0.85):
+    outw = {}
+    for s, _t, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            contrib[t] += r[s] * w / outw[s]
+        r = {v: (1 - d) / n + d * contrib[v] for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = [(1, 2, 3.0), (2, 1, 1.0), (2, 3, 1.0), (3, 1, 2.0), (1, 3, 1.0)]
+    nodes = [1, 2, 3]
+    e = spark.createDataFrame(edges, "src int, dst int, w double")
+    nd = spark.createDataFrame([(v,) for v in nodes], "v int")
+    got = {r.v: r.r for r in pagerank(e, nd, iters=5).collect()}
+    want = _py_pagerank(edges, nodes, iters=5)
+    assert set(got) == set(want)
+    for v in nodes:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_pagerank_mass_conserved_no_dangling(spark):
+    """With every node having out-edges, total rank mass stays 1."""
+    edges = [(i, (i + 1) % 6, 1.0) for i in range(6)] + [(0, 3, 2.0)]
+    e = spark.createDataFrame(edges, "src int, dst int, w double")
+    nd = spark.createDataFrame([(v,) for v in range(6)], "v int")
+    total = pagerank(e, nd, iters=4).agg(F.sum("r")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75):
+    import math
+
+    toks = {i: t.split() for i, t in docs}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    avgdl = sum(dl.values()) / len(dl)
+    n = len(docs)
+    scores = {}
+    for term in terms:
+        df = sum(1 for ts in toks.values() if term in ts)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, ts in toks.items():
+            tf = ts.count(term)
+            if tf:
+                scores[i] = scores.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl[i] / avgdl))
+    return scores
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = [
+        (1, "hash join hash join window"),
+        (2, "window scan sort sort sort"),
+        (3, "join join join join join hash"),
+        (4, "scan scan scan scan"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in
+           bm25_topk(df, "doc_id", "text", ("hash", "join", "window"), k=10).collect()}
+    want = _py_bm25(docs, ("hash", "join", "window"))
+    assert set(got) == set(want)
+    for i, s in want.items():
+        assert abs(got[i] - round(s, 6)) < 2e-6, (i, got[i], s)
+
+
+def test_bm25_rank_order_and_k(spark):
+    docs = [(i, "hash " * i + "filler") for i in range(1, 8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_topk(df, "doc_id", "text", ("hash",), k=3).collect()
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].bm25 >= out[1].bm25 >= out[2].bm25
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization should recall >=80% of the exact top-10 (SQ8
+    error is ~1/254 per component; far below the cosine gaps between
+    neighbors and non-neighbors)."""
+    from mapreduce_implementation_spark.operators.similarity import (
+        cosine_topk, quantized_cosine_topk,
+    )
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_01
+
+    emb = load_table(spark, SF_DIR_01, "embeddings").cache()
+    row = emb.filter(F.col("vec_id") == 0).head()
+    qv = [float(x) for x in row["embedding"]]
+    exact = [r["vec_id"] for r in
+             cosine_topk(emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()]
+    approx = [r["vec_id"] for r in
+              quantized_cosine_topk(emb, "vec_id", "embedding", qv, k=10,
+                                    exclude_id=0).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"quantized recall too low: {recall}"
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    """Quantized components stay in [-127, 127] and dequantize back to
+    within one quantization step of the original."""
+    from mapreduce_implementation_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [100.0, -50.0, 0.0, 1.0]),
+         (3, [0.0, 0.0, 0.0, 0.0])],
+        "id long, embedding array<double>")
+    out = quantize_int8(df, "embedding").collect()
+    for r in out:
+        for orig, q in zip(r.embedding, r.qvec):
+            assert -127 <= q <= 127
+            assert abs(orig - q * r.qscale) <= r.qscale / 2 + 1e-12

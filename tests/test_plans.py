@@ -113,3 +113,60 @@ def test_sort_is_range_partitioned_not_single(spark):
     plan = plan_string(df)
     assert "rangepartitioning" in plan.lower(), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_word_ngrams_zero_shuffle(spark):
+    """N-gram generation is a pure per-row map (array sliding window):
+    no Exchange, no Window operator anywhere in the gram build."""
+    from mapreduce_implementation_spark.operators.dedup import word_ngrams
+
+    df = word_ngrams(load_table(spark, SF_DIR_01, "documents"),
+                     "doc_id", "text", n=4)
+    plan = plan_string(df)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_subq_in_large_aggregates_before_join(spark):
+    """Q18 shape: the HAVING aggregate must run BEFORE the join (the
+    build side shrinks to ~0.1% of orders pre-join), and the sum is
+    partially aggregated map-side."""
+    df = SPECS["subq_in_large_orders"].fn(spark, SF_DIR_01)
+    assert_partial_aggregate(df)
+    plan = plan_string(df)
+    # the filter on the aggregated qty sits between aggregate and join
+    assert "sum_qty" in plan and "Join" in plan, plan
+
+
+def test_subq_exists_is_semi_join(spark):
+    df = SPECS["subq_exists_late_ship"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_subq_scalar_anti_broadcasts_scalar(spark):
+    """Q22 shape: the scalar subquery is a broadcast 1-row frame and the
+    NOT EXISTS side is a LeftAnti join — no per-row re-execution."""
+    df = SPECS["subq_scalar_anti_q22"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_pagerank_edges_built_once(spark):
+    """The fact-scale edge build is persisted (InMemoryTableScan appears
+    in the iteration lineage) so 5 iterations don't rescan lineitem 5x;
+    the rank vector side of each iteration join is broadcast."""
+    df = SPECS["graph_pagerank_trade"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_percent_rank_single_window_pass(spark):
+    """percent_rank + cume_dist evaluate in ONE Window operator over one
+    Exchange on the partition key."""
+    df = SPECS["window_percent_rank_cume"].fn(spark, SF_DIR_01)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead"), plan
+    assert plan.count("Window") == 1, plan
