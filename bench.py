@@ -48,6 +48,10 @@ HEADLINE = [
     "window_global_ntile",
     "partitioned_scan_events_week",
     "pandas_udaf_rms_spend",
+    "graph_pagerank_trade",
+    "text_contamination_4gram",
+    "subq_in_large_orders",
+    "similarity_quantized_topk",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -74,12 +74,21 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     window over the filtered array.)  ``pos`` is the gram's index in the
     filtered token stream; regex normalization stays upstream of the
     explode (textfn note)."""
-    arr = F.filter(tokens_array(F.col(text_col)), lambda t: t != F.lit(""))
+    # Materialize the normalized+filtered token array ONCE per row in its
+    # own projection: the expression embeds the regex normalization, and
+    # referencing it repeatedly inline (size x2, slice per gram) would
+    # re-run that regex per use.
+    toks = df.select(
+        F.col(id_col),
+        F.filter(tokens_array(F.col(text_col)),
+                 lambda t: t != F.lit("")).alias("_toks"),
+    )
+    arr = F.col("_toks")
     starts = F.when(
         F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
-    return df.select(F.col(id_col), F.posexplode(grams).alias("pos", "ngram"))
+    return toks.select(F.col(id_col), F.posexplode(grams).alias("pos", "ngram"))
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str,

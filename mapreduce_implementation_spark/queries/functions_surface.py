@@ -311,3 +311,41 @@ def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(name) - F.length(F.regexp_replace(name, "[0-9]", "")))
         .cast("int").alias("n_masked"),
     )
+
+
+@register(
+    "nested_struct_array_agg",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT)              AS n_lines,
+           round((min(struct_pack(ln := l_linenumber, q := l_quantity))).q, 2) AS first_qty,
+           round((max(struct_pack(ln := l_linenumber, q := l_quantity))).q, 2) AS last_qty,
+           round(sum(l_quantity), 2)             AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="Nested-type surface: collect_list of (linenumber, quantity) "
+        "structs per order, array_sort (lexicographic over struct fields "
+        "— deterministic regardless of collect order), then element_at "
+        "head/tail field access.  The oracle computes the same values "
+        "via lexicographic struct min/max (same tiebreak as array_sort "
+        "when duplicate line numbers exist); the Spark side goes through "
+        "ARRAY<STRUCT> construction, sorting and field extraction to pin "
+        "the complex-type pipeline (the shape used for per-doc chunk "
+        "lists, per-image region lists, etc.).  One shuffle; the struct "
+        "array never exceeds the group's line count.",
+)
+def q_nested_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity")))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(lines.alias("_lines"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "l_orderkey",
+            F.size("_lines").cast("long").alias("n_lines"),
+            F.round(F.element_at("_lines", 1)["l_quantity"], 2).alias("first_qty"),
+            F.round(F.element_at("_lines", -1)["l_quantity"], 2).alias("last_qty"),
+            "total_qty",
+        )
+    )
