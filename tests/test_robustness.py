@@ -1,0 +1,101 @@
+"""Edge-condition robustness: every operator family must survive EMPTY
+input tables (no rows, same schema) without crashing — the condition a
+100 TB pipeline hits on an empty partition, a fully-filtered slice, or a
+cold bootstrap — and the text/dedup path must survive documents far
+wider than the fixtures' (~100 KB vs ~300 B)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.registry import all_specs
+from mapreduce_implementation_spark.sources.tables import load_table
+from tests.conftest import SF_DIR_001
+
+# One representative per family — enough to catch the common failure
+# classes (aggregate over zero rows, window over empty partition, join
+# with empty side, explode of nothing, UDF batch with zero groups,
+# iterative op with an empty edge list).
+_REPRESENTATIVES = [
+    "word_count",                # agg over empty token stream
+    "distributed_sort",          # range partition of nothing
+    "agg_tpch_q1",               # multi-agg + filter
+    "join_tpch_q5_shape",        # multi-join, broadcast sides empty
+    "subq_scalar_anti_q22",      # scalar subquery over zero rows -> NULL avg
+    "window_percent_rank_cume",  # window over empty partition
+    "window_global_ntile",       # two-phase ntile bootstrap
+    "dedup_minhash_lsh",         # fused 64-agg signatures on nothing
+    "dedup_ngram_jaccard",       # gram explode of nothing
+    "similarity_cosine_topk",    # top-k of empty (query vec is a param)
+    "text_tfidf_top3",           # in-plan N over empty corpus
+    "text_contamination_4gram",  # empty eval AND corpus side
+    "graph_pagerank_trade",      # pagerank with empty edge list
+    "pandas_udaf_rms_spend",     # GROUPED_AGG with zero groups
+    "sessionize_events",         # lag/cumsum sessionization of nothing
+    "stats_chi2_event_dow",      # chi2 over empty contingency table
+]
+
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in _TABLES:
+        df = load_table(spark, SF_DIR_001, t)
+        df.limit(0).write.mode("overwrite").parquet(os.path.join(str(d), f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVES)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    spec = all_specs()[name]
+    try:
+        df = spec.fn(spark, empty_sf_dir)
+    except ValueError as e:
+        # similarity queries need a query vector — a *parameter*; with an
+        # empty table there is no vector 0 to parameterize with, which is
+        # a caller error, not an engine crash.
+        if "query" in str(e).lower() or "vec" in str(e).lower():
+            pytest.skip(f"{name}: query-vector parameter unavailable on empty input")
+        raise
+    except (IndexError, TypeError):
+        if name.startswith("similarity"):
+            pytest.skip(f"{name}: query-vector parameter unavailable on empty input")
+        raise
+    rows = df.collect()
+    assert isinstance(rows, list)  # no crash; row count may be 0 or a 0-valued agg
+
+
+def test_wide_documents_text_and_dedup_path(spark):
+    """~100 KB docs through token stats, quality, fused MinHash
+    signatures and n-gram generation: no codegen/memory blowup, sane
+    outputs.  (Fixture docs are ~300 B; real crawl docs are 10-1000x
+    wider, and per-row array ops must not assume short rows.)"""
+    from mapreduce_implementation_spark.operators.dedup import (
+        char_shingles, minhash_signatures, word_ngrams,
+    )
+    from mapreduce_implementation_spark.operators.textstats import token_stats
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [(i, " ".join(words[(i + j) % 6] for j in range(15000)))
+            for i in range(8)]  # ~100 KB each
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    ts = {r.doc_id: r.n_ws_tokens for r in
+          token_stats(df, "doc_id", "text").collect()}
+    assert ts == {i: 15000 for i in range(8)}
+
+    grams = word_ngrams(df, "doc_id", "text", n=4)
+    n_grams = grams.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 15000 - 3 for r in n_grams)
+
+    sig = minhash_signatures(char_shingles(df, "doc_id", "text", k=9), "doc_id")
+    out = sig.collect()
+    assert len(out) == 8
+    assert all(len(r) == 65 for r in out)  # doc_id + 64 minhash columns
+    assert all(r[f"mh{j}"] is not None for r in out for j in (0, 31, 63))
