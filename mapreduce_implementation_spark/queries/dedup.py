@@ -190,3 +190,35 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs_lsh(
         emb, "vec_id", "embedding", dim=64, min_cosine=0.35)
+
+
+@register(
+    "dedup_ngram_jaccard_prefix",
+    oracle=_DUCK_TRIGRAMS + """,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+      FROM grams g1 JOIN grams g2 USING (tri)
+      WHERE g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a = sa.doc_id
+    JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    """,
+    doc="EXACT trigram Jaccard join via PREFIX FILTERING (PPJoin-style, "
+        "lossless pruning): index only each doc's |g|-ceil(t|g|)+1 "
+        "globally-rarest grams — the stop-gram buckets that skew the "
+        "classic inverted index fall out of the join — then verify "
+        "candidates exactly with array_intersect over the full gram "
+        "arrays.  Same oracle as dedup_ngram_jaccard because the output "
+        "is provably identical; the scale win is the candidate count "
+        "(pinned by tests/test_dedup_similarity.py).",
+)
+def q_dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=3, min_jaccard=0.5)

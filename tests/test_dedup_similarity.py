@@ -149,3 +149,29 @@ def test_connected_components_vs_union_find(spark):
     got = {r["node"]: r["cluster_id"]
            for r in connected_components(df, "a", "b").collect()}
     assert got == expect
+
+
+def test_prefix_jaccard_identical_and_prunes(spark):
+    """Prefix filtering is LOSSLESS (identical pairs+scores to the full
+    inverted-index join) and actually prunes: the prefix index holds
+    strictly fewer postings than the full index."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_pairs_prefix, word_ngrams,
+    )
+
+    docs = load_table(spark, SF_DIR_01, "documents")
+    full = {(r.a, r.b): r.jaccard for r in
+            ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5).collect()}
+    pref = {(r.a, r.b): r.jaccard for r in
+            ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=3,
+                                       min_jaccard=0.5).collect()}
+    assert full == pref
+
+    grams = word_ngrams(docs, "doc_id", "text", n=3).select("doc_id", "ngram").distinct()
+    n_full_postings = grams.count()
+    sz = grams.groupBy("doc_id").count()
+    # t=0.5 prefix keeps |g| - ceil(0.5|g|) + 1 ≈ |g|/2 + 1 postings/doc
+    n_prefix_postings = sz.select(
+        F.sum(F.col("count") - F.ceil(0.5 * F.col("count")) + 1)).collect()[0][0]
+    assert n_prefix_postings < 0.6 * n_full_postings, (
+        n_prefix_postings, n_full_postings)
