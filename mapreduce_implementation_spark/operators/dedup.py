@@ -30,7 +30,7 @@ from ..functions.textfn import tokens_array
 
 __all__ = [
     "exact_dedup_representatives", "char_shingles", "word_ngrams",
-    "ngram_jaccard_pairs_prefix",
+    "ngram_jaccard_pairs_prefix", "tfidf_cosine_pairs",
     "minhash_signatures", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
     "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
@@ -212,7 +212,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """(a, b, jaccard) — EXACT n-gram Jaccard similarity join: pairs from
     shared n-grams (inverted-index join), |A∩B| by count, |A∪B| by
     inclusion-exclusion.  SQL-expressible -> full DuckDB oracle."""
-    grams = word_ngrams(df, id_col, text_col, n=n).select(id_col, "ngram").distinct()
+    grams = (word_ngrams(df, id_col, text_col, n=n)
+             .select(id_col, "ngram").distinct().persist())
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("a"), "ngram")
     b = grams.select(F.col(id_col).alias("b"), "ngram")
@@ -351,6 +352,9 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
         id_col, "_grams", "_sz",
         F.explode(F.slice("_grams", 1, plen)).alias("_pg"),
     )
+    # pref feeds both join sides; persist so the gram build + df join +
+    # collect_list shuffle run once, not twice.
+    pref = pref.persist()
     a = pref.select(F.col(id_col).alias("a"), F.col("_grams").alias("_ga"),
                     F.col("_sz").alias("sz_a"), "_pg")
     b = pref.select(F.col(id_col).alias("b"), F.col("_grams").alias("_gb"),
@@ -365,4 +369,55 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     return (
         cand.filter(jac >= min_jaccard)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
+                       min_cosine: float = 0.9) -> DataFrame:
+    """(a, b, cos) — EXACT sparse TF-IDF cosine similarity join (the IR
+    twin of the dense embedding ops): weight each (doc, term) by
+    tf * ln(N/df), join docs on shared terms (inverted index), cosine =
+    sum of weight products over the product of L2 norms.
+
+    Scale shape: tf/df/N are partial-aggregable; terms with df == N
+    (idf 0, weight 0) are dropped BEFORE the join — they contribute
+    nothing to dot or norm but would dominate the inverted index's
+    postings (every doc collides on them).  The remaining self-join
+    shuffles on the term; the prefix-filtering trick
+    (``ngram_jaccard_pairs_prefix``) applies verbatim if candidates need
+    further pruning.  Fully SQL-expressible -> exact DuckDB oracle.
+    """
+    toks = (
+        df.select(id_col, F.explode(tokens_array(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    nd = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n"))
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") < F.col("n"))
+        .select(id_col, "tok",
+                (F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df")))
+                .alias("w"))
+    )
+    # w feeds three consumers (norms, a-side, b-side): without a persist
+    # the token-stream aggregation -- the corpus-scale cost -- runs three
+    # times (same class as the minhash-signature recompute fixed in r1).
+    w = w.persist()
+    nrm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    a = w.select(F.col(id_col).alias("a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col(id_col).alias("a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col(id_col).alias("b"), F.col("nn").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "a").join(nb, "b")
+        .filter(cos >= min_cosine)  # raw-score threshold (oracle parity)
+        .select("a", "b", F.round(cos, 6).alias("cos"))
     )

@@ -222,3 +222,44 @@ def q_dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=3, min_jaccard=0.5)
+
+
+@register(
+    "dedup_tfidf_cosine",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    w AS (SELECT tf.doc_id, tf.tok, tf.tf * ln(nd.n * 1.0 / dfq.df) AS w
+          FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+          WHERE dfq.df < nd.n),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(dot / (na.nn * nb.nn), 6) AS cos
+    FROM dots
+    JOIN nrm na ON dots.a = na.doc_id
+    JOIN nrm nb ON dots.b = nb.doc_id
+    WHERE dot / (na.nn * nb.nn) >= 0.9
+    """,
+    doc="EXACT sparse TF-IDF cosine similarity join: tf*ln(N/df) "
+        "weights, idf-0 terms dropped before the inverted-index join "
+        "(they add postings but zero signal), inclusion via shared-term "
+        "equi-join + norm join.  The sparse-vector twin of "
+        "dedup_embedding_cosine with a full SQL oracle.",
+)
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, "doc_id", "text", min_cosine=0.9)

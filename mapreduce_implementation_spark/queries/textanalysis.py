@@ -284,7 +284,9 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import _tok_df
 
     docs = load_table(spark, sf_dir, "documents")
-    dt = _tok_df(docs, "doc_id", "text").distinct()
+    # dt feeds the vocab filter, both join sides and the N scalar --
+    # persist so the tokenize+distinct shuffle runs once, not four times.
+    dt = _tok_df(docs, "doc_id", "text").distinct().persist()
     df_ = (dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
            .where(F.col("c") >= 100))
     nd = dt.agg(F.count_distinct("doc_id").alias("n"))
