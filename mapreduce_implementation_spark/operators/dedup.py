@@ -34,6 +34,7 @@ __all__ = [
     "minhash_signatures", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
     "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
+    "cluster_representatives", "near_dup_filter_against",
 ]
 
 
@@ -421,3 +422,74 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(cos >= min_cosine)  # raw-score threshold (oracle parity)
         .select("a", "b", F.round(cos, 6).alias("cos"))
     )
+
+
+def cluster_representatives(df: DataFrame, pairs: DataFrame, id_col: str,
+                            rank_col: str) -> DataFrame:
+    """(id, cluster_id, cluster_size) — ONE kept row per near-dup cluster:
+    the step after pairwise candidates that actually produces the deduped
+    corpus.  Clusters are connected components of ``pairs``; the survivor
+    is the max-``rank_col`` member (min id tiebreak); rows in no pair are
+    their own singleton cluster and always survive.
+
+    Scale shape: components contract to (member, root) stars without ever
+    holding a cluster on one machine; survivor selection is a single
+    shuffle on cluster_id with cluster_size (count) and the row_number
+    rank computed under the SAME partitioning — one Exchange, two Window
+    nodes, no second scan and no persist.  Near-dup clusters are
+    bounded-size in practice (they are near-identical documents), so the
+    per-cluster window never sees a mega-partition.
+    """
+    from .graph import connected_components
+
+    cc = connected_components(pairs, "a", "b").withColumnRenamed("node", id_col)
+    base = (
+        df.select(id_col, rank_col)
+        .join(cc, id_col, "left")
+        .select(id_col, rank_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("cluster_id")
+    wr = wp.orderBy(F.col(rank_col).desc(), F.col(id_col))
+    return (
+        base.withColumn("cluster_size", F.count(F.lit(1)).over(wp))
+        .withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_id", "cluster_size")
+    )
+
+
+def near_dup_filter_against(batch: DataFrame, corpus: DataFrame, id_col: str,
+                            text_col: str, n: int = 3,
+                            min_jaccard: float = 0.5) -> DataFrame:
+    """Batch rows with NO corpus near-duplicate (word-n-gram Jaccard >=
+    threshold) — incremental dedup of a new crawl/snapshot against an
+    existing corpus, the steady-state shape of a training-data pipeline
+    (the symmetric all-pairs join only ever runs on the first snapshot).
+
+    Scale shape: grams are built zero-shuffle per side; the inverted-index
+    join is batch-grams x corpus-grams on the gram — shuffle volume
+    O(batch postings + corpus postings), candidate pairs only where grams
+    are shared, never batch x corpus.  Each gram frame feeds its size
+    aggregate and the join, so both are persisted (default
+    MEMORY_AND_DISK) — at 100 TB the corpus side would instead be a
+    precomputed gram table read from storage, which this operator accepts
+    verbatim (pass grams as ``corpus`` with a trivial text identity).
+    """
+    gb = (word_ngrams(batch, id_col, text_col, n=n)
+          .select(F.col(id_col).alias("_b"), "ngram").distinct().persist())
+    gc = (word_ngrams(corpus, id_col, text_col, n=n)
+          .select(F.col(id_col).alias("_a"), "ngram").distinct().persist())
+    szb = gb.groupBy("_b").agg(F.count(F.lit(1)).alias("sz_b"))
+    szc = gc.groupBy("_a").agg(F.count(F.lit(1)).alias("sz_a"))
+    inter = gb.join(gc, "ngram").groupBy("_b", "_a").agg(
+        F.count(F.lit(1)).alias("i"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    dups = (
+        inter.join(szb, "_b").join(szc, "_a")
+        .filter(jac >= min_jaccard)  # raw-score threshold (oracle parity)
+        .select(F.col("_b").alias(id_col)).distinct()
+    )
+    return batch.join(dups, id_col, "left_anti")

@@ -263,3 +263,92 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(docs, "doc_id", "text", min_cosine=0.9)
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle="WITH RECURSIVE " + _DUCK_TRIGRAMS.replace("WITH ", "", 1) + """,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+      FROM grams g1 JOIN grams g2 USING (tri)
+      WHERE g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON inter.a = sa.doc_id
+      JOIN sizes sb ON inter.b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM edges e JOIN reach r ON r.node = e.u
+    ),
+    cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+           FROM reach GROUP BY node),
+    base AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    ),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM base GROUP BY cluster_id)
+    SELECT b.doc_id, b.cluster_id, sz.cluster_size
+    FROM base b JOIN sz USING (cluster_id)
+    QUALIFY row_number()
+        OVER (PARTITION BY b.cluster_id
+              ORDER BY b.n_chars DESC, b.doc_id) = 1
+    """,
+    doc="The deduped CORPUS (the step pairwise dedup exists to feed): one "
+        "survivor per trigram-Jaccard>=0.5 connected component — the "
+        "longest member (n_chars, min-id tiebreak) — singletons survive as "
+        "their own cluster.  cluster_size makes the drop auditable.  "
+        "Oracle: recursive reachability + QUALIFY row_number.",
+)
+def q_dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cluster_representatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5)
+    return cluster_representatives(
+        docs.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars")
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_DUCK_TRIGRAMS + """,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT b.doc_id AS bid, a.doc_id AS aid, count(*) AS i
+      FROM grams b JOIN grams a USING (tri)
+      WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT bid FROM inter
+      JOIN sizes sb ON inter.bid = sb.doc_id
+      JOIN sizes sa ON inter.aid = sa.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT bid FROM dups)
+    """,
+    doc="Incremental dedup — new snapshot (doc_id%5=0 slice) filtered "
+        "against the existing corpus (the rest): keep batch docs with no "
+        "corpus trigram-Jaccard>=0.5 near-dup.  The steady-state pipeline "
+        "shape: inverted-index join of batch grams x corpus grams, never "
+        "batch x corpus pairs, then a left-anti join on matched ids.",
+)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dup_filter_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return near_dup_filter_against(
+        batch, corpus, "doc_id", "text", n=3, min_jaccard=0.5
+    ).select("doc_id", "lang", "source")

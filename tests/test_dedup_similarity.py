@@ -175,3 +175,62 @@ def test_prefix_jaccard_identical_and_prunes(spark):
         F.sum(F.col("count") - F.ceil(0.5 * F.col("count")) + 1)).collect()[0][0]
     assert n_prefix_postings < 0.6 * n_full_postings, (
         n_prefix_postings, n_full_postings)
+
+
+def test_cluster_representatives_semantics(spark):
+    """Survivor set = exactly one per component (the longest member, min-id
+    tiebreak) + every unpaired doc as a singleton."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        cluster_representatives, ngram_jaccard_pairs)
+    from mapreduce_implementation_spark.operators.graph import connected_components
+
+    docs = load_table(spark, SF_DIR_01, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5)
+    pairs = pairs.cache()
+    reps = cluster_representatives(
+        docs.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars").collect()
+
+    cc = {r["node"]: r["cluster_id"]
+          for r in connected_components(pairs, "a", "b").collect()}
+    chars = {r["doc_id"]: r["n_chars"]
+             for r in docs.select("doc_id", "n_chars").collect()}
+    # expected survivor per component: max n_chars, then min doc_id
+    best: dict[int, int] = {}
+    for node, cl in cc.items():
+        if cl not in best or (chars[node], -node) > (chars[best[cl]], -best[cl]):
+            best[cl] = node
+    singletons = set(chars) - set(cc)
+    expected = {(best[cl], cl) for cl in best} | {(d, d) for d in singletons}
+    got = {(r["doc_id"], r["cluster_id"]) for r in reps}
+    assert got == expected
+    sizes = {r["cluster_id"]: r["cluster_size"] for r in reps}
+    for cl, sz in sizes.items():
+        member_n = sum(1 for v in cc.values() if v == cl)
+        assert sz == (member_n if member_n else 1)
+
+
+def test_incremental_filter_vs_symmetric_pairs(spark):
+    """Batch docs dropped by the incremental filter == batch docs that the
+    symmetric pair join links to a corpus doc (and never to only other
+    batch docs)."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        near_dup_filter_against, ngram_jaccard_pairs)
+
+    docs = load_table(spark, SF_DIR_01, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    kept = {r["doc_id"] for r in near_dup_filter_against(
+        batch, corpus, "doc_id", "text", n=3, min_jaccard=0.5)
+        .select("doc_id").collect()}
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert kept <= batch_ids
+
+    sym = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5)
+    linked = set()
+    for r in sym.collect():
+        a, b = r["a"], r["b"]
+        if a % 5 == 0 and b % 5 != 0:
+            linked.add(a)
+        if b % 5 == 0 and a % 5 != 0:
+            linked.add(b)
+    assert batch_ids - kept == linked
