@@ -12,8 +12,9 @@ Scale design (100 TB corpus):
 * LSH banding turns all-pairs comparison into an equi-join on
   (band_id, band_hash): shuffle volume O(docs x bands), candidate pairs
   only within buckets.  Bucket-size skew (a degenerate band value) is
-  the classic hazard — AQE skew-join handles moderate cases; a hard cap
-  per bucket would be added for adversarial corpora.
+  the classic hazard — AQE skew-join handles moderate cases, and
+  ``lsh_candidate_pairs``'s ``bucket_cap`` drops degenerate stop-buckets
+  outright so a hostile corpus cannot turn the join quadratic.
 * SimHash is one aggregation over exploded tokens (64 signed-sum
   aggregates), near-dup candidates via 16-bit band buckets, verified by
   ``bit_count(xor)`` Hamming distance.
@@ -27,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textfn import tokens_array
+from .caching import tracked_persist
 
 __all__ = [
     "exact_dedup_representatives", "char_shingles", "word_ngrams",
@@ -66,16 +68,21 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 9) -> Data
 
 
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, pos, ngram) — word n-grams built per-row from the normalized,
-    empty-filtered token array: slide an n-window via transform + slice,
-    then posexplode.  ZERO shuffle — gram generation is a pure map inside
-    whole-stage codegen.  (The previous lead()-window formulation
-    shuffled the entire token stream on the id before emitting a single
-    gram — a full-corpus Exchange that dominates at 100 TB.  The n-gram
-    *strings* are identical: leads over the filtered stream == sliding
-    window over the filtered array.)  ``pos`` is the gram's index in the
-    filtered token stream; regex normalization stays upstream of the
-    explode (textfn note)."""
+    """(id, gram_idx, ngram) — word n-grams built per-row from the
+    normalized, empty-filtered token array: slide an n-window via
+    transform + slice, then posexplode.  ZERO shuffle — gram generation
+    is a pure map inside whole-stage codegen.  (The previous
+    lead()-window formulation shuffled the entire token stream on the id
+    before emitting a single gram — a full-corpus Exchange that dominates
+    at 100 TB.  The n-gram *strings* are identical: leads over the
+    filtered stream == sliding window over the filtered array.)
+
+    ``gram_idx`` (0-based) is the gram's index in the EMPTY-FILTERED
+    token stream.  Renamed from the pre-r3 ``pos``, whose documented
+    contract was the position in the pre-filter stream — the rename makes
+    the semantic change visible to oracle authors instead of silently
+    shifting values under the old name.  Regex normalization stays
+    upstream of the explode (textfn note)."""
     # Materialize the normalized+filtered token array ONCE per row in its
     # own projection: the expression embeds the regex normalization, and
     # referencing it repeatedly inline (size x2, slice per gram) would
@@ -90,7 +97,7 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
         F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
-    return toks.select(F.col(id_col), F.posexplode(grams).alias("pos", "ngram"))
+    return toks.select(F.col(id_col), F.posexplode(grams).alias("gram_idx", "ngram"))
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str,
@@ -104,8 +111,24 @@ def minhash_signatures(shingled: DataFrame, id_col: str,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
-                        bands: int = 16, rows: int = 4) -> DataFrame:
-    """(a, b) candidate pairs sharing >=1 LSH band bucket (a < b)."""
+                        bands: int = 16, rows: int = 4,
+                        bucket_cap: int | None = 1000) -> DataFrame:
+    """(a, b) candidate pairs sharing >=1 LSH band bucket (a < b).
+
+    ``bucket_cap`` is the hard guard against adversarial/degenerate
+    corpora: a single band value shared by m documents yields m^2/2
+    candidate pairs, so one poisoned bucket (boilerplate, empty docs, a
+    hostile crawl) turns the equi-join quadratic no matter what AQE does.
+    Buckets with more than ``bucket_cap`` members are dropped ENTIRELY
+    before the self-join — the stop-bucket treatment, mirroring stop-word
+    dropping in inverted indexes: the count is a partial-aggregable
+    aggregate (no single-task sort of the mega-bucket, which a rank-limit
+    would need), and a true near-dup pair lost in a degenerate band
+    almost surely still collides in one of the other ``bands-1`` bands.
+    Candidate volume is thus bounded by bands * cap^2 / 2 per bucket
+    value.  ``None`` disables the guard (used by the labeled recall
+    tests at fixture scale).
+    """
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -117,6 +140,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
         signatures.select(F.col(id_col), F.explode(band_structs).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     )
+    if bucket_cap is not None:
+        ok = (buckets.groupBy("band", "bh")
+              .agg(F.count(F.lit(1)).alias("_bn"))
+              .filter(F.col("_bn") <= bucket_cap)
+              .select("band", "bh"))
+        buckets = buckets.join(ok, ["band", "bh"])
     left = buckets.select(F.col(id_col).alias("a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("b"), "band", "bh")
     return (
@@ -130,7 +159,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         num_hashes: int = 64, bands: int = 16, rows: int = 4,
                         shingle_k: int = 9,
-                        min_jaccard: float | None = None) -> DataFrame:
+                        min_jaccard: float | None = None,
+                        bucket_cap: int | None = 1000) -> DataFrame:
     """Near-dup pairs (a, b, est_jaccard): MinHash -> LSH banding ->
     signature-agreement estimate; optional threshold filter."""
     sh = char_shingles(df, id_col, text_col, k=shingle_k)
@@ -138,9 +168,11 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     # The signature frame feeds three consumers (banding, a-side, b-side);
     # without a persist the shingle scan — the dominant cost, ~|corpus| —
     # runs three times.  Signatures are tiny (64 longs/doc), so caching
-    # them is the right trade at any scale (MEMORY_AND_DISK spills).
-    sig = sig.persist()
-    cand = lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows)
+    # them is the right trade at any scale (MEMORY_AND_DISK spills);
+    # long-lived sessions release via caching.release_persisted().
+    sig = tracked_persist(sig)
+    cand = lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows,
+                               bucket_cap=bucket_cap)
     sig_arr = sig.select(
         F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -213,8 +245,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """(a, b, jaccard) — EXACT n-gram Jaccard similarity join: pairs from
     shared n-grams (inverted-index join), |A∩B| by count, |A∪B| by
     inclusion-exclusion.  SQL-expressible -> full DuckDB oracle."""
-    grams = (word_ngrams(df, id_col, text_col, n=n)
-             .select(id_col, "ngram").distinct().persist())
+    grams = tracked_persist(word_ngrams(df, id_col, text_col, n=n)
+                            .select(id_col, "ngram").distinct())
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("a"), "ngram")
     b = grams.select(F.col(id_col).alias("b"), "ngram")
@@ -355,7 +387,7 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     )
     # pref feeds both join sides; persist so the gram build + df join +
     # collect_list shuffle run once, not twice.
-    pref = pref.persist()
+    pref = tracked_persist(pref)
     a = pref.select(F.col(id_col).alias("a"), F.col("_grams").alias("_ga"),
                     F.col("_sz").alias("sz_a"), "_pg")
     b = pref.select(F.col(id_col).alias("b"), F.col("_grams").alias("_gb"),
@@ -406,7 +438,7 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
     # w feeds three consumers (norms, a-side, b-side): without a persist
     # the token-stream aggregation -- the corpus-scale cost -- runs three
     # times (same class as the minhash-signature recompute fixed in r1).
-    w = w.persist()
+    w = tracked_persist(w)
     nrm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
     a = w.select(F.col(id_col).alias("a"), "tok", F.col("w").alias("wa"))
     b = w.select(F.col(id_col).alias("b"), "tok", F.col("w").alias("wb"))
@@ -461,27 +493,41 @@ def cluster_representatives(df: DataFrame, pairs: DataFrame, id_col: str,
     )
 
 
-def near_dup_filter_against(batch: DataFrame, corpus: DataFrame, id_col: str,
-                            text_col: str, n: int = 3,
-                            min_jaccard: float = 0.5) -> DataFrame:
+def near_dup_filter_against(batch: DataFrame, corpus: DataFrame | None,
+                            id_col: str, text_col: str, n: int = 3,
+                            min_jaccard: float = 0.5,
+                            corpus_grams: DataFrame | None = None) -> DataFrame:
     """Batch rows with NO corpus near-duplicate (word-n-gram Jaccard >=
     threshold) — incremental dedup of a new crawl/snapshot against an
     existing corpus, the steady-state shape of a training-data pipeline
     (the symmetric all-pairs join only ever runs on the first snapshot).
 
+    ``corpus_grams`` is the TRUE steady-state input: a precomputed
+    distinct (id, ngram) gram table (written to parquet once per corpus
+    snapshot, e.g. by ``word_ngrams(...).distinct().write.parquet``).
+    When given, the corpus text is never re-tokenized — each batch pays
+    only its own gram build plus the join, and the frame is NOT cached
+    (two parquet reads of a column-pruned gram table beat pinning a
+    corpus-scale frame in memory).  Exactly one of ``corpus`` /
+    ``corpus_grams`` must be provided.
+
     Scale shape: grams are built zero-shuffle per side; the inverted-index
     join is batch-grams x corpus-grams on the gram — shuffle volume
     O(batch postings + corpus postings), candidate pairs only where grams
-    are shared, never batch x corpus.  Each gram frame feeds its size
-    aggregate and the join, so both are persisted (default
-    MEMORY_AND_DISK) — at 100 TB the corpus side would instead be a
-    precomputed gram table read from storage, which this operator accepts
-    verbatim (pass grams as ``corpus`` with a trivial text identity).
+    are shared, never batch x corpus.  Computed gram frames feed their
+    size aggregate and the join, so they are persisted (default
+    MEMORY_AND_DISK; release via caching.release_persisted() between
+    batches).
     """
-    gb = (word_ngrams(batch, id_col, text_col, n=n)
-          .select(F.col(id_col).alias("_b"), "ngram").distinct().persist())
-    gc = (word_ngrams(corpus, id_col, text_col, n=n)
-          .select(F.col(id_col).alias("_a"), "ngram").distinct().persist())
+    if (corpus is None) == (corpus_grams is None):
+        raise ValueError("provide exactly one of corpus / corpus_grams")
+    gb = tracked_persist(word_ngrams(batch, id_col, text_col, n=n)
+                         .select(F.col(id_col).alias("_b"), "ngram").distinct())
+    if corpus_grams is not None:
+        gc = corpus_grams.select(F.col(id_col).alias("_a"), "ngram")
+    else:
+        gc = tracked_persist(word_ngrams(corpus, id_col, text_col, n=n)
+                             .select(F.col(id_col).alias("_a"), "ngram").distinct())
     szb = gb.groupBy("_b").agg(F.count(F.lit(1)).alias("sz_b"))
     szc = gc.groupBy("_a").agg(F.count(F.lit(1)).alias("sz_a"))
     inter = gb.join(gc, "ngram").groupBy("_b", "_a").agg(

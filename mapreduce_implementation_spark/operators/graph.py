@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .caching import tracked_persist
+
 __all__ = ["connected_components", "pagerank"]
 
 # Rounds are O(log n); 25 covers any graph that fits on a real cluster
@@ -147,8 +149,9 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
     formulation of Page et al. / the classic Hadoop example, re-expressed
     declaratively).
     """
-    e = edges.select("src", "dst", F.col("w").cast("double").alias("w")).persist()
-    outw = e.groupBy("src").agg(F.sum("w").alias("_ow")).persist()
+    e = tracked_persist(
+        edges.select("src", "dst", F.col("w").cast("double").alias("w")))
+    outw = tracked_persist(e.groupBy("src").agg(F.sum("w").alias("_ow")))
     n1 = nodes.select(F.col("v")).distinct()
     cnt = n1.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     ranks = n1.crossJoin(F.broadcast(cnt)).select(

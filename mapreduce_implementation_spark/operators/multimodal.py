@@ -59,29 +59,59 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           payload_col: str = "payload") -> DataFrame:
     """Decode payloads to (width, height, channels, mean_luma) features.
 
-    STUB: with no imaging library installed this produces a DETERMINISTIC
-    FAKE decode (dimensions/luma derived from payload bytes, decoder
-    column = 'stub') — the Spark-side contract (mapInPandas batch
-    iterator, Arrow transfer, fixed output schema) is exactly what a real
-    decoder drops into.
+    Per-payload decoder selection, recorded in the ``decoder`` column:
+    'pil' when PIL is importable on the executor AND the bytes decode as
+    an image; otherwise a DETERMINISTIC FAKE ('stub': dimensions/luma
+    derived from payload bytes).  In this container (no imaging library)
+    every row is 'stub'; the moment an env has PIL, real image payloads
+    decode for real with no code change.  The Spark-side contract
+    (mapInPandas batch iterator, Arrow transfer, fixed output schema) is
+    identical either way.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # PIL is probed per-call (inside the executor), not at module
+        # import: the env that submits the job and the env that runs the
+        # task can differ, and the query must work in both.
+        try:
+            import io as _io
+
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+
+        def _stub_row(payload: bytes | None) -> tuple[int, int, int, float, str]:
+            b = payload or b""
+            n = len(b)
+            first = b[0] if n else 0
+            return (16 + (n % 64), 16 + ((n // 64) % 64), 3,
+                    round(float((first + n) % 256.0), 2), "stub")
+
+        def _decode_row(payload: bytes | None) -> tuple[int, int, int, float, str]:
+            # Real decode when PIL is present AND the bytes are an image;
+            # per-payload fallback to the deterministic stub otherwise
+            # (a corrupt/non-image payload must not fail the task).
+            if _Image is not None and payload:
+                try:
+                    with _Image.open(_io.BytesIO(payload)) as im:
+                        gray = im.convert("L")
+                        import numpy as _np
+                        luma = float(_np.asarray(gray, dtype=_np.float64).mean())
+                        return (im.width, im.height, len(im.getbands()),
+                                round(luma, 2), "pil")
+                except Exception:
+                    pass
+            return _stub_row(payload)
+
         for pdf in batches:
-            # Real decode (PIL Image.open over payload bytes) is not wired
-            # yet; use the deterministic stub whether or not an imaging
-            # library is importable — the query must not hard-fail merely
-            # because the environment gained PIL.
-            payloads = pdf[payload_col]
-            n = payloads.str.len().fillna(0).astype("int64")
-            first = payloads.str[0:1].apply(lambda b: b[0] if len(b) else 0)
+            feats = [_decode_row(p) for p in pdf[payload_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col],
-                "width": (16 + (n % 64)).astype("int32"),
-                "height": (16 + ((n // 64) % 64)).astype("int32"),
-                "channels": pd.Series([3] * len(pdf), dtype="int32"),
-                "mean_luma": ((first.astype("float64") + n.astype("float64")) % 256.0).round(2),
-                "decoder": ["stub"] * len(pdf),
+                "width": pd.Series([f[0] for f in feats], dtype="int32"),
+                "height": pd.Series([f[1] for f in feats], dtype="int32"),
+                "channels": pd.Series([f[2] for f in feats], dtype="int32"),
+                "mean_luma": [f[3] for f in feats],
+                "decoder": [f[4] for f in feats],
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=_FEAT_SCHEMA)

@@ -80,6 +80,8 @@ def hyperplane_bucket_keys(df: DataFrame, vec_col: str, dim: int,
 
     @F.pandas_udf("array<long>")
     def _keys(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # np.stack([]) raises; empty Arrow batches happen
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         signs = (mat @ planes.T) > 0  # (n, tables*bits)
         buckets = (signs.reshape(len(mat), tables, bits) * weights).sum(axis=2)
@@ -170,10 +172,15 @@ def quantized_cosine_topk(df: DataFrame, id_col: str, vec_col: str,
     output shape as ``cosine_topk`` — (id, cos) — so recall is directly
     measurable against the exact baseline; at 100 TB the scan reads a
     4x-smaller column and the arithmetic is integer."""
+    import math
+
     qdf = quantize_int8(df, vec_col)
     mx = max(abs(float(x)) for x in query_vec) or 1.0
     qs = mx / 127.0
-    qq = [int(round(float(x) / qs)) for x in query_vec]
+    # HALF_UP (away from zero), matching F.round / SQL round — Python's
+    # builtin round() is half-even and would diverge on exact .5 ticks.
+    qq = [int(math.copysign(math.floor(abs(float(x) / qs) + 0.5), x))
+          for x in query_vec]
     qarr = F.array(*[F.lit(int(x)) for x in qq])
     dot = F.aggregate(
         F.zip_with(F.col("qvec"), qarr, lambda a, b: a.cast("double") * b.cast("double")),

@@ -59,30 +59,39 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality in [0,1]: weighted mix of length band,
     alpha ratio, stopword presence, and mean word length band — the
-    standard cheap pre-filters of LLM data pipelines."""
-    toks = _tok_df(df, id_col, text_col)
-    stats = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.avg(F.length("tok")).alias("mean_wlen"),
-        F.sum(F.col("tok").isin(*EN_STOPWORDS).cast("int")).alias("n_stop"),
-    )
+    standard cheap pre-filters of LLM data pipelines.
+
+    Single-scan, ZERO-shuffle: all token statistics come from array
+    higher-order functions over the per-row token array (size / filter /
+    aggregate), so the whole operator is one narrow projection inside
+    whole-stage codegen.  (The pre-r3 formulation exploded the token
+    stream, aggregated it, and joined back — two corpus scans and a
+    shuffle for per-row arithmetic; bench showed the double scan at
+    sf0.1.)  mean_wlen = exact int64 length sum / count, identical to
+    the grouped avg and to DuckDB's avg(length(tok))."""
+    toks = F.filter(tokens_array(F.col(text_col)), lambda t: t != F.lit(""))
+    with_toks = df.select(F.col(id_col), F.col(text_col), toks.alias("_toks"))
+    n_tok = F.size("_toks")
+    wlen_sum = F.aggregate(
+        "_toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    mean_wlen = F.when(
+        n_tok > 0, wlen_sum.cast("double") / n_tok).otherwise(F.lit(0.0))
+    n_stop = F.size(F.filter("_toks", lambda t: t.isin(*EN_STOPWORDS)))
     alpha_ratio = (
         F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")) /
         F.greatest(F.length(text_col), F.lit(1))
     )
-    base = df.select(id_col, F.length(text_col).alias("n_chars_t"), alpha_ratio.alias("alpha_ratio"))
-    j = base.join(stats, id_col, "left").fillna(0, ["n_tok", "n_stop"]).fillna(0.0, ["mean_wlen"])
-    len_band = F.when((F.col("n_tok") >= 20) & (F.col("n_tok") <= 1000), 1.0).otherwise(0.3)
-    wlen_band = F.when((F.col("mean_wlen") >= 3) & (F.col("mean_wlen") <= 10), 1.0).otherwise(0.4)
-    stop_ratio = F.col("n_stop") / F.greatest(F.col("n_tok"), F.lit(1))
+    len_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.3)
+    wlen_band = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.4)
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
     stop_band = F.when(stop_ratio >= 0.02, 1.0).otherwise(0.5)
-    score = 0.3 * len_band + 0.25 * wlen_band + 0.25 * stop_band + 0.2 * F.col("alpha_ratio")
-    return j.select(
-        id_col,
-        F.col("n_tok").alias("n_tokens"),
-        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+    score = 0.3 * len_band + 0.25 * wlen_band + 0.25 * stop_band + 0.2 * alpha_ratio
+    return with_toks.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(F.col("mean_wlen"), 6).alias("mean_word_len"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(score, 6).alias("quality_score"),
     )
 
@@ -134,8 +143,17 @@ def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
     aggregations + one window — no ML-lib dependency, fully SQL-mirrorable."""
     from pyspark.sql import Window
 
+    from .caching import tracked_persist
+
     toks = _tok_df(df, id_col, text_col)
-    term_freq = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n"))
+    # term_freq feeds FOUR consumers (doc_len, doc_freq, the tfidf join,
+    # and the in-plan n_docs branch); without a persist each consumer
+    # re-runs the token-stream aggregation — the corpus-scale cost — and
+    # r02's bench showed exactly that (4 parquet scans, 0 ReusedExchange,
+    # 1.86x regression).  The (doc, term, n) frame is vocabulary-sized,
+    # far smaller than the token stream, so caching is the right trade.
+    term_freq = tracked_persist(
+        toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n")))
     doc_len = term_freq.groupBy(id_col).agg(F.sum("n").alias("len"))
     doc_freq = term_freq.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # N (corpus doc count) stays IN the plan — a 1-row aggregate broadcast-

@@ -352,3 +352,54 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_filter_against(
         batch, corpus, "doc_id", "text", n=3, min_jaccard=0.5
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_incremental_stored_grams",
+    oracle=_DUCK_TRIGRAMS + """,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT b.doc_id AS bid, a.doc_id AS aid, count(*) AS i
+      FROM grams b JOIN grams a USING (tri)
+      WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT bid FROM inter
+      JOIN sizes sb ON inter.bid = sb.doc_id
+      JOIN sizes sa ON inter.aid = sa.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT bid FROM dups)
+    """,
+    doc="Incremental dedup, STORED-GRAM-TABLE form — the true steady "
+        "state: the corpus gram table is written to parquet ONCE per "
+        "snapshot and each batch reads it back, so corpus text is never "
+        "re-tokenized (the plan's only documents scan is the batch side; "
+        "pinned by tests/test_plans.py).  Same rows as "
+        "dedup_incremental_batch — only the corpus side's physical source "
+        "differs.",
+)
+def q_dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.dedup import near_dup_filter_against, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # One-time gram-table build per (sf, n): in production this is the
+    # corpus-snapshot job; here it materializes lazily into a scratch dir.
+    path = os.path.join(
+        "/tmp/mapreduce_spark_gram_cache",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_corpus_trigrams")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (word_ngrams(corpus, "doc_id", "text", n=3)
+         .select("doc_id", "ngram").distinct()
+         .write.mode("overwrite").parquet(path))
+    grams = spark.read.parquet(path)
+    return near_dup_filter_against(
+        batch, None, "doc_id", "text", n=3, min_jaccard=0.5,
+        corpus_grams=grams,
+    ).select("doc_id", "lang", "source")

@@ -262,10 +262,12 @@ def q_join_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q9 shape: lineitem joined to TWO dimension paths (part via "
         "partkey, supplier->nation via suppkey) AND the orders fact via "
-        "orderkey — a join DAG, not a chain.  part/supplier/nation "
-        "broadcast under threshold; the only big shuffle is "
-        "lineitem⋈orders on orderkey.  The p_name LIKE filter prunes "
-        "part before its broadcast.",
+        "orderkey — a join DAG, not a chain.  Only nation (25 rows) "
+        "carries a broadcast hint; part (200k x sf) and supplier "
+        "(10k x sf) are fact-scale by this repo's standard, so they stay "
+        "threshold/AQE-decided exactly like Q5's customer side — a forced "
+        "hint there OOMs the build side at large sf.  The p_name LIKE "
+        "filter prunes part before any join.",
 )
 def q_join_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
@@ -276,9 +278,8 @@ def q_join_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", "n_name")
     return (
-        li.join(F.broadcast(p.select("p_partkey")),
-                li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(sn, li.l_suppkey == F.col("s_suppkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),

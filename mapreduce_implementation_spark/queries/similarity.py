@@ -105,14 +105,44 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_quantized_topk",
-    oracle=None,
+    oracle="""
+    WITH qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id = 0
+    ),
+    qq AS (
+      SELECT list_transform(v, x -> round(x / (
+               CASE WHEN list_max(list_transform(v, y -> abs(y))) > 0
+                    THEN list_max(list_transform(v, y -> abs(y))) / 127.0
+                    ELSE 1.0 END))) AS q
+      FROM qv
+    ),
+    cand AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> round(x / (
+               CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 y -> abs(y))) > 0
+                    THEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 y -> abs(y))) / 127.0
+                    ELSE 1.0 END))) AS qvec
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id,
+           round(list_dot_product(qvec, q) /
+                 (sqrt(list_dot_product(qvec, qvec)) *
+                  sqrt(list_dot_product(q, q))), 6) AS cos
+    FROM cand, qq
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
     doc="Approximate cosine top-10 over int8-quantized embeddings "
         "(symmetric per-vector SQ8): the 100 TB memory rung — the scan "
         "reads a 4x-smaller column and the dot products are integer "
         "arithmetic in codegen.  Score = exact cosine of the quantized "
-        "vectors, so recall vs the float baseline is pinned by "
-        "tests/test_graph_text.py (no SQL oracle: DuckDB has no "
-        "round-half-even int8 quantization twin; rows-only check).",
+        "vectors — deterministic and list-expressible, so it carries a "
+        "full DuckDB oracle (round() is half-away-from-zero on both "
+        "sides); recall vs the float baseline is additionally pinned by "
+        "tests/test_graph_text.py.",
 )
 def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantized_cosine_topk

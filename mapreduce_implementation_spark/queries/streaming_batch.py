@@ -105,9 +105,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # interval comparison, not cast-to-double: exact at microsecond
+    # precision, matches the oracle's `> INTERVAL 30 MINUTE`, and works
+    # for both TIMESTAMP and TIMESTAMP_NTZ (NTZ forbids numeric casts;
+    # the fixture's ts reads as NTZ on a vanilla Spark 4.1 session).
     new_s = (
         prev.isNull() |
-        (F.col("ts").cast("double") - prev.cast("double") > 1800)
+        ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES"))
     ).cast("int")
     # event_id tiebreaks the cumulative sum too: duplicate (user_id, ts)
     # rows would otherwise make session_id assignment nondeterministic.

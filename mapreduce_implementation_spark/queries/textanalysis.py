@@ -276,8 +276,12 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Pointwise mutual information of token co-occurrence (collocation "
         "mining): document-level inverted-index self-join restricted to a "
-        "df>=100 vocabulary — the vocab filter bounds the per-doc pair "
-        "blowup, the standard trick for PMI at corpus scale.  "
+        "df >= 0.2*N vocabulary with co-occurrence >= 0.3*N — both "
+        "thresholds computed IN the plan from the corpus doc count (the "
+        "broadcast 1-row `nd` aggregate, same pattern as tf_idf_top_terms) "
+        "so the query is scale-factor-independent, matching the oracle at "
+        "any sf.  The vocab filter bounds the per-doc pair blowup, the "
+        "standard trick for PMI at corpus scale.  "
         "PMI = ln(P(a,b)/(P(a)P(b))) with document-event probabilities.",
 )
 def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,22 +290,28 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # dt feeds the vocab filter, both join sides and the N scalar --
     # persist so the tokenize+distinct shuffle runs once, not four times.
-    dt = _tok_df(docs, "doc_id", "text").distinct().persist()
-    df_ = (dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-           .where(F.col("c") >= 100))
+    from ..operators.caching import tracked_persist
+    dt = tracked_persist(_tok_df(docs, "doc_id", "text").distinct())
     nd = dt.agg(F.count_distinct("doc_id").alias("n"))
+    # Thresholds stay IN the plan (0.2*N / 0.3*N via the broadcast 1-row
+    # frame) — hard-coding their sf0.01 values (100/150) would silently
+    # diverge from the oracle at any other scale factor.
+    df_ = (dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+           .crossJoin(F.broadcast(nd))
+           .where(F.col("c") >= 0.2 * F.col("n"))
+           .select("tok", "c"))
     a = dt.join(F.broadcast(df_.select("tok")), "tok").select(
         "doc_id", F.col("tok").alias("w1"))
     b = dt.join(F.broadcast(df_.select("tok")), "tok").select(
         "doc_id", F.col("tok").alias("w2"))
     co = (a.join(b, "doc_id").where(F.col("w1") < F.col("w2"))
           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-          .where(F.col("c_ab") >= 150))
+          .crossJoin(F.broadcast(nd))
+          .where(F.col("c_ab") >= 0.3 * F.col("n")))
     fa = df_.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
     fb = df_.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
     return (
         co.join(F.broadcast(fa), "w1").join(F.broadcast(fb), "w2")
-        .crossJoin(F.broadcast(nd))
         .select("w1", "w2", "c_ab",
                 F.round(F.log(F.col("c_ab") * F.lit(1.0) * F.col("n")
                               / (F.col("ca") * F.lit(1.0) * F.col("cb"))), 6)

@@ -122,7 +122,11 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Grouped-aggregate Pandas UDFs (GROUPED_AGG — the O13 UDAF flavor): "
         "per-customer root-mean-square order value + count, both over the "
         "grouped Arrow path; oracle-checked against the pure-SQL equivalent "
-        "so the UDAF transport itself is under test.",
+        "so the UDAF transport itself is under test.  NOTE: the Arrow "
+        "per-group transport makes this the suite's slowest query by "
+        "design — the PRODUCTION form of this aggregation is the built-in "
+        "F.sqrt(F.avg(x*x)) (pure codegen, ~10x faster); use GROUPED_AGG "
+        "only for logic no built-in composition can express.",
 )
 def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rms, pd_count = _make_grouped_agg_udfs()

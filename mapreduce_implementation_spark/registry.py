@@ -63,20 +63,35 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# Driver-sample rotation: the driver records ~50 queries per round in
+# registry iteration order.  Rounds 1+2 between them sampled every family
+# EXCEPT the 16 names below (they sat past position 50 both times), so
+# they are pinned to the FRONT for round 3; new round-3 queries follow
+# them, and the already-green remainder keeps its import order.
+_SAMPLE_FIRST = (
+    "agg_decimal_exact", "agg_stat_moments", "dedup_incremental_batch",
+    "embedding_centroids", "histogram_totalprice", "join_tpch_q3_shape",
+    "join_tpch_q9_shape", "nested_struct_array_agg", "pagination_offset",
+    "pii_mask_digits", "profile_columns", "sample_hash_pct",
+    "sample_stratified", "similarity_quantized_topk", "skew_join_salted",
+    "string_similarity_levenshtein",
+    # round-3 additions (never sampled by definition):
+    "dedup_incremental_stored_grams",
+)
+
 
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent)."""
     global _LOADED
     if _LOADED:
         return
-    # Import order IS driver iteration order (insertion-ordered registry).
-    # textanalysis/windows/udf_surface go FIRST: round 1's driver
-    # correctness loop died ~50 queries in (stochastic task failure) and
-    # never recorded them, so the previously-unrecorded families now sit
-    # before any failure horizon.
     from .queries import (  # noqa: F401
         textanalysis, windows, udf_surface, subqueries, graph,
         analytics, core, dedup, functions_surface, joins, profiling,
         relational, similarity, streaming_batch,
     )
+    ordered = {n: _REGISTRY[n] for n in _SAMPLE_FIRST if n in _REGISTRY}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
     _LOADED = True

@@ -25,11 +25,21 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table: ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as long (runtime-settable legacy conf) and
-    integer-divide to micros — identical truncation to DuckDB's ns->us, and
-    plain int arithmetic (double division would lose precision at 1.7e18 ns
-    epochs).  Works on any caller-provided session, including the driver's.
+    ``events.ts`` normalization (the fixture's writer has varied between
+    rounds):
+
+    * parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it; we
+      read it as long (runtime-settable legacy conf) and integer-divide
+      to micros — identical truncation to DuckDB's ns->us, and plain int
+      arithmetic (double division would lose precision at 1.7e18 ns
+      epochs);
+    * TIMESTAMP with isAdjustedToUTC=false — Spark infers TIMESTAMP_NTZ,
+      which Structured Streaming refuses as an event-time column and
+      which forbids numeric casts; cast to TIMESTAMP (session tz is UTC
+      in this container, so the cast is value-preserving and matches
+      DuckDB's naive reading).
+
+    Works on any caller-provided session, including the driver's.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
@@ -39,8 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

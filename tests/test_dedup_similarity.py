@@ -109,6 +109,28 @@ def test_embedding_lsh_recall_and_precision(spark):
     assert not (lsh - exact), f"verified candidates above threshold yet absent from exact: {sorted(lsh - exact)[:5]}"
 
 
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """Adversarial corpus: 300 byte-identical documents put all 300 ids in
+    the SAME bucket of every band — 16 * C(300,2) ~ 717k joined rows from
+    a 300-row input.  With bucket_cap=50 those stop-buckets are dropped
+    outright, so candidates stay bounded (here: zero from the degenerate
+    group, the three distinct docs keep their tiny buckets); cap=None
+    recovers the full quadratic pair set, pinning that the guard — not
+    some other pruning — is what bounds the output."""
+    same = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, same) for i in range(300)] + [
+        (1000, "completely different text about spark execution engines"),
+        (1001, "another unrelated document concerning parquet readers"),
+        (1002, "a third distinct body of text on shuffle services"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(char_shingles(docs, "doc_id", "text", k=9), "doc_id")
+    capped = lsh_candidate_pairs(sig, "doc_id", bucket_cap=50).count()
+    assert capped == 0, f"degenerate buckets must be dropped, got {capped} pairs"
+    uncapped = lsh_candidate_pairs(sig, "doc_id", bucket_cap=None).count()
+    assert uncapped == 300 * 299 // 2, uncapped
+
+
 def test_simhash_pairs_are_high_jaccard(spark):
     """SimHash Hamming<=3 pairs should overlap the high-Jaccard truth set."""
     specs = all_specs()

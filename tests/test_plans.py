@@ -39,6 +39,17 @@ def test_tpch_q5_no_forced_broadcast_of_fact_side(spark):
     assert analyzed.count("ResolvedHint") == 2, analyzed
 
 
+def test_tpch_q9_no_forced_broadcast_of_fact_side(spark):
+    """Exactly one broadcast hint — nation (25 rows), inside the
+    supplier⋈nation build.  part and supplier are fact-scale (200k/10k x
+    sf); forcing them past autoBroadcastJoinThreshold OOMs the build side
+    at large sf, so they must stay threshold/AQE-decided (mirrors the Q5
+    customer-side rule)."""
+    df = SPECS["join_tpch_q9_shape"].fn(spark, SF_DIR_01)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
 def test_global_ntile_no_single_partition_window_over_base(spark):
     """The distributed ntile: base-table row_number windows partition by
     the range-partition id (parallel), the base table feeds a range
@@ -151,6 +162,22 @@ def test_subq_scalar_anti_broadcasts_scalar(spark):
     plan = plan_string(df)
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_incremental_stored_grams_never_retokenizes_corpus(spark):
+    """The stored-gram variant reads the corpus side from the parquet gram
+    table: exactly ONE scan of documents.parquet (the batch side) in the
+    plan — the corpus text is never re-tokenized per batch."""
+    df = SPECS["dedup_incremental_stored_grams"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    import re
+    doc_scans = len(re.findall(r"documents\.parquet", plan))
+    assert doc_scans >= 1, plan
+    gram_scans = len(re.findall(r"corpus_trigrams", plan))
+    assert gram_scans >= 1, "corpus side must come from the gram table"
+    # every documents.parquet scan must belong to the batch side (%5=0
+    # pushed filter); a corpus-side scan would carry the %5<>0 filter
+    assert "NOT ((doc_id % 5) = 0)" not in plan, plan
 
 
 def test_pagerank_edges_built_once(spark):
