@@ -291,6 +291,140 @@ def q_join_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_tpch_q7_shape",
+    oracle="""
+    SELECT supp_nation, cust_nation, o_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, o_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): the SAME dimension (nation) "
+        "joins twice under different roles (supplier's vs customer's "
+        "nation) with a cross-side OR predicate.  Each nation filter is "
+        "pushed BELOW its join (supplier/customer shrink to 2/25 of "
+        "themselves before touching the facts); only the residual OR — "
+        "which needs both sides — evaluates after.  Nation broadcasts; "
+        "the two fact joins shuffle on their own keys.",
+)
+def q_join_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cn = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    pair_ok = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) |
+        ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@register(
+    "join_tpch_q10_shape",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (top returned-item customers): selective fact "
+        "filter (returnflag, pushed to the lineitem scan) -> two fact "
+        "joins -> per-customer revenue -> global top-20 via "
+        "TakeOrderedAndProject.  nation broadcasts onto the customer side.",
+)
+def q_join_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, F.col("o_custkey") == cn.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                F.round("c_acctbal", 2).alias("acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "join_tpch_q19_shape",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#18' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive predicate join): an OR-of-ANDs "
+        "mixing both sides' columns.  Catalyst derives the per-side "
+        "implied disjunctions (p_brand IN (...) to the part scan, "
+        "l_quantity range union to the lineitem scan) so both scans "
+        "prune BEFORE the join, and only the residual cross-side OR "
+        "evaluates after — the classic pushdown-through-OR test.",
+)
+def q_join_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11)) |
+        ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(10, 30)
+         & F.col("l_quantity").between(10, 20)) |
+        ((F.col("p_brand") == "Brand#18") & F.col("p_size").between(20, 50)
+         & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@register(
     "string_similarity_levenshtein",
     oracle="""
     SELECT a.p_partkey AS a, b.p_partkey AS b,

@@ -364,3 +364,66 @@ def q_agg_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
         )
     )
+
+
+@register(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+           round(median(o_totalprice), 2)              AS med
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (p50/p90/p99 + median) per group: "
+        "Spark percentile() == DuckDB quantile_cont (both linear "
+        "interpolation).  Exact percentile holds each group's values — "
+        "fine for bounded group cardinality; at 100 TB with huge groups "
+        "the drop-in is approx_percentile (KLL-style mergeable sketch, "
+        "bounded memory, partial-aggregable) — pinned against this exact "
+        "form in tests/test_graph_text.py.",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(pct.alias("_p"),
+             F.expr("percentile(o_totalprice, 0.5)").alias("_med"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("_p")[0], 2).alias("p50"),
+            F.round(F.col("_p")[1], 2).alias("p90"),
+            F.round(F.col("_p")[2], 2).alias("p99"),
+            F.round("_med", 2).alias("med"),
+        )
+    )
+
+
+@register(
+    "agg_hll_distinct",
+    oracle=None,  # HLL++ estimates are engine-specific; accuracy pinned in tests
+    doc="Distinct-count sketching (the 100 TB cardinality workhorse): "
+        "approx_count_distinct (HyperLogLog++, mergeable fixed-size "
+        "sketch, partial-aggregable — ONE narrow shuffle regardless of "
+        "cardinality) next to the exact count_distinct (which shuffles "
+        "every distinct value).  No SQL oracle — DuckDB's approx sketch "
+        "differs — so the query emits both and tests pin relative error "
+        "<= 5%; deterministic for a given input (no RNG in HLL++).",
+)
+def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type", "n_exact", "n_approx",
+            F.round(F.abs(F.col("n_approx") - F.col("n_exact")) /
+                    F.greatest(F.col("n_exact"), F.lit(1)), 4).alias("rel_err"),
+        )
+    )

@@ -471,3 +471,52 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top, 6).alias("top_bigram_frac"),
         ((top <= 0.18) & (dup <= 0.6)).cast("int").alias("keep"),
     )
+
+
+@register(
+    "text_top_terms_per_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id, tok FROM (
+        SELECT lang, doc_id,
+               unnest(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    df AS (
+      SELECT lang, tok, count(DISTINCT doc_id) AS n_docs
+      FROM toks GROUP BY lang, tok
+    )
+    SELECT lang, tok AS term, n_docs, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT lang, tok, n_docs,
+             row_number() OVER (PARTITION BY lang ORDER BY n_docs DESC, tok) AS rnk
+      FROM df
+    ) WHERE rnk <= 5
+    """,
+    doc="Top-5 terms per language by document frequency: grouped top-k "
+        "over a two-key aggregate.  The (lang, tok, doc) distinct + "
+        "count are partial-aggregable; the rank window runs on the "
+        "vocabulary-sized (lang, tok) frame, never the token stream, and "
+        "WindowGroupLimit prunes it to k rows per group before the final "
+        "sort — the per-corpus-slice vocabulary report of an LLM data "
+        "pipeline.",
+)
+def q_text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", "doc_id",
+                    F.explode(F.split(F.lower(
+                        F.regexp_replace("text", "[^A-Za-z ]", "")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    dfreq = (toks.select("lang", "doc_id", "tok").distinct()
+             .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), F.asc("tok"))
+    return (
+        dfreq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", F.col("tok").alias("term"), "n_docs",
+                F.col("rnk").cast("int").alias("rnk"))
+    )

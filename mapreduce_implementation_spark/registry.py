@@ -76,7 +76,9 @@ _SAMPLE_FIRST = (
     "sample_stratified", "similarity_quantized_topk", "skew_join_salted",
     "string_similarity_levenshtein",
     # round-3 additions (never sampled by definition):
-    "dedup_incremental_stored_grams",
+    "dedup_incremental_stored_grams", "join_tpch_q7_shape",
+    "join_tpch_q10_shape", "join_tpch_q19_shape", "agg_percentiles_exact",
+    "agg_hll_distinct", "text_top_terms_per_lang",
 )
 
 

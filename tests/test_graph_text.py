@@ -127,3 +127,40 @@ def test_quantize_int8_bounds_and_roundtrip(spark):
         for orig, q in zip(r.embedding, r.qvec):
             assert -127 <= q <= 127
             assert abs(orig - q * r.qscale) <= r.qscale / 2 + 1e-12
+
+
+def test_hll_distinct_relative_error(spark):
+    """approx_count_distinct at rsd=0.02 must land within 5% of the exact
+    distinct count per group (HLL++ is deterministic for a given input,
+    so this is a regression pin, not a flaky bound)."""
+    from mapreduce_implementation_spark.registry import all_specs
+    from tests.conftest import SF_DIR_01
+
+    rows = all_specs()["agg_hll_distinct"].fn(spark, SF_DIR_01).collect()
+    assert rows, "expected one row per event_type"
+    for r in rows:
+        assert r["rel_err"] <= 0.05, f"{r['event_type']}: rel_err {r['rel_err']}"
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """approx_percentile (the mergeable-sketch 100 TB form) stays within
+    1% of the exact interpolated percentile on every group/quantile."""
+    from pyspark.sql import functions as F
+    from mapreduce_implementation_spark.registry import all_specs
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_01
+
+    exact = {r["o_orderpriority"]: r
+             for r in all_specs()["agg_percentiles_exact"].fn(spark, SF_DIR_01).collect()}
+    o = load_table(spark, SF_DIR_01, "orders")
+    approx = (
+        o.groupBy("o_orderpriority")
+        .agg(F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
+             .alias("ap"))
+        .collect()
+    )
+    for r in approx:
+        e = exact[r["o_orderpriority"]]
+        for i, key in enumerate(("p50", "p90", "p99")):
+            rel = abs(r["ap"][i] - e[key]) / max(e[key], 1.0)
+            assert rel <= 0.01, f"{r['o_orderpriority']} {key}: rel {rel}"
