@@ -112,3 +112,36 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+@register(
+    "source_jsonl_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON-lines source path: events exported once to JSONL (the "
+        "interchange format crawl/annotation pipelines actually deliver), "
+        "read back with spark.read.json under an EXPLICIT schema — "
+        "schema-on-read without inference (inference is a full extra "
+        "scan at 100 TB), column pruning still applies — and aggregated. "
+        "Oracle runs the same aggregation on the parquet table, so the "
+        "JSONL round-trip itself is what's under test.",
+)
+def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    path = os.path.join("/tmp/mapreduce_spark_jsonl_cache",
+                        os.path.basename(sf_dir.rstrip("/")) + "_events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e.write.mode("overwrite").json(path)
+    j = spark.read.schema("event_type string, value double").json(path)
+    return (
+        j.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )

@@ -403,3 +403,46 @@ def q_dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, None, "doc_id", "text", n=3, min_jaccard=0.5,
         corpus_grams=grams,
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_chunk_signature",
+    oracle="""
+    WITH chunks AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(text, CAST(o AS BIGINT), 64)) AS ch
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, greatest(length(text), 1) + 1, 256)) AS o)
+    ),
+    shared AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+      FROM chunks a JOIN chunks b ON a.ch = b.ch AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM shared WHERE n_shared >= 2
+    """,
+    doc="Chunk-signature near-dup (the multimodal/binary dedup shape: "
+        "fixed-stride chunking + content hashing + inverted-index join "
+        "on chunk hash — how large binary corpora are deduped without "
+        "ever comparing payloads pairwise).  Chunks here are 64-char "
+        "windows every 256 chars of the text column (char-based on both "
+        "engines; the binary twin is operators/multimodal.sample_chunks "
+        "over payload bytes).  Pairs sharing >= 2 chunk hashes survive.  "
+        "Shuffle volume is O(total chunks), never O(docs^2).",
+)
+def q_dedup_chunk_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    offs = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(256))
+    chunks = (
+        docs.select("doc_id", F.explode(offs).alias("o"), "text")
+        .select("doc_id", F.md5(F.expr("substring(text, o, 64)").cast("binary")).alias("ch"))
+        .distinct()
+    )
+    a = chunks.select(F.col("doc_id").alias("a"), "ch")
+    b = chunks.select(F.col("doc_id").alias("b"), "ch")
+    return (
+        a.join(b, "ch").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -520,3 +520,45 @@ def q_text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("tok").alias("term"), "n_docs",
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    {_DUCK_TOKS},
+    tf AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, sum(n) AS len, count(*) AS n_distinct
+           FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           CAST(dl.n_distinct AS BIGINT) AS n_distinct,
+           round(-sum((n * 1.0 / len) * ln(n * 1.0 / len)), 6) AS token_entropy,
+           round(-sum((n * 1.0 / len) * ln(n * 1.0 / len))
+                 / ln(greatest(dl.n_distinct, 2)), 6) AS normalized_entropy
+    FROM tf JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id, dl.n_distinct
+    """,
+    doc="Per-doc Shannon entropy of the token distribution (plus the "
+        "0-1 normalized form, entropy / ln(vocab)): low entropy flags "
+        "repetitive/templated text that the Gopher bigram rules miss "
+        "when the repetition is unigram-level — a standard cheap LLM-"
+        "corpus quality signal.  One token-stream aggregation, one "
+        "vocabulary-sized rollup; partial-aggregable throughout.",
+)
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import _tok_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (_tok_df(docs, "doc_id", "text")
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n")))
+    dl = tf.groupBy("doc_id").agg(F.sum("n").alias("len"),
+                                  F.count(F.lit(1)).alias("n_distinct"))
+    p = F.col("n") * F.lit(1.0) / F.col("len")
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "n_distinct")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+             F.round(-F.sum(p * F.log(p)) /
+                     F.log(F.greatest(F.col("n_distinct"), F.lit(2))), 6)
+             .alias("normalized_entropy"))
+        .select("doc_id", "n_distinct", "token_entropy", "normalized_entropy")
+    )

@@ -78,7 +78,8 @@ _SAMPLE_FIRST = (
     # round-3 additions (never sampled by definition):
     "dedup_incremental_stored_grams", "join_tpch_q7_shape",
     "join_tpch_q10_shape", "join_tpch_q19_shape", "agg_percentiles_exact",
-    "agg_hll_distinct", "text_top_terms_per_lang",
+    "agg_hll_distinct", "text_top_terms_per_lang", "text_token_entropy",
+    "dedup_chunk_signature", "source_jsonl_events",
 )
 
 

@@ -180,6 +180,37 @@ def test_incremental_stored_grams_never_retokenizes_corpus(spark):
     assert "NOT ((doc_id % 5) = 0)" not in plan, plan
 
 
+def test_tpch_q19_disjunction_pushed_to_both_scans(spark):
+    """The OR-of-ANDs predicate mixes both sides' columns; Catalyst must
+    derive the per-side implied disjunctions so each scan prunes BEFORE
+    the join: the lineitem scan carries the l_quantity range union, the
+    part scan carries the brand/size OR."""
+    df = SPECS["join_tpch_q19_shape"].fn(spark, SF_DIR_01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    li_scan = [l for l in plan.splitlines()
+               if "FileScan" in l and "lineitem" in l][0]
+    p_scan = [l for l in plan.splitlines()
+              if "FileScan" in l and "part.parquet" in l][0]
+    assert "l_quantity" in li_scan, li_scan
+    assert "p_brand" in p_scan and "p_size" in p_scan, p_scan
+
+
+def test_q10_take_ordered_and_filter_pushed(spark):
+    df = SPECS["join_tpch_q10_shape"].fn(spark, SF_DIR_01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    li_scan = [l for l in plan.splitlines()
+               if "FileScan" in l and "lineitem" in l][0]
+    assert "l_returnflag" in li_scan, li_scan
+
+
+def test_top_terms_per_lang_window_group_limit(spark):
+    """The grouped top-k must prune to k rows per group inside the window
+    (WindowGroupLimit), never rank the full vocabulary then filter."""
+    df = SPECS["text_top_terms_per_lang"].fn(spark, SF_DIR_01)
+    assert "WindowGroupLimit" in plan_string(df)
+
+
 def test_pagerank_edges_built_once(spark):
     """The fact-scale edge build is persisted (InMemoryTableScan appears
     in the iteration lineage) so 5 iterations don't rescan lineitem 5x;
