@@ -427,3 +427,86 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.greatest(F.col("n_exact"), F.lit(1)), 4).alias("rel_err"),
         )
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_totalprice > 300000
+    """,
+    doc="Bag-semantics EXCEPT ALL (multiplicity-preserving difference): "
+        "each right occurrence cancels ONE left occurrence — "
+        "df.exceptAll, distinct-based except would collapse counts.  "
+        "Compiles to a single aggregate-and-replicate plan, no join "
+        "explosion.",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_totalprice") > 100000).select("o_orderpriority")
+    right = o.filter(F.col("o_totalprice") > 300000).select("o_orderpriority")
+    return left.exceptAll(right)
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderpriority, '1-URGENT') AS prio_or_null,
+           CAST(row_number() OVER (
+               ORDER BY nullif(o_orderpriority, '1-URGENT') ASC NULLS FIRST,
+                        o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+    doc="NULL-ordering semantics made value-checkable: rows ranked under "
+        "ASC NULLS FIRST (Spark's asc_nulls_first == SQL NULLS FIRST), "
+        "with the rank materialized as a column so the order-insensitive "
+        "driver compare still verifies the ORDER — a plain sorted output "
+        "would hash identically under any row order.",
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    pn = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    w = Window.orderBy(pn.asc_nulls_first(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        pn.alias("prio_or_null"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+@register(
+    "map_type_surface",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT event_type, count(*) AS n_days FROM per GROUP BY 1)
+    SELECT per.event_type, days.n_days, per.dow, per.n_events
+    FROM per JOIN days USING (event_type)
+    """,
+    doc="MAP-type surface end-to-end: per event_type build a "
+        "dow -> count map (map_from_entries over a sorted entry list — "
+        "sort_array makes the collect_list order deterministic), read "
+        "its size, then explode back to rows.  Pins MapType "
+        "construction, size and entry iteration through Catalyst; the "
+        "oracle computes the same rows relationally.",
+)
+def q_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = (e.groupBy("event_type",
+                     F.dayofweek("ts").cast("int").alias("dow"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    m = per.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("dow", "n")))).alias("m"))
+    return m.select(
+        "event_type",
+        F.size("m").cast("long").alias("n_days"),
+        F.explode("m").alias("dow", "n_events"),
+    )

@@ -79,7 +79,8 @@ _SAMPLE_FIRST = (
     "dedup_incremental_stored_grams", "join_tpch_q7_shape",
     "join_tpch_q10_shape", "join_tpch_q19_shape", "agg_percentiles_exact",
     "agg_hll_distinct", "text_top_terms_per_lang", "text_token_entropy",
-    "dedup_chunk_signature", "source_jsonl_events",
+    "dedup_chunk_signature", "source_jsonl_events", "set_except_all",
+    "sort_nulls_ordering", "map_type_surface",
 )
 
 

@@ -99,3 +99,25 @@ def test_wide_documents_text_and_dedup_path(spark):
     assert len(out) == 8
     assert all(len(r) == 65 for r in out)  # doc_id + 64 minhash columns
     assert all(r[f"mh{j}"] is not None for r in out for j in (0, 31, 63))
+
+
+def test_tracked_persist_release(spark):
+    """Operators cache multiply-consumed intermediates via tracked_persist;
+    release_persisted() must unpersist every one of them (the per-batch
+    leak control for long-lived sessions)."""
+    from mapreduce_implementation_spark.operators import caching
+    from mapreduce_implementation_spark.operators.dedup import minhash_dedup_pairs
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    caching.release_persisted()  # clean slate
+    docs = load_table(spark, SF_DIR_001, "documents")
+    df = minhash_dedup_pairs(docs, "doc_id", "text", min_jaccard=0.5)
+    assert caching.persisted_count() >= 1
+    tracked = list(caching._PERSISTED)
+    df.write.format("noop").mode("overwrite").save()
+    assert all(t.is_cached for t in tracked)
+    n = caching.release_persisted()
+    assert n == len(tracked)
+    assert caching.persisted_count() == 0
+    assert all(not t.is_cached for t in tracked)
