@@ -566,3 +566,54 @@ def near_dup_filter_against(batch: DataFrame, corpus: DataFrame | None,
         .select(F.col("_b").alias(id_col)).distinct()
     )
     return batch.join(dups, id_col, "left_anti")
+
+
+def span_dedup_rebuild(df: DataFrame, id_col: str, text_col: str,
+                       span_tokens: int = 10) -> DataFrame:
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedupe
+    "any three-sentence span occurring more than once"): the corpus is cut
+    into fixed-width token spans, every span that appears more than once
+    ANYWHERE keeps only its first occurrence (min (doc_id, span index) —
+    deterministic where C4 keeps a random one), and each document is
+    rebuilt from its surviving spans.
+
+    Output: (id, n_chunks, n_kept, text_dedup) — one row per doc with at
+    least one span; ``text_dedup`` is the rewritten document.
+
+    Scale shape: span generation is ZERO-shuffle — the token array is
+    sliced in-row with JVM higher-order functions (``transform`` over a
+    ``sequence`` of span indices; the word_ngrams trick), never an
+    explode+window renumber.  Then exactly two shuffles: one window
+    partitioned by span text to rank occurrences (at 100 TB partition by
+    a hash of the span — same plan, narrower exchange), one groupBy(doc)
+    to reassemble.  No joins, no all-pairs anything; this is how C4's
+    dedup actually ran (a single MapReduce over span→occurrence lists).
+    """
+    w = int(span_tokens)
+    arr = F.filter(tokens_array(F.col(text_col)), lambda t: t != "")
+    n = F.size(arr)
+    idxs = F.when(n > 0, F.sequence(F.lit(0), F.ceil(n / w).cast("int") - 1)
+                  ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(idxs, lambda i: F.struct(
+        i.cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(arr, i * w + 1, w)).alias("chunk_text")))
+    chunks = (
+        df.select(F.col(id_col), F.explode(spans).alias("s"))
+        .select(id_col, F.col("s.chunk_idx").alias("chunk_idx"),
+                F.col("s.chunk_text").alias("chunk_text"))
+    )
+    from pyspark.sql import Window
+    occ = F.row_number().over(
+        Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx"))
+    ranked = chunks.withColumn("_occ", occ)
+    kept_struct = F.when(F.col("_occ") == 1,
+                         F.struct("chunk_idx", "chunk_text"))
+    return (
+        ranked.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_occ") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk_text"])).alias("text_dedup"),
+        )
+    )

@@ -446,3 +446,96 @@ def q_dedup_chunk_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@register(
+    "dedup_semantic_blocked",
+    oracle="""
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.3
+    )
+    SELECT e.vec_id, e.label AS block, (d.vec_id IS NULL) AS kept
+    FROM embeddings e LEFT JOIN dropped d USING (vec_id)
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023), exact variant: "
+        "pairwise cosine restricted to same-block pairs (block = the label "
+        "column standing in for a cluster id), min-id survivor per dup "
+        "group.  Pair volume is sum(block^2), never corpus^2 — the "
+        "blocking IS the scale story.  Hash-oracled end to end; the "
+        "k-means-blocked production shape is dedup_semantic_kmeans.",
+)
+def q_dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semantic import semantic_dedup_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_blocked(emb, "vec_id", "embedding",
+                                  "label", min_cosine=0.3)
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=None,  # cluster ids come from the seeded k-means fit: no SQL
+    # twin; drop-rate + survivor-validity pinned in tests
+    doc="SemDeDup proper: seeded k-means (k=8, 3 Lloyd iterations — only "
+        "the k x dim centroid matrix reaches the driver) assigns blocks, "
+        "then within-block min-id cosine dedup at the same 0.3 threshold. "
+        "At 100 TB the fit runs on a sample and assignment is one "
+        "embarrassingly-parallel scan; the dedup join shuffles on the "
+        "cluster id only.",
+)
+def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semantic import semantic_dedup_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_kmeans(emb, "vec_id", "embedding",
+                                 dim=64, min_cosine=0.3)
+
+
+@register(
+    "dedup_span_rebuild",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        FROM (SELECT doc_id,
+                     string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ') AS toks
+              FROM documents)
+      ) WHERE tok <> ''
+    ),
+    seq AS (SELECT doc_id, tok,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+            FROM toks),
+    chunks AS (
+      SELECT doc_id, (rn - 1) // 10 AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY rn) AS chunk_text
+      FROM seq GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY chunk_text
+                                   ORDER BY doc_id, chunk_idx) AS occ
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN occ = 1 THEN chunk_text END,
+                               ' ' ORDER BY chunk_idx), '') AS text_dedup
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="C4-style duplicate-span removal (Raffel et al. 2020): 10-token "
+        "spans that occur more than once in the corpus survive only at "
+        "their first occurrence; documents are rebuilt from surviving "
+        "spans.  Span generation is zero-shuffle (in-row array slicing); "
+        "the whole pipeline is one window + one groupBy — the actual C4 "
+        "dedup shape.  Unlike the pairs-producing queries, this one "
+        "returns the REWRITTEN corpus.",
+)
+def q_dedup_span_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import span_dedup_rebuild
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_rebuild(docs, "doc_id", "text", span_tokens=10)

@@ -80,7 +80,8 @@ _SAMPLE_FIRST = (
     "join_tpch_q10_shape", "join_tpch_q19_shape", "agg_percentiles_exact",
     "agg_hll_distinct", "text_top_terms_per_lang", "text_token_entropy",
     "dedup_chunk_signature", "source_jsonl_events", "set_except_all",
-    "sort_nulls_ordering", "map_type_surface",
+    "sort_nulls_ordering", "map_type_surface", "dedup_semantic_blocked",
+    "dedup_semantic_kmeans", "dedup_span_rebuild",
 )
 
 

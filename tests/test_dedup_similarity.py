@@ -256,3 +256,42 @@ def test_incremental_filter_vs_symmetric_pairs(spark):
         if b % 5 == 0 and a % 5 != 0:
             linked.add(b)
     assert batch_ids - kept == linked
+
+
+def test_semantic_kmeans_dedup_validity(spark):
+    """The k-means-blocked SemDeDup variant can't be SQL-oracled (cluster
+    ids come from the seeded fit), so pin its semantics directly: (1) one
+    output row per input vector, (2) deterministic across two runs, (3)
+    every DROPPED vector has a same-block neighbor of lower id at
+    cosine >= threshold (the min-id greedy's defining invariant), and
+    (4) it actually drops something on this corpus."""
+    from mapreduce_implementation_spark.operators.semantic import semantic_dedup_kmeans
+
+    emb = load_table(spark, SF_DIR_01, "embeddings")
+    out = semantic_dedup_kmeans(emb, "vec_id", "embedding",
+                                dim=64, min_cosine=0.3)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert sorted(r["vec_id"] for r in rows) == sorted(
+        r["vec_id"] for r in emb.select("vec_id").collect())
+
+    again = {(r["vec_id"], r["block"], r["kept"])
+             for r in semantic_dedup_kmeans(
+                 emb, "vec_id", "embedding", dim=64, min_cosine=0.3).collect()}
+    assert {(r["vec_id"], r["block"], r["kept"]) for r in rows} == again
+
+    import numpy as np
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    block = {r["vec_id"]: r["block"] for r in rows}
+    kept = {r["vec_id"] for r in rows if r["kept"]}
+    dropped = [r["vec_id"] for r in rows if not r["kept"]]
+    assert dropped, "corpus has within-cluster near-dups; expected drops"
+    for d in dropped:
+        mates = [v for v in vecs
+                 if block[v] == block[d] and v < d]
+        cos = [float(vecs[d] @ vecs[m]
+                     / (np.linalg.norm(vecs[d]) * np.linalg.norm(vecs[m])))
+               for m in mates]
+        assert any(c >= 0.3 - 1e-9 for c in cos), \
+            f"vec {d} dropped with no qualifying lower-id block-mate"
