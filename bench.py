@@ -54,6 +54,11 @@ HEADLINE = [
     "text_contamination_4gram",
     "subq_in_large_orders",
     "similarity_quantized_topk",
+    # round 3 additions: LLM-pipeline dedup/quality flagships
+    "dedup_span_rebuild",
+    "dedup_semantic_blocked",
+    "text_perplexity_buckets",
+    "text_quality_classifier",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -173,3 +173,37 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
             )
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Per-node triangle counts via the ordered two-path join (Suri &
+    Vassilvitskii, WWW'11 "Counting triangles and the curse of the last
+    reducer").
+
+    Edges are canonicalized to u < v (undirected, loops dropped), so each
+    triangle {a<b<c} exists exactly once as the edge triple (a,b), (a,c),
+    (b,c): one self-join builds ordered 2-paths (a,b)-(a,c) with b<c, one
+    semi-ish join against the edge set closes them.  The ordering is the
+    scale trick — a high-degree hub only fans out pairs among its
+    HIGHER-ordered neighbors, killing the quadratic last-reducer that a
+    naive undirected 2-path join hits on skewed graphs.  (The classic
+    refinement orders by degree instead of id for worst-case m^1.5; id
+    order keeps the operator deterministic and oracle-checkable and is
+    the same join plan.)
+
+    Returns (node, n_triangles) for every node that closes >=1 triangle.
+    """
+    e = (edges.select(F.least(F.col(a_col), F.col(b_col)).alias("u"),
+                      F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
+         .filter(F.col("u") < F.col("v"))
+         .distinct())
+    p1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    p2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    paths = p1.join(p2, "a").filter(F.col("b") < F.col("c"))
+    closing = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tris = paths.join(closing, ["b", "c"])
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

@@ -145,3 +145,69 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="CSV source path: orders exported once to headered CSV, read back "
+        "under an EXPLICIT schema (no inference scan) and aggregated; the "
+        "oracle runs on the parquet table, so the lossless text round-trip "
+        "of doubles/dates is what's under test.  CSV is a row format — no "
+        "pushdown, no pruning — which is exactly why the engine treats it "
+        "as an ingest format to convert, never a query-time format.",
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice")
+    path = os.path.join("/tmp/mapreduce_spark_csv_cache",
+                        os.path.basename(sf_dir.rstrip("/")) + "_orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o.write.mode("overwrite").option("header", "true").csv(path)
+    c = spark.read.schema("o_orderstatus string, o_totalprice double") \
+        .option("header", "true").csv(path)
+    return (
+        c.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="ORC source path (the second columnar format large warehouses "
+        "standardize on): customer exported once to ORC, read back and "
+        "aggregated — column pruning and predicate pushdown work on ORC "
+        "exactly as on parquet (Spark's OrcScan reports PushedFilters).  "
+        "Oracle runs on the parquet table: the round-trip is the test.",
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal")
+    path = os.path.join("/tmp/mapreduce_spark_orc_cache",
+                        os.path.basename(sf_dir.rstrip("/")) + "_customer")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        c.write.mode("overwrite").orc(path)
+    r = spark.read.orc(path)
+    return (
+        r.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )

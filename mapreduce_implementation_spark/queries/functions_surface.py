@@ -349,3 +349,65 @@ def q_nested_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH m AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure, count(*) AS n, round(avg(value), 2) AS avg_value,
+           round(sum(value), 2) AS sum_value
+    FROM m GROUP BY measure
+    """,
+    doc="UNPIVOT/melt surface: the four lineitem measures rotated into "
+        "(measure, value) rows with DataFrame.unpivot — Catalyst's Expand "
+        "node, ONE scan emitting 4 rows per input row (the oracle's "
+        "UNION ALL form would scan four times) — then a tiny 4-group "
+        "aggregate.  Wide-to-long reshaping is how per-metric pipelines "
+        "consume fact tables without four separate jobs.",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure", valueColumnName="value")
+    return (
+        long.groupBy("measure")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 2).alias("avg_value"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "lateral_explode_outer",
+    oracle="""
+    SELECT o.o_orderkey, CAST(u.pos - 1 AS INTEGER) AS pos, u.tok
+    FROM orders o LEFT JOIN LATERAL (
+      SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      FROM (SELECT list_filter(string_split(o.o_orderpriority, '-'),
+                               t -> regexp_matches(t, '^[A-Z]{6,}$')) AS l)
+    ) u ON true
+    """,
+    doc="Outer lateral explode (posexplode_outer): per-order token arrays "
+        "where some rows legitimately produce an EMPTY array (priorities "
+        "like 2-HIGH have no >=6-letter token) — outer semantics keep "
+        "those orders as a (NULL, NULL) row instead of dropping them, the "
+        "LEFT JOIN LATERAL of SQL.  Generate-side, zero shuffle; the "
+        "inner-explode twin is the tokenizer path.",
+)
+def q_lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    arr = F.filter(F.split("o_orderpriority", "-"),
+                   lambda t: t.rlike("^[A-Z]{6,}$"))
+    return o.select("o_orderkey",
+                    F.posexplode_outer(arr).alias("pos", "tok"))

@@ -85,3 +85,57 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(edges, nodes, iters=_ITERS, damping=_D)
     return ranks.select(F.col("v").cast("int").alias("nationkey"),
                         F.round("r", 6).alias("pagerank"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT c_nationkey AS x, s_nationkey AS y
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM raw WHERE least(x, y) < greatest(x, y)
+    ),
+    tri AS (
+      SELECT p1.u AS a, p1.v AS b, p2.v AS c
+      FROM e p1 JOIN e p2 ON p1.u = p2.u AND p1.v < p2.v
+      JOIN e cl ON cl.u = p1.v AND cl.v = p2.v
+    ),
+    nodes AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+    doc="Per-node triangle counting over the undirected trade graph "
+        "(ordered two-path join, Suri & Vassilvitskii WWW'11): edges "
+        "canonicalized u<v, 2-paths fan out only toward higher-ordered "
+        "neighbors, one join closes them — the MapReduce-era algorithm "
+        "that avoids the skewed last reducer.  Edge build from the fact "
+        "tables is the only corpus-scale work.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("x"),
+                 F.col("s_nationkey").alias("y"))
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .select("x", "y")
+    )
+    return triangle_count(edges, "x", "y")

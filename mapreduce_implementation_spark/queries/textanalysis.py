@@ -350,25 +350,9 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "joined back — never driver-side.",
 )
 def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import word_ngrams
-
-    docs = load_table(spark, sf_dir, "documents")
     # Zero-shuffle bigram stream (array sliding window); split is safe —
-    # tokens never contain spaces.
-    bg = word_ngrams(docs, "doc_id", "text", n=2).select(
-        "doc_id",
-        F.split("ngram", " ").getItem(0).alias("w1"),
-        F.split("ngram", " ").getItem(1).alias("w2"),
-    )
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    c1 = c12.groupBy("w1").agg(F.sum("c").alias("ctot"))
-    return (
-        bg.join(c12, ["w1", "w2"]).join(c1, "w1")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.round(F.avg(F.log(F.col("c") * F.lit(1.0) / F.col("ctot"))), 6)
-             .alias("avg_logprob"))
-    )
+    # tokens never contain spaces.  Shared with text_perplexity_buckets.
+    return _bigram_logprob_df(spark, sf_dir)
 
 
 _DUCK_POSTOKS = """
@@ -561,4 +545,214 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.log(F.greatest(F.col("n_distinct"), F.lit(2))), 6)
              .alias("normalized_entropy"))
         .select("doc_id", "n_distinct", "token_entropy", "normalized_entropy")
+    )
+
+
+def _bigram_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-trained bigram-LM mean log-prob (shared by
+    text_bigram_logprob and text_perplexity_buckets)."""
+    from ..operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = word_ngrams(docs, "doc_id", "text", n=2).select(
+        "doc_id",
+        F.split("ngram", " ").getItem(0).alias("w1"),
+        F.split("ngram", " ").getItem(1).alias("w2"),
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("ctot"))
+    return (
+        bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.avg(F.log(F.col("c") * F.lit(1.0) / F.col("ctot"))), 6)
+             .alias("avg_logprob"))
+    )
+
+
+_DUCK_QUALITY_Z = f"""
+    feats AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                             t -> t <> '')) AS n_tok,
+             list_sum(list_transform(
+                 list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                             t -> t <> ''),
+                 t -> length(t))) AS sum_wlen,
+             len(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                             t -> t IN {_STOP})) AS n_stop,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+               / greatest(length(text), 1) AS alpha_ratio
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             -1.5 + 4.0 * (n_stop * 1.0 / greatest(n_tok, 1))
+                  + 2.0 * alpha_ratio
+                  + 0.1 * (coalesce(sum_wlen, 0) * 1.0 / greatest(n_tok, 1)) AS z
+      FROM feats
+    )
+"""
+
+
+def quality_prob_column():
+    """Logistic keep/drop probability as a single in-row Column (shared
+    by text_quality_classifier and pipeline_curation_stats)."""
+    from ..functions.textfn import tokens_array
+
+    toks = F.filter(tokens_array(F.col("text")), lambda t: t != "")
+    n_tok = F.size(toks)
+    sum_wlen = F.aggregate(toks, F.lit(0),
+                           lambda acc, t: acc + F.length(t))
+    stops = ["the", "a", "of", "to", "and", "in", "is", "it"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    alpha_ratio = (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+                   * F.lit(1.0) / F.greatest(F.length("text"), F.lit(1)))
+    z = (F.lit(-1.5)
+         + F.lit(4.0) * (n_stop * F.lit(1.0) / F.greatest(n_tok, F.lit(1)))
+         + F.lit(2.0) * alpha_ratio
+         + F.lit(0.1) * (sum_wlen * F.lit(1.0) / F.greatest(n_tok, F.lit(1))))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                             t -> t <> '')) AS n_tok,
+             list_sum(list_transform(
+                 list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                             t -> t <> ''),
+                 t -> length(t))) AS sum_wlen,
+             len(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                             t -> t IN {_STOP})) AS n_stop,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+               / greatest(length(text), 1) AS alpha_ratio
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             -1.5 + 4.0 * (n_stop * 1.0 / greatest(n_tok, 1))
+                  + 2.0 * alpha_ratio
+                  + 0.1 * (coalesce(sum_wlen, 0) * 1.0 / greatest(n_tok, 1)) AS z
+      FROM feats
+    )
+    SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p_quality,
+           (1.0 / (1.0 + exp(-z)) >= 0.7) AS keep
+    FROM z
+    """,
+    doc="Linear quality classifier (the fastText-style keep/drop filter of "
+        "CCNet/RefinedWeb pipelines, with fixed public weights instead of "
+        "a learned model): logistic over stopword ratio, alpha ratio and "
+        "mean word length.  ONE corpus scan, zero shuffles, zero joins — "
+        "features come from in-row array HOFs, so at 100 TB this is pure "
+        "map-side throughput.  The sibling heuristic band score is "
+        "text_quality_score; this one emits a calibrated probability and "
+        "a boolean keep decision.",
+)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = quality_prob_column()
+    return docs.select("doc_id",
+                       F.round(p, 6).alias("p_quality"),
+                       (p >= 0.7).alias("keep"))
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        FROM (SELECT doc_id,
+                     string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ') AS toks
+              FROM documents)
+      ) WHERE tok <> ''
+    ),
+    bigrams AS (
+      SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    bg AS (SELECT doc_id, w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS ctot FROM c12 GROUP BY 1),
+    lp AS (
+      SELECT bg.doc_id, round(avg(ln(c12.c * 1.0 / c1.ctot)), 6) AS avg_logprob
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, avg_logprob,
+           ntile(10) OVER (ORDER BY avg_logprob, doc_id) AS ppl_bucket
+    FROM lp
+    """,
+    doc="Perplexity-decile bucketing (the CCNet head/middle/tail split, at "
+        "decile granularity): per-doc bigram-LM mean log-prob, then an "
+        "EXACT global ntile(10) via the distributed two-phase ranking "
+        "(range partition + per-partition row_number + broadcast offsets "
+        "— operators/windows.global_ntile), never a single-partition "
+        "window.  Sort key is (rounded logprob, doc_id) so tie order is "
+        "engine-independent.",
+)
+def q_text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_ntile
+
+    lp = _bigram_logprob_df(spark, sf_dir).select("doc_id", "avg_logprob")
+    return global_ntile(lp, [F.col("avg_logprob").asc(), F.col("doc_id").asc()],
+                        n_tiles=10, out="ppl_bucket")
+
+
+@register(
+    "pipeline_curation_stats",
+    oracle="WITH" + _DUCK_QUALITY_Z + """
+    , scored AS (
+      SELECT d.doc_id, d.lang, d.source, d.text,
+             1.0 / (1.0 + exp(-z.z)) AS p
+      FROM documents d JOIN z ON d.doc_id = z.doc_id
+    ),
+    kept AS (SELECT * FROM scored WHERE p >= 0.7),
+    fp AS (
+      SELECT *, md5(concat_ws(' ',
+               list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                           t -> t <> ''))) AS fprint,
+             row_number() OVER (PARTITION BY md5(concat_ws(' ',
+               list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                           t -> t <> ''))) ORDER BY doc_id) AS occ
+      FROM kept
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(p), 6) AS avg_quality,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM fp WHERE occ = 1
+    GROUP BY lang, source
+    """,
+    doc="The curation pipeline END TO END as ONE lazy plan: quality-"
+        "classifier filter (p >= 0.7) -> normalized-fingerprint exact "
+        "dedup (min doc_id survives) -> per-(lang, source) corpus stats.  "
+        "This is the shape a 100 TB pre-training ingest actually runs — "
+        "filter early (map-side, before any shuffle), dedup on a hash "
+        "key (one narrow shuffle), aggregate last (partial agg) — and "
+        "Catalyst fuses all three stages; nothing materializes between "
+        "steps.",
+)
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.textfn import tokens_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = quality_prob_column()
+    kept = docs.withColumn("_p", p).filter(F.col("_p") >= 0.7)
+    norm = F.concat_ws(" ", F.filter(tokens_array(F.col("text")),
+                                     lambda t: t != ""))
+    fp = kept.withColumn("_fp", F.md5(norm.cast("binary")))
+    occ = F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id"))
+    dedup = fp.withColumn("_occ", occ).filter(F.col("_occ") == 1)
+    return (
+        dedup.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("_p"), 6).alias("avg_quality"),
+             F.sum(F.length("text")).alias("total_chars"))
     )

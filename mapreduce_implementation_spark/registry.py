@@ -82,6 +82,10 @@ _SAMPLE_FIRST = (
     "dedup_chunk_signature", "source_jsonl_events", "set_except_all",
     "sort_nulls_ordering", "map_type_surface", "dedup_semantic_blocked",
     "dedup_semantic_kmeans", "dedup_span_rebuild",
+    "text_quality_classifier", "text_perplexity_buckets",
+    "source_csv_roundtrip", "source_orc_roundtrip",
+    "unpivot_lineitem_measures", "lateral_explode_outer",
+    "graph_triangle_count", "pipeline_curation_stats",
 )
 
 
