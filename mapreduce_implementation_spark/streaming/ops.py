@@ -26,6 +26,7 @@ from ..functions.textfn import tokens_array
 __all__ = [
     "streaming_word_count", "windowed_event_agg", "sessionize_stream",
     "running_user_totals_stateful", "dedup_stream", "click_attribution_join",
+    "curate_stream",
 ]
 
 
@@ -153,4 +154,30 @@ def running_user_totals_stateful(events: DataFrame) -> DataFrame:
             _running_totals, _OUT_SCHEMA, _STATE_SCHEMA,
             "update", GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def curate_stream(docs: DataFrame, min_quality: float = 0.7) -> DataFrame:
+    """Streaming corpus curation: the quality-classifier filter is pure
+    per-row expression work (stateless — runs identically on a stream),
+    and exact dedup keys state by the normalized-text fingerprint via
+    dropDuplicates.  On an unbounded ingest feed the fingerprint state
+    grows with the corpus; production bounds it with
+    dropDuplicatesWithinWatermark once docs carry an event-time column —
+    here documents are timeless, so state is the honest price of exact
+    global dedup (same trade C4 makes by deduping in bounded batches).
+
+    Emits (doc_id, lang, source, p_quality) for kept, first-seen docs.
+    """
+    from ..queries.textanalysis import quality_prob_column
+
+    p = quality_prob_column()
+    norm = F.concat_ws(" ", F.filter(tokens_array(F.col("text")),
+                                     lambda t: t != ""))
+    return (
+        docs.withColumn("_p", p).filter(F.col("_p") >= min_quality)
+        .withColumn("_fp", F.md5(norm.cast("binary")))
+        .dropDuplicates(["_fp"])
+        .select("doc_id", "lang", "source",
+                F.round("_p", 6).alias("p_quality"))
     )

@@ -228,3 +228,64 @@ def test_percent_rank_single_window_pass(spark):
     plan = plan_string(df, "simple")
     assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead"), plan
     assert plan.count("Window") == 1, plan
+
+
+def test_span_generation_zero_shuffle(spark):
+    """C4 span cutting is in-row array slicing: no Exchange and no Window
+    until the occurrence-ranking stage (which is fed spans, not docs)."""
+    from pyspark.sql import functions as SF
+
+    from mapreduce_implementation_spark.functions.textfn import tokens_array
+
+    docs = load_table(spark, SF_DIR_01, "documents")
+    arr = SF.filter(tokens_array(SF.col("text")), lambda t: t != "")
+    n = SF.size(arr)
+    idxs = SF.when(n > 0, SF.sequence(SF.lit(0), SF.ceil(n / 10).cast("int") - 1)
+                   ).otherwise(SF.array().cast("array<int>"))
+    spans = SF.transform(idxs, lambda i: SF.concat_ws(
+        " ", SF.slice(arr, i * 10 + 1, 10)))
+    df = docs.select("doc_id", SF.explode(spans).alias("chunk_text"))
+    plan = plan_string(df)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_unpivot_is_expand_single_scan(spark):
+    """UNPIVOT compiles to ONE Expand over one scan — not the UNION ALL
+    of four scans the oracle uses."""
+    df = SPECS["unpivot_lineitem_measures"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "Expand" in plan, plan
+    # formatted mode prints each scan twice: once in the tree, once in
+    # the numbered node details — so ONE scan == exactly two mentions
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_curation_pipeline_filters_before_shuffle(spark):
+    """The end-to-end curation plan must keep the quality filter BELOW
+    the first Exchange (filter early — drop low-quality docs map-side
+    before the dedup shuffle moves any bytes)."""
+    df = SPECS["pipeline_curation_stats"].fn(spark, SF_DIR_01)
+    plan = plan_string(df, mode="simple")
+    first_exchange = plan.find("Exchange")
+    first_filter = plan.find("Filter")
+    assert first_exchange != -1 and first_filter != -1, plan
+    # plan strings print top-down (sink first): a LARGER index = earlier
+    # in execution; the filter must sit below (after in string) the
+    # first exchange printed.
+    assert first_filter > first_exchange, plan
+
+
+def test_semantic_dedup_shuffles_on_block_only(spark):
+    """Blocked semantic dedup joins on the block key — the join must be
+    a hash/sort-merge join keyed on the block, never a cartesian
+    (BroadcastNestedLoopJoin) over the corpus."""
+    from mapreduce_implementation_spark.operators.semantic import (
+        semantic_dedup_blocked,
+    )
+
+    emb = load_table(spark, SF_DIR_01, "embeddings")
+    df = semantic_dedup_blocked(emb, "vec_id", "embedding", "label", 0.3)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -137,3 +137,24 @@ def test_stateful_running_totals(spark, events_dir):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 0.05
+
+
+def test_streaming_curation_matches_batch(spark):
+    """The curation filter+dedup runs identically on a stream: same kept
+    doc_ids as the batch form (dedup survivor is first-seen in stream
+    order vs min-doc_id in batch — the synthetic corpus has no exact
+    normalized dups, so survivor sets coincide and the comparison is on
+    the full row including p_quality)."""
+    from mapreduce_implementation_spark.streaming.ops import curate_stream
+
+    docs_dir = tempfile.mkdtemp(prefix="docs_curate_")
+    try:
+        docs = load_table(spark, SF_DIR_001, "documents")
+        docs.write.mode("overwrite").parquet(docs_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(docs_dir)
+        _run_stream(curate_stream(stream), "curate_out", "append")
+        got = {tuple(r) for r in spark.sql("SELECT * FROM curate_out").collect()}
+        want = {tuple(r) for r in curate_stream(docs).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
