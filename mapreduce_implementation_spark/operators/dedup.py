@@ -302,17 +302,26 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     Brute-force all-pairs baseline (O(n^2) dot products, JVM-side HOFs).
     The 100 TB path replaces the crossJoin with LSH bucket candidates
     (similarity.random_hyperplane_buckets) — same verify step.
-    """
-    from ..functions.vectorfn import cosine
 
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    c = cosine(F.col("va"), F.col("vb"))
+    Norms are computed ONCE per vector before the join (2 array folds
+    per row), not per pair — the naive cosine-per-pair evaluates 3 folds
+    per pair, 3x the work on n^2 pairs.  sqrt(dot(v,v)) is the identical
+    expression either side of the join, so results are bit-equal and the
+    oracle unaffected.
+    """
+    from ..functions.vectorfn import dot, l2_norm
+
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                  l2_norm(F.col(vec_col)).alias("na"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                  l2_norm(F.col(vec_col)).alias("nb"))
+    c = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .filter(c >= min_cosine)  # raw-score threshold, like the oracle
-        .select("a", "b", F.round(c, 6).alias("cos"))
+        .withColumn("cos", c)  # one evaluation per pair (projection)
+        .filter(F.col("cos") >= min_cosine)  # raw-score threshold, like the oracle
+        .select("a", "b", F.round("cos", 6).alias("cos"))
     )
 
 

@@ -60,6 +60,8 @@ def kmeans_fit(df: DataFrame, vec_col: str, dim: int, k: int = 8,
                                       lambda x, y: x.cast("double") * y),
                            F.lit(0.0), lambda a, x: a + x)).alias("n")
     ).agg(F.avg("n")).head()[0]
+    if mean_norm is None:  # empty corpus: any seeded centroids do (no
+        mean_norm = 1.0    # rows to assign); keeps the bootstrap alive
     centroids = rng.standard_normal((k, dim))
     centroids *= mean_norm / np.linalg.norm(centroids, axis=1, keepdims=True)
 

@@ -33,33 +33,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectorfn import cosine
-
 __all__ = ["semantic_dedup_blocked", "semantic_dedup_kmeans"]
 
 
 def semantic_dedup_blocked(df: DataFrame, id_col: str, vec_col: str,
-                           block_col: str, min_cosine: float) -> DataFrame:
+                           block_col: str, min_cosine: float,
+                           block_cap: int | None = None) -> DataFrame:
     """(id, block, kept) — drop any vector with a >=threshold neighbor of
     lower id in the SAME block.
 
     One self-join on the block key (hash shuffle on ``block_col``, never
     all-pairs), one distinct on the dropped side, one left-anti back onto
     the input.  Pair volume is sum over blocks of block^2/2 — the whole
-    point of blocking; skewed giant blocks are AQE's problem and, at real
-    scale, the k in k-means is chosen to keep blocks ~10k vectors
-    (SemDeDup uses k=50k over 5B embeddings).
+    point of blocking; at real scale the k in k-means is chosen to keep
+    blocks ~10k vectors (SemDeDup uses k=50k over 5B embeddings).
+
+    ``block_cap`` is the stop-block guard (same treatment as
+    ``lsh_candidate_pairs``'s bucket_cap): a degenerate block with m
+    members costs m^2/2 dot products no matter what AQE does, so blocks
+    larger than the cap SKIP pairwise dedup entirely — every member kept,
+    bounded work, and the miss is explicit in the output rather than a
+    job that never finishes.  ``None`` (default, the oracled form)
+    disables the guard.
     """
-    a = df.select(F.col(block_col).alias("_blk"),
+    from ..functions.vectorfn import dot, l2_norm
+
+    if block_cap is not None:
+        ok = (df.groupBy(F.col(block_col)).agg(F.count(F.lit(1)).alias("_bn"))
+              .filter(F.col("_bn") <= block_cap)
+              .select(F.col(block_col).alias("_okblk")))
+        joinable = df.join(ok, df[block_col] == ok["_okblk"]).drop("_okblk")
+    else:
+        joinable = df
+
+    a = joinable.select(F.col(block_col).alias("_blk"),
                   F.col(id_col).alias("_ida"),
-                  F.col(vec_col).alias("_va"))
-    b = df.select(F.col(block_col).alias("_blk"),
-                  F.col(id_col).alias("_idb"),
-                  F.col(vec_col).alias("_vb"))
+                  F.col(vec_col).alias("_va"),
+                  l2_norm(F.col(vec_col)).alias("_na"))
+    b = joinable.select(F.col(block_col).alias("_blk"),
+                        F.col(id_col).alias("_idb"),
+                        F.col(vec_col).alias("_vb"),
+                        l2_norm(F.col(vec_col)).alias("_nb"))
+    # norms folded once per VECTOR pre-join; per pair only the dot runs
+    # (bit-identical to cosine() — same expressions, same order)
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     dropped = (
         a.join(b, "_blk")
         .filter(F.col("_ida") < F.col("_idb"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= min_cosine)
+        .filter(cos >= min_cosine)
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )

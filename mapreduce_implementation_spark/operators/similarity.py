@@ -28,11 +28,23 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
                 exclude_id: int | None = None) -> DataFrame:
     """Exact top-k by cosine to ``query_vec``: (id, cos) ordered
     (cos desc, id asc).  Ordering uses the ROUNDED score so results are
-    reproducible across engines/row orders."""
+    reproducible across engines/row orders.
+
+    The query norm is a Python-side constant (HOF folds are not
+    constant-folded by Catalyst, so an in-plan norm(q) would re-fold 64
+    literals per row); a sequential Python sum is the same IEEE double
+    op sequence as the JVM fold, so the score is bit-identical."""
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    out = df.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos")
-    )
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    qn = math.sqrt(acc)
+    from ..functions.vectorfn import dot, l2_norm
+
+    cos = dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * F.lit(qn))
+    out = df.select(F.col(id_col), F.round(cos, 6).alias("cos"))
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)

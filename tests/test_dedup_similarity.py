@@ -295,3 +295,28 @@ def test_semantic_kmeans_dedup_validity(spark):
                for m in mates]
         assert any(c >= 0.3 - 1e-9 for c in cos), \
             f"vec {d} dropped with no qualifying lower-id block-mate"
+
+
+def test_semantic_block_cap_bounds_degenerate_block(spark):
+    """Stop-block guard: a degenerate block holding nearly all vectors
+    (identical embeddings -> every pair qualifies) is SKIPPED when it
+    exceeds block_cap — all its members kept, quadratic work bounded —
+    while small blocks still dedup; cap=None recovers the full greedy."""
+    from mapreduce_implementation_spark.operators.semantic import (
+        semantic_dedup_blocked,
+    )
+
+    v = [1.0] * 8
+    rows = [(i, v, 0) for i in range(200)] + [(1000, v, 1), (1001, v, 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    capped = semantic_dedup_blocked(df, "vec_id", "embedding", "label",
+                                    min_cosine=0.9, block_cap=50)
+    got = {r["vec_id"]: r["kept"] for r in capped.collect()}
+    assert len(got) == 202
+    assert all(got[i] for i in range(200)), "capped block must keep all"
+    assert got[1000] and not got[1001], "small block still dedups"
+    full = semantic_dedup_blocked(df, "vec_id", "embedding", "label",
+                                  min_cosine=0.9, block_cap=None)
+    kept_full = {r["vec_id"] for r in full.collect() if r["kept"]}
+    assert kept_full == {0, 1000}

@@ -36,6 +36,14 @@ _REPRESENTATIVES = [
     "pandas_udaf_rms_spend",     # GROUPED_AGG with zero groups
     "sessionize_events",         # lag/cumsum sessionization of nothing
     "stats_chi2_event_dow",      # chi2 over empty contingency table
+    # round-3 families
+    "dedup_span_rebuild",        # span slicing + window of nothing
+    "dedup_semantic_kmeans",     # k-means fit over an empty corpus
+    "pipeline_curation_stats",   # filter->dedup->agg over nothing
+    "text_perplexity_buckets",   # bigram LM + ntile over empty
+    "unpivot_lineitem_measures", # Expand of zero rows
+    "lateral_explode_outer",     # outer explode of zero rows
+    "graph_triangle_count",      # triangle join on empty edges
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
