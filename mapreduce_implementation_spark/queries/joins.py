@@ -479,3 +479,78 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "agg_tpch_q6_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (revenue-change forecast) — the canonical "
+        "predicate-pushdown microbenchmark: three range predicates all "
+        "reach the parquet scan as PushedFilters, the scan reads FOUR "
+        "columns of eleven (ReadSchema pruning), and the whole query is "
+        "one map-side-partial scalar aggregate with no shuffle wider "
+        "than 32 single-value partials.  At 100 TB this runs at storage "
+        "bandwidth on the pruned column chunks — the plan test pins the "
+        "pushdown so a refactor can't silently turn it into a full scan.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "join_tpch_q15_shape",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape (top supplier): an aggregate VIEW consumed "
+        "twice — once for rows, once for its max — decorrelated into a "
+        "broadcast 1-row max joined back (Catalyst's scalar-subquery "
+        "plan; ReuseExchange dedups the revenue build).  The supplier "
+        "dim broadcasts onto the 3-month revenue slice.  Ties on the "
+        "max all surface, exactly as the spec's = comparison demands.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1) - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

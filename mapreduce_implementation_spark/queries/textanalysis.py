@@ -756,3 +756,67 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("_p"), 6).alias("avg_quality"),
              F.sum(F.length("text")).alias("total_chars"))
     )
+
+
+@register(
+    "source_mixing_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(list_filter(
+                 string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                 t -> t <> ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tgt AS (
+      SELECT source, tokens,
+             1.0 / (1 + CAST(substring(source, 4) AS INTEGER)) AS raw_w
+      FROM tok
+    ),
+    norm AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+             sum(raw_w) AS sum_w
+      FROM tgt
+    )
+    SELECT t.source, t.tokens,
+           round(t.raw_w / n.sum_w, 6) AS target_share,
+           round(least(1.0, (t.raw_w / n.sum_w) * (0.5 * n.total_tokens)
+                            / t.tokens), 6) AS sample_rate,
+           CAST(floor(least(1.0, (t.raw_w / n.sum_w) * (0.5 * n.total_tokens)
+                            / t.tokens) * t.tokens) AS BIGINT) AS expected_tokens
+    FROM tgt t CROSS JOIN norm n
+    """,
+    doc="Source-mixture reweighting (the Pile/Dolma mixing step): given "
+        "per-source target weights (deterministic 1/(1+idx) here, a "
+        "config table in production) and a global token budget (50% of "
+        "the corpus), emit each source's sampling rate = min(1, "
+        "target_share * budget / actual_tokens) and expected token "
+        "yield.  One token-counting scan (in-row HOFs, zero shuffle "
+        "before the 20-group agg), the corpus totals stay IN the plan as "
+        "a broadcast 1-row frame — the tf_idf n_docs pattern.  This is "
+        "the math deciding what a 100 TB pre-training run actually "
+        "reads from each source.",
+)
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import tokens_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(tokens_array(F.col("text")), lambda t: t != ""))
+    tok = docs.groupBy("source").agg(F.sum(ntok).alias("tokens"))
+    tgt = tok.withColumn(
+        "raw_w", F.lit(1.0) / (F.lit(1) + F.substring("source", 4, 10)
+                               .cast("int")))
+    norm = tgt.agg(F.sum("tokens").alias("total_tokens"),
+                   F.sum("raw_w").alias("sum_w"))
+    share = F.col("raw_w") / F.col("sum_w")
+    rate = F.least(F.lit(1.0),
+                   share * (F.lit(0.5) * F.col("total_tokens"))
+                   / F.col("tokens"))
+    return (
+        tgt.crossJoin(F.broadcast(norm))
+        .select("source", "tokens",
+                F.round(share, 6).alias("target_share"),
+                F.round(rate, 6).alias("sample_rate"),
+                F.floor(rate * F.col("tokens")).cast("long")
+                .alias("expected_tokens"))
+    )

@@ -86,6 +86,7 @@ _SAMPLE_FIRST = (
     "source_csv_roundtrip", "source_orc_roundtrip",
     "unpivot_lineitem_measures", "lateral_explode_outer",
     "graph_triangle_count", "pipeline_curation_stats",
+    "source_mixing_weights", "agg_tpch_q6_forecast", "join_tpch_q15_shape",
 )
 
 

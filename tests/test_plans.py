@@ -289,3 +289,17 @@ def test_semantic_dedup_shuffles_on_block_only(spark):
     plan = plan_string(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q6_pushdown_and_pruning(spark):
+    """Q6's three range predicates reach the scan; only the four needed
+    columns are read."""
+    df = SPECS["agg_tpch_q6_forecast"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "PushedFilters: [" in plan, plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(frag in line for line in plan.splitlines()
+                   if "PushedFilters" in line), (frag, plan)
+    from mapreduce_implementation_spark.plans.inspect import assert_read_schema_only
+    assert_read_schema_only(df, {"l_shipdate", "l_discount",
+                                 "l_quantity", "l_extendedprice"})
