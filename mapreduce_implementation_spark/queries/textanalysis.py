@@ -820,3 +820,30 @@ def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(rate * F.col("tokens")).cast("long")
                 .alias("expected_tokens"))
     )
+
+
+@register(
+    "sketch_countmin_stopwords",
+    oracle=None,  # bucket addresses are Spark-hash (xxhash64) dependent;
+    # the CM overestimate-bound contract is pinned in test_graph_text.py
+    doc="Count-min sketch point queries (Cormode-Muthukrishnan): the "
+        "token stream folds into a fixed 4x1024 counter grid (one "
+        "partially-aggregated groupBy — shuffle carries <=4096 rows at "
+        "ANY corpus size or skew), then the eight stopwords are point-"
+        "queried (min over depths).  Estimates never undercount; the "
+        "test pins est >= exact and est <= exact + (e/w)*N.  The "
+        "mergeable-sketch family next to agg_hll_distinct and "
+        "agg_approx_stats.",
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import countmin_build, countmin_estimate
+    from ..operators.textstats import _tok_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok_df(docs, "doc_id", "text")
+    sketch = countmin_build(toks, "tok", depth=4, width=1024)
+    stops = spark.createDataFrame(
+        [(w,) for w in ("the", "a", "of", "to", "and", "in", "is", "it")],
+        "tok string")
+    return countmin_estimate(sketch, stops, "tok", depth=4, width=1024) \
+        .orderBy("key")

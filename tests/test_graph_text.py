@@ -164,3 +164,35 @@ def test_approx_percentile_tracks_exact(spark):
         for i, key in enumerate(("p50", "p90", "p99")):
             rel = abs(r["ap"][i] - e[key]) / max(e[key], 1.0)
             assert rel <= 0.01, f"{r['o_orderpriority']} {key}: rel {rel}"
+
+
+def test_countmin_overestimate_bounds(spark):
+    """CM contract on the real corpus: est(k) >= true(k) always, and
+    est(k) <= true(k) + (e/w)*N for the probed stopwords (w=1024 makes
+    the slack ~0.27% of the stream — tight enough to catch a broken
+    hash or merge)."""
+    import math
+
+    from mapreduce_implementation_spark.operators.sketch import (
+        countmin_build, countmin_estimate,
+    )
+    from mapreduce_implementation_spark.operators.textstats import _tok_df
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_01
+
+    docs = load_table(spark, SF_DIR_01, "documents")
+    toks = _tok_df(docs, "doc_id", "text").cache()
+    n_stream = toks.count()
+    sketch = countmin_build(toks, "tok", depth=4, width=1024)
+    probe_words = ["the", "a", "of", "to", "and", "in", "is", "it",
+                   "spark", "zzz_absent_key"]
+    probes = spark.createDataFrame([(w,) for w in probe_words], "tok string")
+    est = {r["key"]: r["est"]
+           for r in countmin_estimate(sketch, probes, "tok").collect()}
+    exact = {r["tok"]: r["n"] for r in
+             toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    slack = math.e / 1024 * n_stream
+    for w in probe_words:
+        t = exact.get(w, 0)
+        assert est[w] >= t, (w, est[w], t)
+        assert est[w] <= t + slack, (w, est[w], t, slack)

@@ -104,3 +104,21 @@ def test_single_file_parity_sink(spark, tmpdir):
     write_csv(src, out, single_file=True)
     parts = [f for f in os.listdir(out) if f.startswith("part-")]
     assert len(parts) == 1
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    """ORC is a first-class columnar source: a predicate on the ORC read
+    must reach the scan as a pushed filter and the projection must prune
+    ReadSchema — same discipline the parquet tests pin."""
+    from mapreduce_implementation_spark.sources.sinks import write_orc
+    from mapreduce_implementation_spark.sources.tables import load_table, read_orc
+    from tests.conftest import SF_DIR_001
+
+    path = str(tmp_path / "cust_orc")
+    write_orc(load_table(spark, SF_DIR_001, "customer"), path)
+    df = read_orc(spark, path).filter(F.col("c_acctbal") > 1000.0) \
+        .select("c_custkey", "c_acctbal")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c_acctbal" in plan, plan
+    assert "c_mktsegment" not in plan.split("ReadSchema")[-1], plan
+    assert df.count() > 0
