@@ -131,3 +131,41 @@ def sample_chunks(df: DataFrame, id_col: str, payload_col: str = "payload",
         )
         .withColumn("chunk_len", F.octet_length("chunk"))
     )
+
+
+def batch_inference_scores(df, id_col: str, text_col: str,
+                           batch_label: str = "stub-scorer-v1"):
+    """Batched model-inference plumbing over ``mapInPandas`` — the shape
+    of running a scorer/reranker/classifier model over a corpus: Arrow
+    batches stream through a Python worker that would hold the model in
+    memory per task (load once per iterator, score per batch), never a
+    per-row UDF call.
+
+    The "model" here is a deterministic stub (first 8 hex digits of
+    md5(text) scaled to [0,1)) because no inference runtime ships in
+    this container — the REAL content is the iterator pattern, the
+    fixed output schema, and Arrow transport, which is exactly what a
+    torch/onnx scorer drops into.  Deterministic stub => the whole
+    pipeline stays hash-oracled (DuckDB computes the same md5 math).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    schema = f"{id_col} long, score double, scored_by string"
+
+    def _score(batches):
+        # model load would happen HERE, once per task/iterator
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, "score", "scored_by"])
+                continue
+            import hashlib
+
+            s = pdf[text_col].map(
+                lambda t: int(hashlib.md5(str(t).encode()).hexdigest()[:8], 16)
+                / float(16 ** 8))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "score": s.round(6),
+                                "scored_by": batch_label})
+
+    return df.select(id_col, text_col).mapInPandas(_score, schema=schema)

@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
-__all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group", "global_ntile"]
+__all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group",
+           "global_ntile", "global_running_sum"]
 
 
 def _spec(partition_by: list[str], order_by: list[Column]) -> WindowSpec:
@@ -96,4 +97,42 @@ def global_ntile(df: DataFrame, order_by: list[Column], n_tiles: int,
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out, tile.cast("int"))
         .drop("_pid", "_local_rn", "_offset", "_n")
+    )
+
+
+def global_running_sum(df: DataFrame, value_col: str,
+                       order_by: list[Column], out: str = "cum",
+                       partitions: int | None = None) -> DataFrame:
+    """Exact ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    WITHOUT a single-partition window — the prefix-sum sibling of
+    :func:`global_ntile`, same two-phase shape.
+
+    Phase 1: range-partition on the (total-ordered) sort key; partitions
+    hold disjoint key ranges.  Phase 2: per-partition cumulative sum in
+    parallel, plus a ``partitions``-row per-partition-total frame whose
+    exclusive prefix offsets broadcast back; global cumsum = local
+    cumsum + offset of everything in earlier partitions.
+
+    The sort key must include a unique tiebreaker or ties straddling a
+    range boundary make the prefix nondeterministic.
+    """
+    spark = df.sparkSession
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(parts, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "_local_cum",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid").orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_offset"))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_local_cum", "_offset")
     )

@@ -847,3 +847,82 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok string")
     return countmin_estimate(sketch, stops, "tok", depth=4, width=1024) \
         .orderBy("key")
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+                 string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                 t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    ),
+    binned AS (
+      SELECT doc_id, n_tok, (cum - n_tok) // 2048 AS seq_id FROM cum
+    )
+    SELECT seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM binned GROUP BY seq_id
+    """,
+    doc="Sequence packing (the training-batch assembly step of every LLM "
+        "data pipeline): docs in stable doc_id order are packed into "
+        "2048-token sequences by their starting offset in the global "
+        "token stream — offset = exclusive prefix sum of token counts, "
+        "computed by the distributed two-phase global_running_sum "
+        "(range partition + parallel local cumsum + broadcast offsets), "
+        "NEVER a single-partition window.  Output is per-sequence "
+        "occupancy; the fill ratio tells you the padding waste the "
+        "packer buys back.  Token counting is in-row HOF work.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import tokens_array
+    from ..operators.windows import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(tokens_array(F.col("text")), lambda t: t != ""))
+    tok = docs.select("doc_id", ntok.cast("long").alias("n_tok"))
+    cum = global_running_sum(tok, "n_tok", [F.col("doc_id").asc()], out="cum")
+    binned = cum.withColumn(
+        "seq_id", ((F.col("cum") - F.col("n_tok")) / F.lit(2048))
+        .cast("long"))
+    return (
+        binned.groupBy("seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+
+@register(
+    "inference_scores_batched",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+                 / 4294967296.0, 6) AS score,
+           'stub-scorer-v1' AS scored_by
+    FROM documents
+    """,
+    doc="Batched model-inference plumbing (mapInPandas): Arrow batches "
+        "stream through a Python worker that loads the model once per "
+        "task iterator and scores per batch — the reranker/classifier "
+        "inference shape of an LLM data pipeline, with a deterministic "
+        "md5 stub standing in for the model so the transport itself is "
+        "hash-oracled end to end (same md5 math in DuckDB).  At 100 TB "
+        "this is embarrassingly parallel; batch size is Arrow's "
+        "maxRecordsPerBatch, memory is model + one batch per task.",
+)
+def q_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import batch_inference_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return batch_inference_scores(docs, "doc_id", "text")

@@ -87,7 +87,8 @@ _SAMPLE_FIRST = (
     "unpivot_lineitem_measures", "lateral_explode_outer",
     "graph_triangle_count", "pipeline_curation_stats",
     "source_mixing_weights", "agg_tpch_q6_forecast", "join_tpch_q15_shape",
-    "sketch_countmin_stopwords",
+    "sketch_countmin_stopwords", "pipeline_sequence_packing",
+    "inference_scores_batched",
 )
 
 

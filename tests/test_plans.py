@@ -303,3 +303,17 @@ def test_tpch_q6_pushdown_and_pruning(spark):
     from mapreduce_implementation_spark.plans.inspect import assert_read_schema_only
     assert_read_schema_only(df, {"l_shipdate", "l_discount",
                                  "l_quantity", "l_extendedprice"})
+
+
+def test_sequence_packing_no_single_partition_over_base(spark):
+    """The packing prefix sum is the two-phase form: any SinglePartition
+    exchange carries only the per-partition totals frame (_tot), never
+    base-table rows."""
+    import re
+
+    df = SPECS["pipeline_sequence_packing"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    for m in re.finditer(
+            r"Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", plan):
+        assert "_tot" in m.group(1), plan

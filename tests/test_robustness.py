@@ -44,6 +44,8 @@ _REPRESENTATIVES = [
     "unpivot_lineitem_measures", # Expand of zero rows
     "lateral_explode_outer",     # outer explode of zero rows
     "graph_triangle_count",      # triangle join on empty edges
+    "pipeline_sequence_packing", # two-phase prefix sum of nothing
+    "inference_scores_batched",  # mapInPandas with zero batches
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
