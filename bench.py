@@ -59,6 +59,8 @@ HEADLINE = [
     "dedup_semantic_blocked",
     "text_perplexity_buckets",
     "text_quality_classifier",
+    "pipeline_curation_stats",
+    "pipeline_sequence_packing",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

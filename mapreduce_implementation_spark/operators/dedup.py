@@ -37,6 +37,7 @@ __all__ = [
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
     "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
     "cluster_representatives", "near_dup_filter_against",
+    "span_chunks", "span_dedup_rebuild",
 ]
 
 
@@ -577,6 +578,26 @@ def near_dup_filter_against(batch: DataFrame, corpus: DataFrame | None,
     return batch.join(dups, id_col, "left_anti")
 
 
+def span_chunks(df: DataFrame, id_col: str, text_col: str,
+                span_tokens: int = 10) -> DataFrame:
+    """(id, chunk_idx, chunk_text) — the zero-shuffle span-generation
+    stage of :func:`span_dedup_rebuild`, exposed so the plan test pins
+    the SHIPPED code path (in-row array slicing, no Exchange/Window)."""
+    w = int(span_tokens)
+    arr = F.filter(tokens_array(F.col(text_col)), lambda t: t != "")
+    n = F.size(arr)
+    idxs = F.when(n > 0, F.sequence(F.lit(0), F.ceil(n / w).cast("int") - 1)
+                  ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(idxs, lambda i: F.struct(
+        i.cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(arr, i * w + 1, w)).alias("chunk_text")))
+    return (
+        df.select(F.col(id_col), F.explode(spans).alias("s"))
+        .select(id_col, F.col("s.chunk_idx").alias("chunk_idx"),
+                F.col("s.chunk_text").alias("chunk_text"))
+    )
+
+
 def span_dedup_rebuild(df: DataFrame, id_col: str, text_col: str,
                        span_tokens: int = 10) -> DataFrame:
     """C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedupe
@@ -598,19 +619,7 @@ def span_dedup_rebuild(df: DataFrame, id_col: str, text_col: str,
     to reassemble.  No joins, no all-pairs anything; this is how C4's
     dedup actually ran (a single MapReduce over span→occurrence lists).
     """
-    w = int(span_tokens)
-    arr = F.filter(tokens_array(F.col(text_col)), lambda t: t != "")
-    n = F.size(arr)
-    idxs = F.when(n > 0, F.sequence(F.lit(0), F.ceil(n / w).cast("int") - 1)
-                  ).otherwise(F.array().cast("array<int>"))
-    spans = F.transform(idxs, lambda i: F.struct(
-        i.cast("long").alias("chunk_idx"),
-        F.concat_ws(" ", F.slice(arr, i * w + 1, w)).alias("chunk_text")))
-    chunks = (
-        df.select(F.col(id_col), F.explode(spans).alias("s"))
-        .select(id_col, F.col("s.chunk_idx").alias("chunk_idx"),
-                F.col("s.chunk_text").alias("chunk_text"))
-    )
+    chunks = span_chunks(df, id_col, text_col, span_tokens)
     from pyspark.sql import Window
     occ = F.row_number().over(
         Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx"))

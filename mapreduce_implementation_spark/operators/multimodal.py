@@ -161,11 +161,15 @@ def batch_inference_scores(df, id_col: str, text_col: str,
                 continue
             import hashlib
 
+            # null text -> null score (str(None) would fabricate a
+            # score for md5("None") and diverge from the oracle's
+            # md5(NULL) = NULL)
             s = pdf[text_col].map(
-                lambda t: int(hashlib.md5(str(t).encode()).hexdigest()[:8], 16)
-                / float(16 ** 8))
+                lambda t: None if t is None else round(
+                    int(hashlib.md5(str(t).encode()).hexdigest()[:8], 16)
+                    / float(16 ** 8), 6))
             yield pd.DataFrame({id_col: pdf[id_col],
-                                "score": s.round(6),
+                                "score": s,
                                 "scored_by": batch_label})
 
     return df.select(id_col, text_col).mapInPandas(_score, schema=schema)

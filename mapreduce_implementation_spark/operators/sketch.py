@@ -44,9 +44,14 @@ def countmin_build(df: DataFrame, key_col: str, depth: int = 4,
 
 
 def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
-                      depth: int = 4, width: int = 1024) -> DataFrame:
+                      depth: int, width: int) -> DataFrame:
     """(key, est) — point-query estimates: min over depths of the
     addressed counter.
+
+    ``depth``/``width`` are REQUIRED and must match the build call:
+    probing a w=2048 grid mod 1024 silently addresses missing buckets,
+    coalesces to 0 and UNDERcounts — breaking the est >= true guarantee
+    the sketch exists for.  (They are deliberately not defaulted.)
 
     ``keys`` is a (small) frame of keys to probe; the probe joins on
     (d, bucket) against the fixed-size grid — a broadcast of the keys

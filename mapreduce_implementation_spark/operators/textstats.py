@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.textfn import tokens_array
 
 __all__ = [
-    "EN_STOPWORDS", "token_stats", "quality_score", "lang_id",
+    "EN_STOPWORDS", "token_stats", "quality_score", "quality_prob", "lang_id",
     "fingerprint", "tf_idf_top_terms",
 ]
 
@@ -209,3 +209,30 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str, terms: tuple[str, ...],
     w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
     return topk.select(id_col, "bm25",
                        F.row_number().over(w).cast("int").alias("rank"))
+
+
+def quality_prob(text_col: str = "text"):
+    """Logistic keep/drop probability as a single in-row Column (the
+    fastText-style linear classifier of CCNet/RefinedWeb pipelines, with
+    fixed public weights): one scan, zero shuffles — all features are
+    array HOFs over the per-row token stream.  Consumed by the
+    text_quality_classifier / pipeline_curation_stats queries and the
+    streaming curate_stream twin; the DuckDB twin of the feature
+    expressions lives next to those queries' oracles.
+    """
+    from ..functions.textfn import tokens_array
+
+    toks = F.filter(tokens_array(F.col(text_col)), lambda t: t != "")
+    n_tok = F.size(toks)
+    # long accumulator: int32 wraps on >2^31-char documents (same
+    # discipline as quality_score)
+    sum_wlen = F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda acc, t: acc + F.length(t))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    alpha_ratio = (F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+                   * F.lit(1.0) / F.greatest(F.length(text_col), F.lit(1)))
+    z = (F.lit(-1.5)
+         + F.lit(4.0) * (n_stop * F.lit(1.0) / F.greatest(n_tok, F.lit(1)))
+         + F.lit(2.0) * alpha_ratio
+         + F.lit(0.1) * (sum_wlen * F.lit(1.0) / F.greatest(n_tok, F.lit(1))))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

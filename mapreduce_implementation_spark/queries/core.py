@@ -114,6 +114,23 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _export_cache_path(root: str, sf_dir: str, table: str) -> str:
+    """Cache dir for a one-time format export, keyed on the SOURCE
+    parquet's (mtime, size) so regenerated fixtures can never serve a
+    stale export (a bare basename key survives fixture regeneration and
+    silently diverges from the oracle's parquet read)."""
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        key = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        key = "nosrc"
+    return os.path.join(
+        root, f"{os.path.basename(sf_dir.rstrip('/'))}_{table}_{key}")
+
+
 @register(
     "source_jsonl_events",
     oracle="""
@@ -135,8 +152,8 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
-    path = os.path.join("/tmp/mapreduce_spark_jsonl_cache",
-                        os.path.basename(sf_dir.rstrip("/")) + "_events")
+    path = _export_cache_path("/tmp/mapreduce_spark_jsonl_cache",
+                              sf_dir, "events")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         e.write.mode("overwrite").json(path)
     j = spark.read.schema("event_type string, value double").json(path)
@@ -168,8 +185,8 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_totalprice")
-    path = os.path.join("/tmp/mapreduce_spark_csv_cache",
-                        os.path.basename(sf_dir.rstrip("/")) + "_orders")
+    path = _export_cache_path("/tmp/mapreduce_spark_csv_cache",
+                              sf_dir, "orders")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         o.write.mode("overwrite").option("header", "true").csv(path)
     c = spark.read.schema("o_orderstatus string, o_totalprice double") \
@@ -201,8 +218,8 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment", "c_acctbal")
-    path = os.path.join("/tmp/mapreduce_spark_orc_cache",
-                        os.path.basename(sf_dir.rstrip("/")) + "_customer")
+    path = _export_cache_path("/tmp/mapreduce_spark_orc_cache",
+                              sf_dir, "customer")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         c.write.mode("overwrite").orc(path)
     r = spark.read.orc(path)

@@ -390,14 +390,15 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
     return (
         o.groupBy("o_orderpriority")
-        .agg(pct.alias("_p"),
-             F.expr("percentile(o_totalprice, 0.5)").alias("_med"))
+        .agg(pct.alias("_p"))
         .select(
             "o_orderpriority",
             F.round(F.col("_p")[0], 2).alias("p50"),
             F.round(F.col("_p")[1], 2).alias("p90"),
             F.round(F.col("_p")[2], 2).alias("p99"),
-            F.round("_med", 2).alias("med"),
+            # median IS _p[0]; a second percentile(0.5) aggregate would
+            # materialize every group's value list twice
+            F.round(F.col("_p")[0], 2).alias("med"),
         )
     )
 
@@ -466,16 +467,22 @@ def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "would hash identically under any row order.",
 )
 def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # Global row_number == prefix sum of 1 — the distributed two-phase
+    # form (range partition + parallel local cumsum + broadcast
+    # offsets); a bare Window.orderBy would funnel every row through a
+    # single partition, the last-reducer anti-pattern this repo forbids.
+    from ..operators.windows import global_running_sum
 
     o = load_table(spark, sf_dir, "orders")
     pn = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
-    w = Window.orderBy(pn.asc_nulls_first(), F.col("o_orderkey"))
-    return o.select(
-        "o_orderkey",
-        pn.alias("prio_or_null"),
-        F.row_number().over(w).cast("long").alias("rn"),
-    )
+    base = o.select("o_orderkey", pn.alias("prio_or_null"),
+                    F.lit(1).cast("long").alias("_one"))
+    ranked = global_running_sum(
+        base, "_one",
+        [F.col("prio_or_null").asc_nulls_first(), F.col("o_orderkey").asc()],
+        out="rn")
+    return ranked.select("o_orderkey", "prio_or_null",
+                         F.col("rn").cast("long").alias("rn"))
 
 
 @register(

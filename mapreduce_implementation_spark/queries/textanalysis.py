@@ -489,10 +489,11 @@ def q_text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    from ..functions.textfn import tokens_array
+
     toks = (
         docs.select("lang", "doc_id",
-                    F.explode(F.split(F.lower(
-                        F.regexp_replace("text", "[^A-Za-z ]", "")), " ")).alias("tok"))
+                    F.explode(tokens_array(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
     )
     dfreq = (toks.select("lang", "doc_id", "tok").distinct()
@@ -596,23 +597,11 @@ _DUCK_QUALITY_Z = f"""
 
 
 def quality_prob_column():
-    """Logistic keep/drop probability as a single in-row Column (shared
-    by text_quality_classifier and pipeline_curation_stats)."""
-    from ..functions.textfn import tokens_array
+    """Delegates to operators.textstats.quality_prob (kept as the
+    queries-layer name so existing imports keep working)."""
+    from ..operators.textstats import quality_prob
 
-    toks = F.filter(tokens_array(F.col("text")), lambda t: t != "")
-    n_tok = F.size(toks)
-    sum_wlen = F.aggregate(toks, F.lit(0),
-                           lambda acc, t: acc + F.length(t))
-    stops = ["the", "a", "of", "to", "and", "in", "is", "it"]
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stops)))
-    alpha_ratio = (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-                   * F.lit(1.0) / F.greatest(F.length("text"), F.lit(1)))
-    z = (F.lit(-1.5)
-         + F.lit(4.0) * (n_stop * F.lit(1.0) / F.greatest(n_tok, F.lit(1)))
-         + F.lit(2.0) * alpha_ratio
-         + F.lit(0.1) * (sum_wlen * F.lit(1.0) / F.greatest(n_tok, F.lit(1))))
-    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return quality_prob("text")
 
 
 @register(

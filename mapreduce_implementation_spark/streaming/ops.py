@@ -169,9 +169,9 @@ def curate_stream(docs: DataFrame, min_quality: float = 0.7) -> DataFrame:
 
     Emits (doc_id, lang, source, p_quality) for kept, first-seen docs.
     """
-    from ..queries.textanalysis import quality_prob_column
+    from ..operators.textstats import quality_prob
 
-    p = quality_prob_column()
+    p = quality_prob("text")
     norm = F.concat_ws(" ", F.filter(tokens_array(F.col("text")),
                                      lambda t: t != ""))
     return (

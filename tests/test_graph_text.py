@@ -188,7 +188,8 @@ def test_countmin_overestimate_bounds(spark):
                    "spark", "zzz_absent_key"]
     probes = spark.createDataFrame([(w,) for w in probe_words], "tok string")
     est = {r["key"]: r["est"]
-           for r in countmin_estimate(sketch, probes, "tok").collect()}
+           for r in countmin_estimate(sketch, probes, "tok",
+                                      depth=4, width=1024).collect()}
     exact = {r["tok"]: r["n"] for r in
              toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
     slack = math.e / 1024 * n_stream

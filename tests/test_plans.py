@@ -232,19 +232,13 @@ def test_percent_rank_single_window_pass(spark):
 
 def test_span_generation_zero_shuffle(spark):
     """C4 span cutting is in-row array slicing: no Exchange and no Window
-    until the occurrence-ranking stage (which is fed spans, not docs)."""
-    from pyspark.sql import functions as SF
-
-    from mapreduce_implementation_spark.functions.textfn import tokens_array
+    until the occurrence-ranking stage (which is fed spans, not docs).
+    Drives the operator's OWN span stage (span_chunks) so a regression
+    to explode+window renumbering in shipped code fails here."""
+    from mapreduce_implementation_spark.operators.dedup import span_chunks
 
     docs = load_table(spark, SF_DIR_01, "documents")
-    arr = SF.filter(tokens_array(SF.col("text")), lambda t: t != "")
-    n = SF.size(arr)
-    idxs = SF.when(n > 0, SF.sequence(SF.lit(0), SF.ceil(n / 10).cast("int") - 1)
-                   ).otherwise(SF.array().cast("array<int>"))
-    spans = SF.transform(idxs, lambda i: SF.concat_ws(
-        " ", SF.slice(arr, i * 10 + 1, 10)))
-    df = docs.select("doc_id", SF.explode(spans).alias("chunk_text"))
+    df = span_chunks(docs, "doc_id", "text", span_tokens=10)
     plan = plan_string(df)
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
