@@ -197,3 +197,50 @@ def test_countmin_overestimate_bounds(spark):
         t = exact.get(w, 0)
         assert est[w] >= t, (w, est[w], t)
         assert est[w] <= t + slack, (w, est[w], t, slack)
+
+
+def test_span_dedup_rebuild_invariants(spark):
+    """Structural contract of C4 span removal on the real corpus: the
+    rebuilt corpus keeps each distinct span text EXACTLY once across all
+    documents (n_kept sums to the distinct-span count), nothing is
+    dropped that wasn't a repeat (chunks - kept == chunks - distinct),
+    and every doc's n_kept <= n_chunks."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        span_chunks, span_dedup_rebuild,
+    )
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_01
+
+    docs = load_table(spark, SF_DIR_01, "documents")
+    out = span_dedup_rebuild(docs, "doc_id", "text", span_tokens=10).cache()
+    chunks = span_chunks(docs, "doc_id", "text", span_tokens=10)
+    n_distinct = chunks.select("chunk_text").distinct().count()
+    n_total = chunks.count()
+    agg = out.agg(F.sum("n_kept").alias("k"), F.sum("n_chunks").alias("c")).head()
+    assert agg["k"] == n_distinct, (agg["k"], n_distinct)
+    assert agg["c"] == n_total, (agg["c"], n_total)
+    assert out.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
+    assert n_total > n_distinct, "fixture corpus should contain repeated spans"
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing conservation on the real corpus: bins are contiguous from
+    0, token totals are conserved, and no sequence overflows 2048 by
+    more than one straddling document (each doc lands in the bin of its
+    starting offset)."""
+    from mapreduce_implementation_spark.registry import all_specs
+    from mapreduce_implementation_spark.operators.textstats import _tok_df
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_01
+
+    out = all_specs()["pipeline_sequence_packing"].fn(spark, SF_DIR_01).cache()
+    rows = {r["seq_id"]: r for r in out.collect()}
+    assert sorted(rows) == list(range(len(rows))), "seq_ids must be contiguous"
+    docs = load_table(spark, SF_DIR_01, "documents")
+    total = _tok_df(docs, "doc_id", "text").count()
+    assert sum(r["n_tokens"] for r in rows.values()) == total
+    max_doc = (docs.select(
+        F.size(F.split(F.lower(F.regexp_replace("text", "[^A-Za-z ]", "")), " "))
+        .alias("n")).agg(F.max("n")).head()[0])
+    for r in rows.values():
+        assert r["n_tokens"] <= 2048 + max_doc, r
