@@ -326,3 +326,89 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", F.col("n").cast("long").alias("n_events"),
                 F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "streaks_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, count(*) AS len, min(d) AS streak_start
+      FROM grp GROUP BY user_id, island
+    ),
+    best AS (
+      SELECT user_id, len, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
+           CAST(streak_start AS VARCHAR) AS streak_start
+    FROM best WHERE rn = 1
+    """,
+    doc="Gaps-and-islands (longest consecutive-day activity streak per "
+        "user): the date-minus-row_number island trick — consecutive "
+        "days share a constant difference — then a per-island count and "
+        "a per-user argmax.  Both windows partition by user_id (one "
+        "shuffle, reused), so the pattern scales with users, not with a "
+        "global sort.  Earliest streak wins ties, deterministically.",
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    grp = days.withColumn("island", F.date_sub(F.col("d"), rn))
+    streaks = (grp.groupBy("user_id", "island")
+               .agg(F.count(F.lit(1)).alias("len"),
+                    F.min("d").alias("streak_start")))
+    best = F.row_number().over(
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("len"), F.asc("streak_start")))
+    return (streaks.withColumn("_rn", best).filter(F.col("_rn") == 1)
+            .select("user_id", F.col("len").alias("longest_streak_days"),
+                    F.col("streak_start").cast("string").alias("streak_start")))
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Per-group mode (most frequent event_type per user, lexicographic "
+        "min on ties): partial-aggregable count then a window argmax over "
+        "the (user, type) frame — the grouped-mode idiom that avoids "
+        "collecting value lists.  The window runs on the aggregate "
+        "output (|users| x |types| rows), never the event stream.",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type")))
+    return (counts.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+            .select("user_id", F.col("event_type").alias("mode_event_type"),
+                    F.col("n").alias("mode_count")))

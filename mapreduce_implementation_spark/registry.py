@@ -88,7 +88,7 @@ _SAMPLE_FIRST = (
     "graph_triangle_count", "pipeline_curation_stats",
     "source_mixing_weights", "agg_tpch_q6_forecast", "join_tpch_q15_shape",
     "sketch_countmin_stopwords", "pipeline_sequence_packing",
-    "inference_scores_batched",
+    "inference_scores_batched", "streaks_gaps_islands", "agg_mode_per_group",
 )
 
 
