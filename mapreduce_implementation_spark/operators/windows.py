@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from .caching import tracked_persist
+
 __all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group",
            "global_ntile", "global_running_sum"]
 
@@ -69,10 +71,19 @@ def global_ntile(df: DataFrame, order_by: list[Column], n_tiles: int,
 
     The sort key must be a total order (include a unique tiebreaker) or
     ties straddling a range boundary make ranks nondeterministic.
+
+    ``ranged`` feeds TWO consumers (the local rank and the per-partition
+    counts), and correctness requires both to see the SAME partition
+    boundaries and ``_pid`` assignment.  Range boundaries come from a
+    sampling job and ``spark_partition_id()`` is evaluation-dependent,
+    so the frame is persisted before branching: the broadcast-offsets
+    job materializes it once and every consumer reads that one
+    materialization (both plan subtrees show InMemoryTableScan —
+    pinned in tests/test_plans.py::test_global_window_single_range_exchange).
     """
     spark = df.sparkSession
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = (
+    ranged = tracked_persist(
         df.repartitionByRange(parts, *order_by)
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -115,10 +126,17 @@ def global_running_sum(df: DataFrame, value_col: str,
 
     The sort key must include a unique tiebreaker or ties straddling a
     range boundary make the prefix nondeterministic.
+
+    Same single-evaluation discipline as :func:`global_ntile`: ``ranged``
+    feeds both the local-cumsum and per-partition-totals subtrees, and
+    the ``_pid`` assignment must be identical in both — range-boundary
+    sampling and ``spark_partition_id()`` are evaluation-dependent, so
+    the frame is persisted before branching (one materialization, both
+    consumers read the cache; plan-pinned).
     """
     spark = df.sparkSession
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = (
+    ranged = tracked_persist(
         df.repartitionByRange(parts, *order_by)
         .withColumn("_pid", F.spark_partition_id())
     )

@@ -5,7 +5,13 @@ is mapreduce.c's two fixed jobs); these queries pin the four canonical
 decorrelation patterns an analytics engine must plan well at scale —
 EXISTS→semi-join, NOT EXISTS→anti-join, IN-with-HAVING→join against an
 aggregate, and scalar-subquery→broadcast 1-row cross join — using the
-classic TPC-H shapes (Q4/Q13/Q18/Q22) adapted to the fixture schema.
+classic TPC-H shapes (Q4/Q13/Q18/Q22) adapted to the fixture schema,
+plus the three hard decorrelation patterns (Q17 correlated scalar avg
+per group, Q20 nested IN + correlated scalar, Q21 double
+EXISTS/NOT-EXISTS self-join) adapted likewise — the fixtures have no
+partsupp/receiptdate/commitdate, so those shapes run on lineitem's
+(partkey, suppkey) pairs and the returnflag column; the join topology
+(what TPC-H exists to stress) is preserved exactly.
 
 Scale notes: every decorrelation here turns a per-row subquery into ONE
 join whose build side is either key-partitioned (semi/anti on the fact
@@ -18,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.caching import tracked_persist
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -170,4 +177,186 @@ def q_subq_scalar_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_custs"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "subq_tpch_q17_shape",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem
+        WHERE l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): correlated "
+        "scalar AVG per part decorrelated to ONE aggregate keyed on "
+        "l_partkey joined back to the fact — the subquery executes once "
+        "total, not once per outer row (O(n) vs O(n*m) at 100 TB).  The "
+        "brand filter broadcasts to BOTH lineitem scans so the per-part "
+        "avg is only computed for the ~3% of parts that can match.  The "
+        "threshold compare is bit-exact cross-engine: quantities are "
+        "integral doubles, so sum/avg are order-independent.",
+)
+def q_subq_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    brand_li = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
+    thresh = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thresh")
+    )
+    return (
+        brand_li.join(thresh, "l_partkey")
+        .where(F.col("l_quantity") < F.col("_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "subq_tpch_q20_shape",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+            AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          GROUP BY l_suppkey, l_partkey
+        ) shipped
+        WHERE qty > 0.3 * (
+          SELECT sum(qty) FROM (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            GROUP BY l_suppkey, l_partkey
+          ) s2 WHERE s2.l_partkey = shipped.l_partkey
+        )
+      )
+    """,
+    doc="TPC-H Q20 shape (dominant suppliers of a part class), adapted: "
+        "no partsupp in the fixtures, so 'availability' is 1997 shipped "
+        "quantity per (suppkey, partkey).  Nested IN (part name class) "
+        "decorrelates to a broadcast semi-join on partkey; the "
+        "correlated scalar (per-part total) decorrelates to ONE "
+        "re-aggregation of the SAME shipped frame — persisted, so "
+        "lineitem is scanned once, not three times; the final IN is a "
+        "LEFT SEMI join onto the nation-filtered supplier dim.",
+)
+def q_subq_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    shipped = tracked_persist(
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"))
+        .drop("p_partkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("_tot"))
+    qualified = (
+        shipped.join(tot, "l_partkey")
+        .where(F.col("qty") > F.lit(0.3) * F.col("_tot"))
+        .select("l_suppkey")
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_9")
+        .select("n_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(nat), s.s_nationkey == F.col("n_nationkey"))
+        .join(qualified, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "subq_tpch_q21_shape",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey  = l1.l_orderkey
+    JOIN supplier ON s_suppkey   = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_9'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting), adapted: "
+        "no receipt/commit dates in the fixtures, so the 'fault' marker "
+        "is l_returnflag = 'R'.  The double correlated EXISTS / NOT "
+        "EXISTS decorrelates to one LEFT SEMI plus one LEFT ANTI "
+        "self-join of lineitem on l_orderkey (the <> suppkey predicate "
+        "rides along as a post-hash-join filter, never a nested loop); "
+        "order-status and nation filters broadcast-prune before the "
+        "count.  Plan-pinned: no CartesianProduct / "
+        "BroadcastNestedLoopJoin.",
+)
+def q_subq_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag").where(
+        F.col("l_returnflag") == "R"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    fo = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_9")
+        .select("n_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l1.join(fo, l1.l_orderkey == fo.o_orderkey).drop("o_orderkey")
+        .join(l2, (F.col("l_orderkey") == F.col("_ok2"))
+              & (F.col("l_suppkey") != F.col("_sk2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("_ok3"))
+              & (F.col("l_suppkey") != F.col("_sk3")), "left_anti")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(nat), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

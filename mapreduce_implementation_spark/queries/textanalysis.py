@@ -881,9 +881,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(F.filter(tokens_array(F.col("text")), lambda t: t != ""))
     tok = docs.select("doc_id", ntok.cast("long").alias("n_tok"))
     cum = global_running_sum(tok, "n_tok", [F.col("doc_id").asc()], out="cum")
-    binned = cum.withColumn(
-        "seq_id", ((F.col("cum") - F.col("n_tok")) / F.lit(2048))
-        .cast("long"))
+    # integer `div`, not double division + cast: exact past 2^53 tokens,
+    # and the same floor-division semantics as the oracle's `//`.
+    binned = cum.withColumn("seq_id", F.expr("(cum - n_tok) div 2048"))
     return (
         binned.groupBy("seq_id")
         .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -64,31 +64,46 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Driver-sample rotation: the driver records ~50 queries per round in
-# registry iteration order.  Rounds 1+2 between them sampled every family
-# EXCEPT the 16 names below (they sat past position 50 both times), so
-# they are pinned to the FRONT for round 3; new round-3 queries follow
-# them, and the already-green remainder keeps its import order.
+# registry iteration order.  Round-4 policy (VERDICT r03 item 2):
+# `pipeline_sequence_packing` stays FIRST (the one red r03 row — its
+# root-cause fix needs a green driver row), followed by the 88 queries
+# whose latest driver row dates from r01/r02 (stalest first, in their
+# prior registry order), then any round-4 additions; the r03-green
+# remainder keeps its import order at the back.
 _SAMPLE_FIRST = (
-    "agg_decimal_exact", "agg_stat_moments", "dedup_incremental_batch",
-    "embedding_centroids", "histogram_totalprice", "join_tpch_q3_shape",
-    "join_tpch_q9_shape", "nested_struct_array_agg", "pagination_offset",
-    "pii_mask_digits", "profile_columns", "sample_hash_pct",
-    "sample_stratified", "similarity_quantized_topk", "skew_join_salted",
-    "string_similarity_levenshtein",
-    # round-3 additions (never sampled by definition):
-    "dedup_incremental_stored_grams", "join_tpch_q7_shape",
-    "join_tpch_q10_shape", "join_tpch_q19_shape", "agg_percentiles_exact",
-    "agg_hll_distinct", "text_top_terms_per_lang", "text_token_entropy",
-    "dedup_chunk_signature", "source_jsonl_events", "set_except_all",
-    "sort_nulls_ordering", "map_type_surface", "dedup_semantic_blocked",
-    "dedup_semantic_kmeans", "dedup_span_rebuild",
-    "text_quality_classifier", "text_perplexity_buckets",
-    "source_csv_roundtrip", "source_orc_roundtrip",
-    "unpivot_lineitem_measures", "lateral_explode_outer",
-    "graph_triangle_count", "pipeline_curation_stats",
-    "source_mixing_weights", "agg_tpch_q6_forecast", "join_tpch_q15_shape",
-    "sketch_countmin_stopwords", "pipeline_sequence_packing",
-    "inference_scores_batched", "streaks_gaps_islands", "agg_mode_per_group",
+    "pipeline_sequence_packing",
+    # --- stale: latest driver row is r01/r02 ---
+    "text_lang_id", "text_fingerprint", "text_tfidf_top3",
+    "json_extract_events", "pipeline_fingerprint_dedup", "text_bm25_top10",
+    "text_pmi_pairs", "text_bigram_logprob", "text_contamination_4gram",
+    "text_repetition_gopher", "window_rank", "window_row_number_topk",
+    "window_lag_lead", "window_running_sum", "window_moving_avg",
+    "window_global_ntile", "window_range_frame", "window_percent_rank_cume",
+    "udtf_order_years", "pandas_udf_charge", "pandas_udaf_rms_spend",
+    "subq_exists_late_ship", "subq_custdist", "subq_in_large_orders",
+    "subq_scalar_anti_q22", "graph_pagerank_trade", "funnel_conversion",
+    "cohort_retention", "timeseries_gap_fill", "scd2_intervals",
+    "agg_regression_price_qty", "stats_chi2_event_dow",
+    "anomaly_daily_zscore", "tokenize", "word_count", "distributed_sort",
+    "distributed_sort_desc", "partitioned_scan_events_week", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_clusters", "dedup_embedding_lsh",
+    "dedup_ngram_jaccard_prefix", "dedup_tfidf_cosine",
+    "dedup_cluster_representatives", "agg_percentiles", "agg_approx_stats",
+    "agg_conditional_filter", "null_handling", "date_arithmetic",
+    "array_functions", "grouping_sets_sql", "join_full_outer",
+    "sql_correlated_subquery", "union_all_counts", "window_first_last",
+    "join_broadcast_dims", "join_shuffle_facts", "join_semi", "join_anti",
+    "join_left_outer", "join_tpch_q5_shape", "asof_join_latest_order",
+    "range_join_sessions", "agg_tpch_q1", "agg_minmax_multi_key",
+    "scalar_string_math", "scalar_date_functions", "top_k",
+    "set_union_distinct", "set_intersect", "set_except", "distinct_rows",
+    "rollup_agg", "cube_agg", "pivot_linestatus", "similarity_cosine_topk",
+    "similarity_ann_lsh", "similarity_ann_ivf", "window_tumbling_events",
+    "window_sliding_events", "sessionize_events", "stream_join_attribution",
+    "multimodal_binary_meta", "multimodal_decode_stub",
+    # --- round-4 additions (never sampled by definition) ---
+    "subq_tpch_q17_shape", "subq_tpch_q20_shape", "subq_tpch_q21_shape",
 )
 
 

@@ -36,6 +36,24 @@ def test_pagerank_matches_python_reference(spark):
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
 
 
+def test_pagerank_shuffle_mode_matches_broadcast(spark):
+    """The web-scale fallback (rank vector joined by src instead of
+    broadcast — used when node count exceeds broadcast_node_limit) must
+    produce the identical ranks: same math, different physical join.
+    Forcing broadcast_node_limit=0 exercises the auto-probe path too."""
+    edges = [(1, 2, 3.0), (2, 1, 1.0), (2, 3, 1.0), (3, 1, 2.0), (1, 3, 1.0)]
+    nodes = [1, 2, 3]
+    e = spark.createDataFrame(edges, "src int, dst int, w double")
+    nd = spark.createDataFrame([(v,) for v in nodes], "v int")
+    want = _py_pagerank(edges, nodes, iters=5)
+    for kwargs in ({"broadcast_ranks": False},
+                   {"broadcast_node_limit": 0}):  # auto-probe picks shuffle
+        got = {r.v: r.r for r in pagerank(e, nd, iters=5, **kwargs).collect()}
+        assert set(got) == set(want)
+        for v in nodes:
+            assert abs(got[v] - want[v]) < 1e-9, (kwargs, v, got[v], want[v])
+
+
 def test_pagerank_mass_conserved_no_dangling(spark):
     """With every node having out-edges, total rank mass stays 1."""
     edges = [(i, (i + 1) % 6, 1.0) for i in range(6)] + [(0, 3, 2.0)]

@@ -66,6 +66,35 @@ def test_global_ntile_no_single_partition_window_over_base(spark):
         assert "_cnt" in m.group(1), plan
 
 
+def test_tpch_hard_decorrelations_no_nested_loop(spark):
+    """Q17/Q20/Q21 shapes: every correlated subquery must decorrelate to
+    a hash-keyed join — a CartesianProduct or BroadcastNestedLoopJoin
+    anywhere means the per-row subquery survived into the physical plan
+    (O(n*m) at 100 TB).  Q21's <> suppkey predicate must ride the
+    orderkey hash join as a post-join condition, not force a loop."""
+    for name in ("subq_tpch_q17_shape", "subq_tpch_q20_shape",
+                 "subq_tpch_q21_shape"):
+        df = SPECS[name].fn(spark, SF_DIR_01)
+        plan = plan_string(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_global_window_single_range_exchange(spark):
+    """global_running_sum / global_ntile correctness leans on BOTH plan
+    subtrees (local cumsum/rank and per-partition totals/counts) seeing
+    the SAME _pid assignment.  The range-partitioned frame is persisted
+    before branching, so the plan must show exactly ONE range exchange
+    (inside the single InMemoryRelation) and BOTH consumers reading it
+    via InMemoryTableScan — formatted mode prints each node twice (tree
+    + details), so two scans == four mentions."""
+    for name in ("pipeline_sequence_packing", "window_global_ntile"):
+        df = SPECS[name].fn(spark, SF_DIR_01)
+        plan = plan_string(df)
+        assert plan.lower().count("rangepartitioning") == 1, (name, plan)
+        assert plan.count("InMemoryTableScan") == 4, (name, plan)
+
+
 def test_word_count_has_map_side_combine(spark):
     df = word_count(load_table(spark, SF_DIR_01, "documents"), col="text")
     assert_partial_aggregate(df)
@@ -259,15 +288,21 @@ def test_curation_pipeline_filters_before_shuffle(spark):
     """The end-to-end curation plan must keep the quality filter BELOW
     the first Exchange (filter early — drop low-quality docs map-side
     before the dedup shuffle moves any bytes)."""
+    import re
+
     df = SPECS["pipeline_curation_stats"].fn(spark, SF_DIR_01)
     plan = plan_string(df, mode="simple")
     first_exchange = plan.find("Exchange")
-    first_filter = plan.find("Filter")
-    assert first_exchange != -1 and first_filter != -1, plan
+    # anchor on the quality predicate itself (>= 0.7), not just any
+    # Filter node — an incidental post-shuffle filter must not satisfy
+    # (or fail) this assertion.
+    quality_filter = next(
+        (m.start() for m in re.finditer(r"Filter .*0\.7", plan)), -1)
+    assert first_exchange != -1 and quality_filter != -1, plan
     # plan strings print top-down (sink first): a LARGER index = earlier
-    # in execution; the filter must sit below (after in string) the
-    # first exchange printed.
-    assert first_filter > first_exchange, plan
+    # in execution; the quality filter must sit below (after in string)
+    # the first exchange printed.
+    assert quality_filter > first_exchange, plan
 
 
 def test_semantic_dedup_shuffles_on_block_only(spark):
