@@ -1,14 +1,17 @@
 """Multimodal columns (north-star): opaque ``binary`` payloads + typed
 metadata, with decode/feature-extraction as Arrow-batched Pandas UDFs.
 
-The container has no image/audio libraries, so the *decode step* is
-stubbed: ``decode_image_features`` tries PIL and falls back to a
-clearly-marked deterministic fake.  Everything around it — the binary
-column representation, metadata extraction, the ``mapInPandas`` batch
-iterator shape, the output schema — is the real 100 TB plumbing: payload
-bytes never leave the executor, Python sees Arrow batches (not rows),
-and metadata-only queries never touch the payload column (column
-pruning).
+The container has no imaging libraries, so ``decode_image_features``
+runs a per-payload decoder ladder: PIL when importable (any format),
+else a pure-Python PNG decoder (``decode_png`` below — header + zlib
+IDAT + scanline de-filter, public W3C format, no dependencies), else a
+clearly-marked deterministic fake for non-PNG media.  PNG payloads
+therefore decode FOR REAL in this environment.  Everything around the
+decoders — the binary column representation, metadata extraction, the
+``mapInPandas`` batch iterator shape, the output schema — is the real
+100 TB plumbing: payload bytes never leave the executor, Python sees
+Arrow batches (not rows), and metadata-only queries never touch the
+payload column (column pruning).
 """
 
 from __future__ import annotations
@@ -19,14 +22,136 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["to_binary_payload", "binary_metadata", "decode_image_features", "sample_chunks"]
+__all__ = ["to_binary_payload", "binary_metadata", "decode_image_features",
+           "sample_chunks", "decode_png", "encode_png_gray"]
 
 DECODE_IS_STUBBED: bool
-try:  # real decoder if the env ever provides it
+try:  # full-featured decoder if the env ever provides it
     from PIL import Image  # noqa: F401
     DECODE_IS_STUBBED = False
 except ImportError:
     DECODE_IS_STUBBED = True
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# per-pixel stored samples by PNG color type (0 gray, 2 RGB, 3 palette
+# index, 4 gray+alpha, 6 RGBA) — matches PIL's len(getbands()) for each
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """Pure-Python PNG decode — public format (RFC 2083 / W3C PNG spec):
+    chunk walk, IHDR parse, IDAT ``zlib`` inflate, per-scanline
+    de-filter (all five filter types), luma average.
+
+    Supports the baseline non-interlaced 8-bit-depth color types
+    (gray / RGB / palette / gray+alpha / RGBA); raises ``ValueError``
+    for anything else so callers can fall back.  Returns
+    ``(width, height, channels, mean_luma)`` where luma is the Rec.601
+    weighted sum for color images and the gray sample otherwise.
+
+    This is the metadata-extraction path (thumbnails, stats, filtering
+    by dimensions) — a production bulk-pixel pipeline would swap in a
+    native decoder inside the same ``mapInPandas`` iterator.
+    """
+    import struct
+    import zlib
+
+    if not payload or not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = color_type = None
+    idat = bytearray()
+    plte: bytes | None = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc32
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data))
+            if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unknown color type {color_type}")
+        elif ctype == b"PLTE":
+            plte = bytes(data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette image without PLTE")
+
+    nch = _PNG_CHANNELS[color_type]
+    stride = width * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length mismatch")
+
+    prev = bytearray(stride)
+    luma_sum = 0.0
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        prev = line
+        for x in range(0, stride, nch):
+            if color_type in (0, 4):
+                luma_sum += line[x]
+            elif color_type == 3:
+                j = line[x] * 3
+                r, g, b = plte[j], plte[j + 1], plte[j + 2]
+                luma_sum += 0.299 * r + 0.587 * g + 0.114 * b
+            else:
+                luma_sum += (0.299 * line[x] + 0.587 * line[x + 1]
+                             + 0.114 * line[x + 2])
+    return width, height, nch, luma_sum / (width * height)
+
+
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid grayscale PNG writer (filter 0 rows, one IDAT) —
+    the fixture-side inverse of :func:`decode_png` for tests and the
+    synthetic render→decode roundtrip query."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    scanlines = b"".join(
+        b"\x00" + pixels[y * width:(y + 1) * width] for y in range(height))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines))
+            + chunk(b"IEND", b""))
 
 
 def to_binary_payload(df: DataFrame, src_col: str, media_type: str = "text/plain") -> DataFrame:
@@ -88,9 +213,10 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                     round(float((first + n) % 256.0), 2), "stub")
 
         def _decode_row(payload: bytes | None) -> tuple[int, int, int, float, str]:
-            # Real decode when PIL is present AND the bytes are an image;
-            # per-payload fallback to the deterministic stub otherwise
-            # (a corrupt/non-image payload must not fail the task).
+            # Decoder ladder, per payload: PIL (any format, if the env
+            # has it) → pure-Python PNG (always available — public
+            # format, decode_png above) → deterministic stub.  A
+            # corrupt/non-image payload must not fail the task.
             if _Image is not None and payload:
                 try:
                     with _Image.open(_io.BytesIO(payload)) as im:
@@ -100,6 +226,12 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                         return (im.width, im.height, len(im.getbands()),
                                 round(luma, 2), "pil")
                 except Exception:
+                    pass
+            if payload and payload.startswith(_PNG_MAGIC):
+                try:
+                    w, h, ch, luma = decode_png(payload)
+                    return (w, h, ch, round(luma, 2), "png")
+                except ValueError:
                     pass
             return _stub_row(payload)
 

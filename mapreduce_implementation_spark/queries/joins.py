@@ -554,3 +554,128 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "join_tpch_q8_shape",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_7'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey   = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN part     ON l_partkey   = p_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'LARGE'
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): one nation's share of "
+        "a part class's revenue among a region's customers, per order "
+        "year.  Seven-way star join — every dimension (part filter, "
+        "supplier->nation, customer->nation->region) broadcasts onto "
+        "the single lineitem->orders fact spine, so the whole query is "
+        "ONE fact shuffle (the orders join) + one agg shuffle; the "
+        "share is a conditional-sum / sum within each year group, no "
+        "second pass.  Revenue sums are rounded AFTER the division so "
+        "the 1e-12 summation-order jitter cannot flip the hash.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "LARGE")
+    asia_nat = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+               n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("_cnat"))
+    )
+    supp_nat = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_snatkey"),
+                             F.col("n_name").alias("_snat"))),
+        s.s_nationkey == F.col("_snatkey")).select("s_suppkey", "_snat")
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(asia_nat), c.c_nationkey == F.col("_cnat"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("_snat") == "NATION_7", vol).otherwise(0.0))
+            / F.sum(vol), 4).alias("mkt_share"))
+    )
+
+
+@register(
+    "join_tpch_q12_shape",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipping-priority audit), adapted: the "
+        "fixtures carry no l_shipmode, so the grouping stand-in is "
+        "l_linestatus.  The year filter pushes to the lineitem parquet "
+        "scan BEFORE the orders join (plan-pinned via PushedFilters), "
+        "and the priority split is conditional aggregation — one "
+        "shuffle for the join, one for the 2-row agg.",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")))
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+    )
+
+
+@register(
+    "join_tpch_q14_shape",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+      AND l_shipdate <  TIMESTAMP '1998-07-01'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): percent of one month's "
+        "revenue from PROMO-type parts.  The month filter prunes the "
+        "fact scan; the part dim broadcasts (no fact shuffle at all — "
+        "the single-row global agg is the only exchange).  Division "
+        "before rounding, as in Q8.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp")))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+            / F.sum(vol), 4).alias("promo_revenue"))
+    )

@@ -405,14 +405,22 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_distinct",
-    oracle=None,  # HLL++ estimates are engine-specific; accuracy pinned in tests
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE                    AS within_tol
+    FROM events GROUP BY event_type
+    """,
     doc="Distinct-count sketching (the 100 TB cardinality workhorse): "
         "approx_count_distinct (HyperLogLog++, mergeable fixed-size "
         "sketch, partial-aggregable — ONE narrow shuffle regardless of "
         "cardinality) next to the exact count_distinct (which shuffles "
-        "every distinct value).  No SQL oracle — DuckDB's approx sketch "
-        "differs — so the query emits both and tests pin relative error "
-        "<= 5%; deterministic for a given input (no RNG in HLL++).",
+        "every distinct value).  The HLL++ estimate itself is "
+        "engine-specific, so the hashable surface is the exact count "
+        "plus an in-query accuracy bound: within_tol pins "
+        "|approx - exact| / exact <= 5% (rsd=0.02) as a boolean the "
+        "oracle asserts TRUE.  HLL++ has no RNG, so the bound is a "
+        "deterministic regression pin, not a flaky tolerance.",
 )
 def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -423,9 +431,9 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", 0.02).alias("n_approx"),
         )
         .select(
-            "event_type", "n_exact", "n_approx",
-            F.round(F.abs(F.col("n_approx") - F.col("n_exact")) /
-                    F.greatest(F.col("n_exact"), F.lit(1)), 4).alias("rel_err"),
+            "event_type", "n_exact",
+            (F.abs(F.col("n_approx") - F.col("n_exact"))
+             / F.greatest(F.col("n_exact"), F.lit(1)) <= 0.05).alias("within_tol"),
         )
     )
 

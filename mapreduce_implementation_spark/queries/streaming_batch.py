@@ -185,3 +185,54 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_features(to_binary_payload(docs, "text"), "doc_id")
+
+
+@register(
+    "multimodal_decode_png",
+    oracle="""
+    SELECT vec_id,
+           8 AS width, 8 AS height, 1 AS channels,
+           CAST(list_sum(list_transform(embedding,
+                e -> CAST(floor(least(greatest((CAST(e AS DOUBLE) + 1) / 2, 0), 1)
+                          * 255) AS BIGINT))) AS BIGINT) AS luma_total,
+           'png' AS decoder
+    FROM embeddings
+    """,
+    doc="REAL image decode end-to-end, fully hash-oracled: each 64-dim "
+        "embedding renders to an 8x8 grayscale PNG payload (pure-Python "
+        "encoder, executor-side), then decode_image_features decodes it "
+        "back via the dependency-free PNG decoder (zlib inflate + "
+        "scanline de-filter).  luma_total reconstructs the exact integer "
+        "pixel sum from the rounded mean (|round err| * 64 < 0.5), so "
+        "DuckDB can recompute it from the quantization formula alone — "
+        "proving dimensions AND pixel content survive the encode->decode "
+        "trip.  Quantization is pure IEEE double math in both engines "
+        "(clip((e+1)/2) * 255, floored), so the hash comparison is "
+        "bit-exact.  At 100 TB payloads stay in executor Arrow batches; "
+        "only (id, features) rows leave the decode stage.",
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_png_gray
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def render(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                v = np.asarray(vec, dtype=np.float64)
+                px = np.floor(np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255.0)
+                payloads.append(encode_png_gray(px.astype(np.uint8).tobytes(), 8, 8))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+    rendered = emb.mapInPandas(render, schema="vec_id BIGINT, payload BINARY")
+    feats = decode_image_features(rendered, "vec_id")
+    return feats.select(
+        F.col("doc_id").alias("vec_id"),
+        "width", "height", "channels",
+        F.round(F.col("mean_luma") * 64).cast("long").alias("luma_total"),
+        "decoder",
+    )

@@ -66,12 +66,17 @@ _LOADED = False
 # Driver-sample rotation: the driver records ~50 queries per round in
 # registry iteration order.  Round-4 policy (VERDICT r03 item 2):
 # `pipeline_sequence_packing` stays FIRST (the one red r03 row — its
-# root-cause fix needs a green driver row), followed by the 88 queries
-# whose latest driver row dates from r01/r02 (stalest first, in their
-# prior registry order), then any round-4 additions; the r03-green
-# remainder keeps its import order at the back.
+# root-cause fix needs a green driver row), then the round-4 additions
+# (first-ever driver rows), then the queries whose latest driver row
+# dates from r01/r02 (stalest first, in their prior registry order);
+# the r03-green remainder keeps its import order at the back.
 _SAMPLE_FIRST = (
     "pipeline_sequence_packing",
+    # --- round-4 additions (no driver row yet) ---
+    "subq_tpch_q17_shape", "subq_tpch_q20_shape", "subq_tpch_q21_shape",
+    "subq_tpch_q2_shape", "subq_tpch_q11_shape", "subq_tpch_q16_shape",
+    "join_tpch_q8_shape", "join_tpch_q12_shape", "join_tpch_q14_shape",
+    "multimodal_decode_png", "agg_approx_stats", "agg_hll_distinct",
     # --- stale: latest driver row is r01/r02 ---
     "text_lang_id", "text_fingerprint", "text_tfidf_top3",
     "json_extract_events", "pipeline_fingerprint_dedup", "text_bm25_top10",
@@ -89,7 +94,7 @@ _SAMPLE_FIRST = (
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding_cosine", "dedup_clusters", "dedup_embedding_lsh",
     "dedup_ngram_jaccard_prefix", "dedup_tfidf_cosine",
-    "dedup_cluster_representatives", "agg_percentiles", "agg_approx_stats",
+    "dedup_cluster_representatives", "agg_percentiles",
     "agg_conditional_filter", "null_handling", "date_arithmetic",
     "array_functions", "grouping_sets_sql", "join_full_outer",
     "sql_correlated_subquery", "union_all_counts", "window_first_last",
@@ -102,8 +107,6 @@ _SAMPLE_FIRST = (
     "similarity_ann_lsh", "similarity_ann_ivf", "window_tumbling_events",
     "window_sliding_events", "sessionize_events", "stream_join_attribution",
     "multimodal_binary_meta", "multimodal_decode_stub",
-    # --- round-4 additions (never sampled by definition) ---
-    "subq_tpch_q17_shape", "subq_tpch_q20_shape", "subq_tpch_q21_shape",
 )
 
 

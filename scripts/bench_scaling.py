@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""sf0.1 -> sf1 scaling bench for the headline LLM-pipeline queries
+(VERDICT r03 item 8): measure each pipeline at sf0.1 and at a 10x
+synthetic sf1, and report the scaling exponent
+``log10(t_sf1 / t_sf0.1)`` — 1.0 = linear, <1 = sub-linear (fixed
+overheads amortizing), >1.1 = super-linear (a shuffle/skew/all-pairs
+problem that would sink a 100 TB run).
+
+The sf1 corpus is derived from the driver's sf0.1 fixtures (never
+hand-synthesized distributions): 10 replicas with shifted ids, where
+replica k>0 prefixes every token with ``q{k}`` (documents) or applies a
+k-dependent sign-flip pattern (embeddings).  This keeps per-doc length /
+vocabulary shape / vector norms identical while making replicas
+*disjoint* for dedup purposes — otherwise every doc would gain 9
+near-duplicates and candidate-pair counts would grow ~45x, measuring
+the data's duplication rate rather than the engine's scaling.
+
+Usage: python scripts/bench_scaling.py [--keep] [--runs N]
+Writes the JSON result to stdout; the sf1 dir lives under
+.bench_sf1/ (removed afterwards unless --keep).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1_DIR = os.path.join(_REPO, ".bench_sf1")
+REPLICAS = 10
+
+PIPELINES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_embedding_lsh",
+    "dedup_semantic_blocked",
+    "text_perplexity_buckets",
+    "pipeline_sequence_packing",
+]
+
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events"]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for t in PASSTHROUGH:
+        dst = os.path.join(SF1_DIR, f"{t}.parquet")
+        if not os.path.lexists(dst):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    parts = []
+    for k in range(REPLICAS):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 100_000_000))
+        if k:
+            d = d.withColumn(
+                "text", F.regexp_replace("text", "([A-Za-z]+)", f"q{k}$1"))
+        parts.append(d)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    parts = []
+    for k in range(REPLICAS):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 100_000_000))
+        if k:
+            flip = F.transform(
+                "embedding",
+                lambda x, i, _k=k: F.when((i * (_k + 3)) % 3 == 0, -x).otherwise(x))
+            e = e.withColumn("embedding", flip)
+        parts.append(e)
+    out = parts[0]
+    for e in parts[1:]:
+        out = out.unionByName(e)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "embeddings.parquet"))
+
+
+def bench(spark, specs, sf_dir: str, runs: int) -> dict[str, float]:
+    from mapreduce_implementation_spark.operators.caching import release_persisted
+
+    out: dict[str, float] = {}
+    for name in PIPELINES:
+        rr = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rr.append(round(time.perf_counter() - t0, 3))
+            release_persisted()
+        out[name] = min(rr[1:]) if len(rr) > 1 else rr[0]  # min-of-warm
+    return out
+
+
+def main() -> None:
+    keep = "--keep" in sys.argv
+    runs = 3
+    for a in sys.argv[1:]:
+        if a.startswith("--runs"):
+            runs = int(a.split("=", 1)[1])
+
+    from mapreduce_implementation_spark.registry import all_specs
+    from mapreduce_implementation_spark.session import get_spark
+
+    spark = get_spark("bench_scaling")
+    specs = all_specs()
+    build_sf1(spark)
+
+    small = bench(spark, specs, SRC, runs)
+    large = bench(spark, specs, SF1_DIR, runs)
+    exponents = {
+        n: round(math.log10(max(large[n], 1e-3) / max(small[n], 1e-3)), 3)
+        for n in PIPELINES
+    }
+    print(json.dumps({
+        "sf_small": SRC, "sf_large": f"{SF1_DIR} (10x replicated, disjoint)",
+        "runs_per_point": runs, "headline_is": "min_of_warm",
+        "sec_sf0_1": small, "sec_sf1": large,
+        "scaling_exponent_log10_ratio": exponents,
+    }, indent=1))
+
+    if not keep:
+        shutil.rmtree(SF1_DIR, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

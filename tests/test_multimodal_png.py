@@ -1,0 +1,137 @@
+"""Pure-Python PNG decode path (VERDICT r03 item 5): the decoder must
+recover true dimensions / channels / luma from real PNG bytes — all five
+scanline filter types, gray and RGB color types — and the Spark
+`decode_image_features` ladder must label PNG payloads 'png' while
+non-image payloads still fall back to the deterministic stub."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from mapreduce_implementation_spark.operators.multimodal import (
+    decode_image_features,
+    decode_png,
+    encode_png_gray,
+    to_binary_payload,
+)
+
+MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _png(width, height, color_type, scanlines: bytes, plte: bytes = b"") -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = MAGIC + _chunk(b"IHDR", ihdr)
+    if plte:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(scanlines)) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _filter_rows(pixels: list[list[int]], nch: int, ftypes: list[int]) -> bytes:
+    """Forward-filter known pixel rows (the encoder side of the spec) so
+    the decoder's reconstruction branches are tested against ground truth."""
+    stride = len(pixels[0])
+    out = bytearray()
+    prev = [0] * stride
+    for row, f in zip(pixels, ftypes):
+        out.append(f)
+        for i, x in enumerate(row):
+            a = row[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                out.append(x & 0xFF)
+            elif f == 1:
+                out.append((x - a) & 0xFF)
+            elif f == 2:
+                out.append((x - b) & 0xFF)
+            elif f == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            elif f == 4:
+                out.append((x - _paeth(a, b, c)) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def test_gray_roundtrip_exact():
+    px = bytes(range(64))
+    w, h, ch, luma = decode_png(encode_png_gray(px, 8, 8))
+    assert (w, h, ch) == (8, 8, 1)
+    assert luma == sum(px) / 64
+
+
+def test_all_filter_types_gray():
+    # 5 rows x 6 cols, one row per filter type 0..4
+    pixels = [[(r * 37 + c * 11 + (r * c) % 7) % 256 for c in range(6)]
+              for r in range(5)]
+    raw = _filter_rows(pixels, nch=1, ftypes=[0, 1, 2, 3, 4])
+    w, h, ch, luma = decode_png(_png(6, 5, 0, raw))
+    assert (w, h, ch) == (6, 5, 1)
+    assert luma == pytest.approx(sum(map(sum, pixels)) / 30)
+
+
+def test_rgb_rec601_luma():
+    # 2x2 RGB exercising Sub/Up/Paeth with 3-channel offsets
+    rows = [[255, 0, 0, 0, 255, 0], [0, 0, 255, 10, 20, 30]]
+    raw = _filter_rows(rows, nch=3, ftypes=[1, 4])
+    w, h, ch, luma = decode_png(_png(2, 2, 2, raw))
+    assert (w, h, ch) == (2, 2, 3)
+    expect = (0.299 * 255 + 0.587 * 255 + 0.114 * 255
+              + 0.299 * 10 + 0.587 * 20 + 0.114 * 30) / 4
+    assert luma == pytest.approx(expect)
+
+
+def test_palette_image():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    raw = _filter_rows([[0, 1, 2]], nch=1, ftypes=[0])
+    w, h, ch, luma = decode_png(_png(3, 1, 3, raw, plte=plte))
+    assert (w, h, ch) == (3, 1, 1)
+    assert luma == pytest.approx((0.299 * 255 + 0.587 * 255 + 0.114 * 255) / 3)
+
+
+def test_rejects_non_png_and_truncated():
+    with pytest.raises(ValueError):
+        decode_png(b"JFIF not a png")
+    with pytest.raises(ValueError):
+        decode_png(MAGIC + b"\x00\x00")  # header only
+    # 16-bit depth is an unsupported variant, not a crash
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    deep = MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+    with pytest.raises(ValueError):
+        decode_png(deep)
+
+
+def test_decoder_ladder_in_spark(spark):
+    """PNG payloads decode for real ('png'); non-image bytes fall back to
+    the labeled stub — in one DataFrame, through the mapInPandas path."""
+    png_payload = encode_png_gray(bytes([100] * 64), 8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(png_payload)), (2, bytearray(b"plain text bytes"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_features(df).collect()}
+    assert rows[1].decoder == "png"
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (8, 8, 1)
+    assert rows[1].mean_luma == 100.0
+    assert rows[2].decoder == "stub"
+
+
+def test_text_payloads_still_stub(spark):
+    """The existing multimodal_decode_stub query payloads (text bytes)
+    must keep hitting the stub path."""
+    df = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    out = decode_image_features(to_binary_payload(df, "text")).collect()
+    assert out[0].decoder == "stub"

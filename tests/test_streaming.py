@@ -158,3 +158,79 @@ def test_streaming_curation_matches_batch(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark):
+    """Real micro-batch watermark semantics (only observable across
+    MULTIPLE batches — a single availableNow batch starts with no
+    watermark and drops nothing): files are consumed one per trigger in
+    mtime order, the watermark advances to max(ts) - 2h after each
+    batch, and a row arriving in batch 3 whose window closed behind the
+    batch-2 watermark must be dropped, not aggregated."""
+    import os
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="events_wm_")
+    try:
+        t0 = pd.Timestamp("2024-01-01 00:10:00")
+        def write(name, rows, mtime):
+            pd.DataFrame(rows, columns=["ts", "event_type", "value"]).to_parquet(
+                f"{d}/{name}")
+            os.utime(f"{d}/{name}", (mtime, mtime))
+        base = 1_700_000_000
+        # batch 1: two rows in the 00:00 window
+        write("f1.parquet", [(t0, "a", 1.0), (t0 + pd.Timedelta("5min"), "a", 2.0)], base)
+        # batch 2: advances the watermark to 08:00, closing the 00:00 window
+        write("f2.parquet", [(t0 + pd.Timedelta("9h50min"), "a", 4.0)], base + 60)
+        # batch 3: one LATE row for the closed 00:00 window (must drop) and
+        # one on-time row (open window, held by append mode)
+        write("f3.parquet", [(t0 + pd.Timedelta("10min"), "a", 8.0),
+                             (t0 + pd.Timedelta("10h20min"), "a", 16.0)], base + 120)
+        stream = (spark.readStream.schema("ts timestamp, event_type string, value double")
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        _run_stream(windowed_event_agg(stream), "wm_out", "append")
+        rows = spark.sql("SELECT * FROM wm_out").collect()
+        assert len(rows) == 1, f"expected exactly the closed 00:00 window, got {rows}"
+        assert str(rows[0]["window_start"]).startswith("2024-01-01 00:00")
+        assert rows[0]["n"] == 2, "late row leaked into a watermark-closed window"
+        assert rows[0]["sum_value"] == 3.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpoint_resume_exactly_once(spark):
+    """Durable-sink restart semantics: an availableNow run to a parquet
+    sink with a checkpoint, then new files + a SECOND run reusing the
+    same checkpoint, must process each input file exactly once (no
+    reprocessing of batch-1 data, no loss of batch-2 data)."""
+    import pandas as pd
+
+    src = tempfile.mkdtemp(prefix="ckpt_src_")
+    sink = tempfile.mkdtemp(prefix="ckpt_sink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    try:
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", "gamma"]}).to_parquet(
+            f"{src}/f1.parquet")
+
+        def run_once():
+            stream = (spark.readStream.schema("doc_id long, text string").parquet(src)
+                      .select("doc_id", F.upper("text").alias("text_uc")))
+            q = (stream.writeStream.format("parquet").outputMode("append")
+                 .option("path", sink).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_once()
+        first = spark.read.parquet(sink).collect()
+        assert {(r.doc_id, r.text_uc) for r in first} == {(1, "ALPHA BETA"), (2, "GAMMA")}
+
+        pd.DataFrame({"doc_id": [3], "text": ["delta"]}).to_parquet(f"{src}/f2.parquet")
+        run_once()
+        rows = spark.read.parquet(sink).collect()
+        assert len(rows) == 3, f"exactly-once violated: {rows}"
+        assert {(r.doc_id, r.text_uc) for r in rows} == {
+            (1, "ALPHA BETA"), (2, "GAMMA"), (3, "DELTA")}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(sink.rsplit("/", 1)[0], ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
