@@ -61,6 +61,10 @@ HEADLINE = [
     "text_quality_classifier",
     "pipeline_curation_stats",
     "pipeline_sequence_packing",
+    # round 4 additions: hard decorrelation, map-only chunking, real decode
+    "subq_tpch_q21_shape",
+    "text_chunk_overlap",
+    "multimodal_decode_png",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

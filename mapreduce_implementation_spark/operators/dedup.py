@@ -397,13 +397,19 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     sum(|doc|*(1-t)+1) postings, and — because prefixes keep each doc's
     RAREST grams — the stop-gram buckets that dominate the classic
     inverted index's skew (every doc shares ``the quick brown``-style
-    grams) fall out of the join entirely.  Verification computes the
-    exact intersection with ``array_intersect`` over the two docs' full
-    sorted gram arrays (carried as columns; bounded by doc length, no
-    extra shuffle) — the standard records-pair verify step.
-    """
-    import math
+    grams) fall out of the join entirely.
 
+    Shuffle-width discipline (the sf0.1->sf1 scaling bench caught the
+    original formulation at 18x-over-linear): the posting join and the
+    candidate-pair dedup move ONLY (id, sz, prefix_gram) rows — never
+    the gram arrays.  Carrying each doc's full gram array through the
+    exploded posting frame multiplies the array payload by the prefix
+    length and shuffles it through the join AND the dedup; at 10x the
+    corpus that is tens of GB of redundant array traffic.  Instead the
+    deduped narrow (a, b) pairs re-join the per-doc gram arrays (one
+    array copy per doc per side) for the exact ``array_intersect``
+    verification — the standard records-pair verify step.
+    """
     grams = word_ngrams(df, id_col, text_col, n=n).select(id_col, "ngram").distinct()
     dfreq = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (
@@ -416,28 +422,29 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
             F.size("_ord").alias("_sz"),
         )
     )
+    # doc gram arrays, materialized once: the prefix explode below and
+    # the two verify-side rejoins all read this cache
+    ordered = tracked_persist(ordered)
     # prefix length |g| - ceil(t*|g|) + 1  (ceil via -floor(-x))
     plen = F.col("_sz") - (-F.floor(-F.lit(float(min_jaccard)) * F.col("_sz"))).cast("int") + 1
     pref = ordered.select(
-        id_col, "_grams", "_sz",
+        id_col, "_sz",
         F.explode(F.slice("_grams", 1, plen)).alias("_pg"),
     )
-    # pref feeds both join sides; persist so the gram build + df join +
-    # collect_list shuffle run once, not twice.
-    pref = tracked_persist(pref)
-    a = pref.select(F.col(id_col).alias("a"), F.col("_grams").alias("_ga"),
-                    F.col("_sz").alias("sz_a"), "_pg")
-    b = pref.select(F.col(id_col).alias("b"), F.col("_grams").alias("_gb"),
-                    F.col("_sz").alias("sz_b"), "_pg")
+    a = pref.select(F.col(id_col).alias("a"), F.col("_sz").alias("sz_a"), "_pg")
+    b = pref.select(F.col(id_col).alias("b"), F.col("_sz").alias("sz_b"), "_pg")
     cand = (
         a.join(b, "_pg").filter(F.col("a") < F.col("b"))
-        .select("a", "b", "_ga", "_gb", "sz_a", "sz_b")
+        .select("a", "b", "sz_a", "sz_b")
         .dropDuplicates(["a", "b"])
     )
+    ga = ordered.select(F.col(id_col).alias("a"), F.col("_grams").alias("_ga"))
+    gb = ordered.select(F.col(id_col).alias("b"), F.col("_grams").alias("_gb"))
+    verified = cand.join(ga, "a").join(gb, "b")
     inter = F.size(F.array_intersect("_ga", "_gb"))
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        cand.filter(jac >= min_jaccard)
+        verified.filter(jac >= min_jaccard)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -126,13 +126,16 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def fingerprint(df: DataFrame, id_col: str, text_col: str,
+                keep: list[str] | None = None) -> DataFrame:
     """Content fingerprints: md5 of the normalized token stream (stable
     under whitespace/punctuation noise — the classic content-defined
-    dedup key) plus raw-text md5."""
+    dedup key) plus raw-text md5.  ``keep`` carries extra columns
+    through (e.g. source, for per-source dup reporting)."""
     norm_joined = F.concat_ws(" ", F.filter(tokens_array(F.col(text_col)), lambda t: t != ""))
     return df.select(
         id_col,
+        *(keep or []),
         F.md5(F.col(text_col).cast("binary")).alias("raw_md5"),
         F.md5(norm_joined.cast("binary")).alias("content_md5"),
     )

@@ -539,3 +539,51 @@ def q_dedup_span_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_dedup_rebuild(docs, "doc_id", "text", span_tokens=10)
+
+
+@register(
+    "dedup_source_stats",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(array_to_string(list_filter(
+                 string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                 t -> t <> ''), ' ')) AS content_fp
+      FROM documents
+    )
+    SELECT source,
+           count(*)                                        AS n_docs,
+           count(DISTINCT content_fp)                      AS n_uniq,
+           CAST(count(*) - count(DISTINCT content_fp) AS BIGINT) AS n_dups,
+           round((count(*) - count(DISTINCT content_fp)) * 1.0
+                 / count(*), 4)                            AS dup_rate
+    FROM fp GROUP BY source
+    """,
+    doc="Per-source duplication report (the curation dashboard every "
+        "crawl pipeline keys mixture decisions on: which domains/feeds "
+        "are pasting the same content): exact-dup rate per source via "
+        "the normalized content fingerprint.  One scan, one partial-agg "
+        "shuffle on source; count(DISTINCT fp) is Catalyst's two-phase "
+        "distinct expand, never a driver collect.  The fingerprint is "
+        "the SAME normalized-token md5 as text_fingerprint /"
+        "pipeline_fingerprint_dedup, so the report composes with the "
+        "dedup operators it is sizing.",
+)
+def q_dedup_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(docs, "doc_id", "text", keep=["source"])
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("content_md5").alias("n_uniq"),
+        )
+        .select(
+            "source", "n_docs", "n_uniq",
+            (F.col("n_docs") - F.col("n_uniq")).alias("n_dups"),
+            F.round((F.col("n_docs") - F.col("n_uniq"))
+                    / F.col("n_docs"), 4).alias("dup_rate"),
+        )
+    )

@@ -525,3 +525,42 @@ def q_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("long").alias("n_days"),
         F.explode("m").alias("dow", "n_events"),
     )
+
+
+@register(
+    "sketch_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE                    AS within_tol
+    FROM events GROUP BY event_type
+    """,
+    doc="Mergeable-sketch rollup (the incremental cardinality pattern a "
+        "100 TB warehouse stores): per-day HLL sketches built with "
+        "hll_sketch_agg (Apache DataSketches binary), then UNION-MERGED "
+        "across days with hll_union_agg to answer the all-time distinct "
+        "question WITHOUT rescanning raw events — exactly how a daily "
+        "ETL materializes sketches once and serves arbitrary rollups.  "
+        "Differs from agg_hll_distinct (one-shot approx_count_distinct): "
+        "this path proves sketch STORAGE + MERGE associativity.  The "
+        "hashable surface is the exact count plus a <=5% error-bound "
+        "boolean, same convention as the other sketch queries.",
+)
+def q_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_n_est"))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type", "n_exact",
+            (F.abs(F.col("_n_est") - F.col("n_exact"))
+             / F.greatest(F.col("n_exact"), F.lit(1)) <= 0.05).alias("within_tol"),
+        )
+    )

@@ -915,3 +915,99 @@ def q_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return batch_inference_scores(docs, "doc_id", "text")
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                         t -> t <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(gs // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, gs + 1, gs + 64)) AS BIGINT) AS n_chunk_tok,
+           md5(array_to_string(list_slice(toks, gs + 1, gs + 64), ' ')) AS chunk_fp
+    FROM tok, LATERAL unnest(range(0, len(toks), 48)) AS u(gs)
+    """,
+    doc="RAG-style overlapping chunking (retrieval-index build step): "
+        "each doc's token stream splits into 64-token windows every 48 "
+        "tokens (16-token overlap), emitting per-chunk token counts and "
+        "content fingerprints.  Pure in-row array work — sequence + "
+        "slice higher-order expressions, ZERO shuffles and no Python — "
+        "so at 100 TB it is a single map-only scan; empty docs emit no "
+        "chunks (explode of an empty start list).  chunk_fp is the md5 "
+        "of the space-joined window, the join key a vector store would "
+        "dedup/upsert on.",
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import tokens_array
+
+    size, stride = 64, 48
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens_array(F.col("text")), lambda t: t != "")
+    starts = F.when(
+        F.size("toks") > 0,
+        F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("gs", F.explode(starts))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(gs div {stride} AS BIGINT)").alias("chunk_idx"),
+            F.expr(f"slice(toks, gs + 1, {size})").alias("ctoks"),
+        )
+        .select(
+            "doc_id", "chunk_idx",
+            F.size("ctoks").cast("long").alias("n_chunk_tok"),
+            F.md5(F.concat_ws(" ", "ctoks").cast("binary")).alias("chunk_fp"),
+        )
+    )
+
+
+@register(
+    "text_zipf_alpha",
+    oracle=_DUCK_TOKS + """,
+    wc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM wc)
+    SELECT round(-regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_alpha,
+           round(regr_r2(ln(cnt), ln(rnk)), 4)     AS fit_r2,
+           count(*)                                AS n_vocab
+    FROM r
+    """,
+    doc="Zipf-law fit over the corpus vocabulary (the classic "
+        "natural-text diagnostic: alpha ~ 1 for organic text, far off "
+        "for boilerplate/spam/generated corpora): OLS slope of "
+        "log-frequency vs log-rank via the built-in REGR_* aggregates.  "
+        "The global frequency rank uses the distributed two-phase "
+        "prefix sum (rank = running count of 1 in (cnt desc, word) "
+        "order), NEVER a single-partition window — at 100 TB the "
+        "vocabulary is 10^8 rows and a global ROW_NUMBER would "
+        "serialize it through one task.  Equal-count ties swap ranks "
+        "between tied words only, which permutes identical (y=ln cnt) "
+        "points across adjacent x values but leaves the fitted point "
+        "SET deterministic per tie-block ordering (tok tiebreaker "
+        "matches the oracle exactly).",
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import tokens_array
+    from ..operators.windows import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens_array(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = global_running_sum(
+        wc, "_one", [F.col("cnt").desc(), F.col("tok").asc()], out="rnk")
+    return ranked.agg(
+        F.round(-F.expr("regr_slope(ln(cnt), ln(rnk))"), 4).alias("zipf_alpha"),
+        F.round(F.expr("regr_r2(ln(cnt), ln(rnk))"), 4).alias("fit_r2"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )

@@ -77,10 +77,11 @@ def build_sf1(spark) -> None:
     for k in range(REPLICAS):
         e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 100_000_000))
         if k:
-            flip = F.transform(
-                "embedding",
-                lambda x, i, _k=k: F.when((i * (_k + 3)) % 3 == 0, -x).otherwise(x))
-            e = e.withColumn("embedding", flip)
+            def _flip(_k):
+                return F.transform(
+                    "embedding",
+                    lambda x, i: F.when((i * (_k + 3)) % 3 == 0, -x).otherwise(x))
+            e = e.withColumn("embedding", _flip(k))
         parts.append(e)
     out = parts[0]
     for e in parts[1:]:

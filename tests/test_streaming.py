@@ -174,26 +174,38 @@ def test_watermark_drops_late_rows_across_microbatches(spark):
     try:
         t0 = pd.Timestamp("2024-01-01 00:10:00")
         def write(name, rows, mtime):
+            # micros, not pandas-default nanos: Spark's vectorized reader
+            # rejects INT64(nanos) under a `timestamp` read schema
             pd.DataFrame(rows, columns=["ts", "event_type", "value"]).to_parquet(
-                f"{d}/{name}")
+                f"{d}/{name}", coerce_timestamps="us", allow_truncated_timestamps=True)
             os.utime(f"{d}/{name}", (mtime, mtime))
         base = 1_700_000_000
         # batch 1: two rows in the 00:00 window
         write("f1.parquet", [(t0, "a", 1.0), (t0 + pd.Timedelta("5min"), "a", 2.0)], base)
-        # batch 2: advances the watermark to 08:00, closing the 00:00 window
+        # batch 2: event at 10:00 — the wm computed from it (08:00) takes
+        # effect for FILTERING one batch later (the state operator filters
+        # with the previous batch's committed watermark)
         write("f2.parquet", [(t0 + pd.Timedelta("9h50min"), "a", 4.0)], base + 60)
-        # batch 3: one LATE row for the closed 00:00 window (must drop) and
-        # one on-time row (open window, held by append mode)
-        write("f3.parquet", [(t0 + pd.Timedelta("10min"), "a", 8.0),
-                             (t0 + pd.Timedelta("10h20min"), "a", 16.0)], base + 120)
+        # batch 3: on-time row; runs under wm=08:00, closing the 00:00 window
+        write("f3.parquet", [(t0 + pd.Timedelta("10h20min"), "a", 16.0)], base + 120)
+        # batch 4: one LATE row for the closed 00:00 window — must be
+        # dropped by the watermark, not aggregated
+        write("f4.parquet", [(t0 + pd.Timedelta("10min"), "a", 8.0)], base + 180)
         stream = (spark.readStream.schema("ts timestamp, event_type string, value double")
                   .option("maxFilesPerTrigger", 1).parquet(d))
-        _run_stream(windowed_event_agg(stream), "wm_out", "append")
+        q = (windowed_event_agg(stream).writeStream.outputMode("append")
+             .format("memory").queryName("wm_out")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
         rows = spark.sql("SELECT * FROM wm_out").collect()
         assert len(rows) == 1, f"expected exactly the closed 00:00 window, got {rows}"
         assert str(rows[0]["window_start"]).startswith("2024-01-01 00:00")
         assert rows[0]["n"] == 2, "late row leaked into a watermark-closed window"
         assert rows[0]["sum_value"] == 3.0
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress for op in p.get("stateOperators", []))
+        assert dropped == 1, f"expected exactly the one late row dropped, got {dropped}"
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
