@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_aggregate", "top_k", "union_all", "union_distinct",
     "intersect_distinct", "except_distinct", "rollup_agg", "cube_agg",
-    "pivot_agg",
+    "pivot_agg", "merge_upsert",
 ]
 
 
@@ -64,3 +64,33 @@ def pivot_agg(df: DataFrame, key: str, pivot_col: str, values: list[str],
     """Pivot with an explicit value list — mandatory at scale (without it
     Spark runs an extra distinct job over the pivot column)."""
     return df.groupBy(key).pivot(pivot_col, values).agg(agg)
+
+
+def merge_upsert(snapshot: DataFrame, changes: DataFrame, keys: list[str],
+                 op_col: str = "op", seq_col: str | None = None) -> DataFrame:
+    """CDC MERGE: apply an insert/update/delete change batch to a snapshot.
+
+    ``changes`` carries the snapshot's data columns plus ``op_col``
+    ('I'/'U'/'D') and optionally ``seq_col`` (change-log order).  The
+    latest change per key wins; 'D' removes the key, anything else
+    replaces or creates the full row — the Delta/Iceberg MERGE INTO
+    semantics on plain DataFrames (dedup-then-anti-join-then-union is
+    exactly how those table formats rewrite non-matching files).
+
+    Scale: latest-per-key is a keyed window over the CHANGE BATCH only
+    (typically ≪ snapshot); the snapshot itself flows through one
+    left-anti hash join on the key and is never widened or re-sorted —
+    unchanged rows stream straight to the sink.  With both sides
+    bucketed by the key the anti join is also shuffle-free.
+    """
+    from pyspark.sql.window import Window
+
+    data_cols = list(snapshot.columns)
+    ch = changes
+    if seq_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+        ch = (ch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    kept = snapshot.join(ch.select(*keys), keys, "left_anti")
+    applied = ch.filter(F.col(op_col) != "D").select(*data_cols)
+    return kept.unionByName(applied)

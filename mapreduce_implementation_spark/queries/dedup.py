@@ -587,3 +587,107 @@ def q_dedup_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("n_docs"), 4).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "corpus_overlap_sources",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, tok, pos FROM (
+        SELECT doc_id, source, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM (SELECT doc_id, source,
+                     string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' ') AS toks
+              FROM documents)
+      ) WHERE tok <> ''
+    ),
+    grams AS (
+      SELECT DISTINCT source, tri FROM (
+        SELECT source,
+               concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w) AS tri,
+               lead(tok,2) OVER w AS _l2
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE _l2 IS NOT NULL
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+    common AS (
+      SELECT a.source AS sa, b.source AS sb, count(*) AS c
+      FROM grams a JOIN grams b ON a.tri = b.tri AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_filter(
+                 string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                 t -> t <> ''), ' ')) AS fpp
+      FROM documents
+    ),
+    fcommon AS (
+      SELECT a.source AS sa, b.source AS sb, count(*) AS c
+      FROM fp a JOIN fp b ON a.fpp = b.fpp AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa.source AS src_a, sb.source AS src_b,
+           sa.n AS n_grams_a, sb.n AS n_grams_b,
+           CAST(COALESCE(common.c, 0) AS BIGINT) AS n_common_grams,
+           round(COALESCE(common.c, 0) * 1.0
+                 / (sa.n + sb.n - COALESCE(common.c, 0)), 6) AS jaccard_grams,
+           CAST(COALESCE(fcommon.c, 0) AS BIGINT) AS n_exact_common
+    FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN common ON common.sa = sa.source AND common.sb = sb.source
+    LEFT JOIN fcommon ON fcommon.sa = sa.source AND fcommon.sb = sb.source
+    """,
+    doc="Pairwise SOURCE-overlap matrix (the cross-source contamination "
+        "dashboard: which feeds are scraping each other): trigram-set "
+        "Jaccard per source pair plus the exact normalized-fingerprint "
+        "intersection.  Distinct (source, gram) is a map-side-combinable "
+        "aggregate off the zero-shuffle per-row gram window; the gram "
+        "self-join is an inverted-index equi-join whose per-gram width "
+        "is bounded by the SOURCE count squared (a constant), never the "
+        "corpus size — at 100 TB the corpus-frequency cap used by the "
+        "PPJoin path applies verbatim to universal stop-grams.  All "
+        "source pairs are emitted (zeros included) via a broadcast "
+        "cross of the tiny per-source size frame.",
+)
+def q_corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_ngrams
+    from ..operators.textstats import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (word_ngrams(docs, "source", "text", 3)
+             .select("source", F.col("ngram").alias("tri")).distinct())
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        grams.withColumnRenamed("source", "sa")
+        .join(grams.withColumnRenamed("source", "sb"), "tri")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("c"))
+    )
+    fp = (fingerprint(docs, "doc_id", "text", keep=["source"])
+          .select("source", F.col("content_md5").alias("fpp")).distinct())
+    fcommon = (
+        fp.withColumnRenamed("source", "sa")
+        .join(fp.withColumnRenamed("source", "sb"), "fpp")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("fc"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_grams_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_grams_b"))
+    pairs = sa.join(F.broadcast(sb), F.col("src_a") < F.col("src_b"))
+    return (
+        pairs
+        .join(F.broadcast(common),
+              (F.col("src_a") == F.col("sa")) & (F.col("src_b") == F.col("sb")),
+              "left").drop("sa", "sb")
+        .join(F.broadcast(fcommon),
+              (F.col("src_a") == F.col("sa")) & (F.col("src_b") == F.col("sb")),
+              "left").drop("sa", "sb")
+        .select(
+            "src_a", "src_b", "n_grams_a", "n_grams_b",
+            F.coalesce(F.col("c"), F.lit(0)).alias("n_common_grams"),
+            F.round(F.coalesce(F.col("c"), F.lit(0))
+                    / (F.col("n_grams_a") + F.col("n_grams_b")
+                       - F.coalesce(F.col("c"), F.lit(0))), 6).alias("jaccard_grams"),
+            F.coalesce(F.col("fc"), F.lit(0)).alias("n_exact_common"),
+        )
+    )

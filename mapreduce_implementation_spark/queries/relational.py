@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.relational import (
-    cube_agg, hash_aggregate, pivot_agg, rollup_agg, top_k,
+    cube_agg, hash_aggregate, merge_upsert, pivot_agg, rollup_agg, top_k,
     union_distinct, intersect_distinct, except_distinct,
 )
 from ..registry import register
@@ -564,3 +564,84 @@ def q_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.greatest(F.col("n_exact"), F.lit(1)) <= 0.05).alias("within_tol"),
         )
     )
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH ch AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment,
+             'U' AS op, 1 AS seq
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 200, 2), c_mktsegment, 'U', 2
+      FROM customer WHERE c_custkey % 100 = 3
+      UNION ALL
+      SELECT c_custkey, NULL, NULL, NULL, NULL, 'D', 1
+      FROM customer WHERE c_custkey % 10 = 7
+      UNION ALL
+      SELECT -(c_custkey + 1), 'new_' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, 0.0, c_mktsegment, 'I', 1
+      FROM customer WHERE c_custkey % 10 = 1
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                                        ORDER BY seq DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    ),
+    snap AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+      FROM customer
+    )
+    SELECT * FROM snap
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM latest WHERE op <> 'D'
+    """,
+    doc="CDC MERGE INTO (the Delta/Iceberg upsert semantics on plain "
+        "DataFrames): a derived change batch (updates +100 on keys "
+        "%10=3, a SECOND later update +200 on %100=3 — pins "
+        "latest-change-wins, deletes on %10=7, inserts of brand-new "
+        "negative keys on %10=1) applied to the customer snapshot.  "
+        "Latest-per-key is a window over the small change batch only; "
+        "the snapshot flows through one left-anti hash join and "
+        "unchanged rows are never widened or re-sorted.",
+)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    snap = cust.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+    upd1 = (cust.filter(F.col("c_custkey") % 10 == 3)
+            .select("c_custkey", "c_name", "c_nationkey",
+                    F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+                    "c_mktsegment",
+                    F.lit("U").alias("op"), F.lit(1).alias("seq")))
+    upd2 = (cust.filter(F.col("c_custkey") % 100 == 3)
+            .select("c_custkey", "c_name", "c_nationkey",
+                    F.round(F.col("c_acctbal") + 200, 2).alias("c_acctbal"),
+                    "c_mktsegment",
+                    F.lit("U").alias("op"), F.lit(2).alias("seq")))
+    dels = (cust.filter(F.col("c_custkey") % 10 == 7)
+            .select("c_custkey",
+                    F.lit(None).cast("string").alias("c_name"),
+                    F.lit(None).cast("int").alias("c_nationkey"),
+                    F.lit(None).cast("double").alias("c_acctbal"),
+                    F.lit(None).cast("string").alias("c_mktsegment"),
+                    F.lit("D").alias("op"), F.lit(1).alias("seq")))
+    ins = (cust.filter(F.col("c_custkey") % 10 == 1)
+           .select((-(F.col("c_custkey") + 1)).alias("c_custkey"),
+                   F.concat(F.lit("new_"),
+                            F.col("c_custkey").cast("string")).alias("c_name"),
+                   "c_nationkey",
+                   F.lit(0.0).alias("c_acctbal"), "c_mktsegment",
+                   F.lit("I").alias("op"), F.lit(1).alias("seq")))
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    return merge_upsert(snap, changes, ["c_custkey"],
+                        op_col="op", seq_col="seq")

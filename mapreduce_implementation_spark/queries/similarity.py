@@ -20,6 +20,10 @@ _DIM = 64
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    if row is None:
+        raise ValueError(
+            f"query vector unavailable: no row with vec_id={vec_id} "
+            "(a caller-side parameter error, not an engine state)")
     return [float(x) for x in row["embedding"]]
 
 
@@ -150,3 +154,97 @@ def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_cosine_topk(emb, "vec_id", "embedding",
                                  _query_vec(spark, sf_dir), k=10, exclude_id=0)
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(list_filter(
+            string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+            t -> t <> '')) AS tok
+        FROM documents WHERE doc_id <> 0
+      )
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN ('hash', 'join', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+      FROM tf JOIN dl USING (doc_id)
+      JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN stats
+    ),
+    agg AS (SELECT doc_id, round(sum(c), 6) AS bm25 FROM scored GROUP BY doc_id),
+    bm20 AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM agg
+      ) WHERE r <= 20
+    ),
+    cs20 AS (
+      SELECT doc_id, r FROM (
+        SELECT b.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) DESC, b.vec_id) AS r
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id = 0 AND b.vec_id <> 0
+      ) WHERE r <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(bm20.doc_id, cs20.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + bm20.r), 0)
+                   + COALESCE(1.0 / (60 + cs20.r), 0), 6) AS rrf
+      FROM bm20 FULL OUTER JOIN cs20 ON bm20.doc_id = cs20.doc_id
+    )
+    SELECT doc_id, rrf, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT doc_id, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion (the RAG-stack "
+        "standard): BM25 top-20 for the query terms {hash, join, window} "
+        "fused with embedding-cosine top-20 to the query vector (vec 0 "
+        "= its document, excluded from both lists) via "
+        "RRF(k=60) = sum 1/(60+rank).  Both retrieval legs are the "
+        "already-proven scale paths (aggregation-based BM25, one-scan "
+        "TakeOrderedAndProject cosine); fusion itself is a full-outer "
+        "join of two 20-row frames — driver-negligible whatever the "
+        "corpus size, because rank lists are top-k by construction.",
+)
+def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.textstats import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    bm = (bm25_topk(docs, "doc_id", "text", ("hash", "join", "window"), k=20)
+          .select("doc_id", F.col("rank").alias("r_bm")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    cos = cosine_topk(emb, "vec_id", "embedding",
+                      _query_vec(spark, sf_dir), k=20, exclude_id=0)
+    # rank windows run over the already-top-20 frames (<= 20 rows)
+    w_cos = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    cs = (cos.withColumn("r_cos", F.row_number().over(w_cos))
+          .select(F.col("vec_id").alias("doc_id"), "r_cos"))
+    fused = (
+        bm.join(cs, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.col("r_bm") + 60), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.col("r_cos") + 60), F.lit(0.0)),
+                6).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+    w_out = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w_out).cast("int"))

@@ -1011,3 +1011,51 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_r2(ln(cnt), ln(rnk))"), 4).alias("fit_r2"),
         F.count(F.lit(1)).alias("n_vocab"),
     )
+
+
+@register(
+    "split_train_valid_hash",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'valid'
+                  ELSE 'test' END AS split,
+             lang, n_chars
+      FROM b
+    )
+    SELECT split, lang,
+           count(*)                          AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)      AS sum_chars
+    FROM s GROUP BY split, lang
+    """,
+    doc="Deterministic train/valid/test split (90/5/5) by content-stable "
+        "hash of the document id — the reproducible-split discipline "
+        "every training pipeline needs (rerunning on a grown corpus "
+        "never moves an old doc across splits, unlike randomSplit whose "
+        "assignment depends on partitioning).  Bucket = first 16 bits "
+        "of md5(id) mod 100, a pure per-row expression inside "
+        "whole-stage codegen; the per-(split, lang) report is one "
+        "map-side-combinable aggregate.  Hash choice is engine-portable "
+        "(md5 hex — identical in Spark, DuckDB, Python), so the split "
+        "is stable across the batch engine, the streaming twin, and "
+        "any downstream reader.",
+)
+def q_split_train_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                     16, 10).cast("long") % 100)
+    split = (F.when(bucket < 90, "train")
+             .when(bucket < 95, "valid")
+             .otherwise("test"))
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+    )

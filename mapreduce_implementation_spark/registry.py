@@ -78,7 +78,8 @@ _SAMPLE_FIRST = (
     "join_tpch_q8_shape", "join_tpch_q12_shape", "join_tpch_q14_shape",
     "multimodal_decode_png", "agg_approx_stats", "agg_hll_distinct",
     "text_chunk_overlap", "text_zipf_alpha", "dedup_source_stats",
-    "sketch_hll_rollup",
+    "sketch_hll_rollup", "cdc_merge_upsert", "corpus_overlap_sources",
+    "split_train_valid_hash", "retrieval_rrf_fusion",
     # --- stale: latest driver row is r01/r02 ---
     "text_lang_id", "text_fingerprint", "text_tfidf_top3",
     "json_extract_events", "pipeline_fingerprint_dedup", "text_bm25_top10",

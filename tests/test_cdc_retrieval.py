@@ -1,0 +1,96 @@
+"""Round-4 operator semantics: CDC merge-upsert, RRF fusion, hash split,
+source-overlap — unit semantics on tiny frames plus the scale-posture
+plan pins the registry queries rely on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_implementation_spark.operators.relational import merge_upsert
+from mapreduce_implementation_spark.plans.inspect import plan_string
+from mapreduce_implementation_spark.registry import all_specs
+from tests.conftest import SF_DIR_001, SF_DIR_01
+
+SPECS = all_specs()
+
+
+def test_merge_upsert_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double")
+    changes = spark.createDataFrame(
+        [
+            (2, "b", 25.0, "U", 1),     # stale update …
+            (2, "b2", 29.0, "U", 2),    # … superseded: latest wins
+            (3, None, None, "D", 1),    # delete
+            (4, "d", 40.0, "I", 1),     # brand-new key
+        ],
+        "k long, name string, bal double, op string, seq int")
+    out = {r["k"]: (r["name"], r["bal"])
+           for r in merge_upsert(snap, changes, ["k"],
+                                 op_col="op", seq_col="seq").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 29.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_no_seq_single_change_per_key(spark):
+    snap = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    changes = spark.createDataFrame([(1, 2.0, "U")], "k long, v double, op string")
+    rows = merge_upsert(snap, changes, ["k"], op_col="op").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 2.0)]
+
+
+def test_cdc_merge_plan_hash_joins_only(spark):
+    """The snapshot flows through a hash LeftAnti join — never a nested
+    loop or cartesian — and unchanged rows are not widened by change
+    columns (no op/seq in the kept-side projection)."""
+    df = SPECS["cdc_merge_upsert"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rrf_fusion_rank_contract(spark):
+    """Ranks are 1..n with strictly non-increasing rrf, and every rrf is
+    a sum of at most two reciprocal-rank terms bounded by 2/61."""
+    rows = (SPECS["retrieval_rrf_fusion"].fn(spark, SF_DIR_001)
+            .orderBy("rank").collect())
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) > 0
+    vals = [r["rrf"] for r in rows]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert all(0 < v <= round(2 / 61, 6) + 1e-9 for v in vals)
+
+
+def test_split_is_content_stable(spark):
+    """Growing the corpus never reassigns an existing doc: the split of
+    doc_id d is a pure function of d (the whole point vs randomSplit)."""
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                     16, 10).cast("long") % 100)
+    split = (F.when(bucket < 90, "train")
+             .when(bucket < 95, "valid").otherwise("test"))
+    small = spark.range(100).withColumnRenamed("id", "doc_id").select(
+        "doc_id", split.alias("split"))
+    grown = spark.range(1000).withColumnRenamed("id", "doc_id").select(
+        "doc_id", split.alias("split"))
+    joined = small.alias("s").join(grown.alias("g"), "doc_id")
+    assert joined.filter(F.col("s.split") != F.col("g.split")).count() == 0
+    # and it is a real 90/5/5-ish partition, not degenerate
+    parts = {r["split"]: r["n"] for r in
+             grown.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(parts) == {"train", "valid", "test"}
+    assert parts["train"] > parts["valid"] and parts["train"] > parts["test"]
+
+
+def test_corpus_overlap_symmetric_bounds(spark):
+    """Jaccard in [0,1]; common grams never exceed either side; the pair
+    matrix covers every unordered source pair exactly once."""
+    rows = SPECS["corpus_overlap_sources"].fn(spark, SF_DIR_001).collect()
+    srcs = set()
+    for r in rows:
+        srcs.add(r["src_a"]); srcs.add(r["src_b"])
+        assert r["src_a"] < r["src_b"]
+        assert 0.0 <= r["jaccard_grams"] <= 1.0
+        assert r["n_common_grams"] <= min(r["n_grams_a"], r["n_grams_b"])
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2

@@ -436,3 +436,36 @@ def test_prefix_jaccard_candidate_join_is_narrow(spark):
             posting_nodes += 1
             assert not re.search(r"_grams|_ga#|_gb#", blk), (head, blk)
     assert posting_nodes >= 1, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Runtime row-level bloom filtering (the shuffle-width killer for
+    selective fact⋈filtered-dim joins at 100 TB): with the optimizer
+    flag on, Catalyst builds a bloom filter from the filtered orders
+    side and injects might_contain() into the lineitem scan, dropping
+    non-joining fact rows BEFORE the shuffle.  Local fixture sizes sit
+    under the production application-side threshold (10 GB), so the
+    test lowers it to prove the rewrite fires; production keeps the
+    defaults and gets this automatically at real scale."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR_01, "lineitem")
+        o = (load_table(spark, SF_DIR_01, "orders")
+             .filter(F.col("o_totalprice") > 400000))
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

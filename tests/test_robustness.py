@@ -46,6 +46,11 @@ _REPRESENTATIVES = [
     "graph_triangle_count",      # triangle join on empty edges
     "pipeline_sequence_packing", # two-phase prefix sum of nothing
     "inference_scores_batched",  # mapInPandas with zero batches
+    # round-4 families
+    "cdc_merge_upsert",          # MERGE with an empty change batch + snapshot
+    "corpus_overlap_sources",    # pair matrix over zero sources
+    "split_train_valid_hash",    # hash-bucket split of nothing
+    "retrieval_rrf_fusion",      # fusion when both rank lists are empty
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
