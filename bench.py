@@ -65,6 +65,10 @@ HEADLINE = [
     "subq_tpch_q21_shape",
     "text_chunk_overlap",
     "multimodal_decode_png",
+    # round 4 session 2: MERGE, hybrid retrieval, iterative communities
+    "cdc_merge_upsert",
+    "retrieval_rrf_fusion",
+    "graph_label_propagation",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs_prefix", "tfidf_cosine_pairs",
     "minhash_signatures", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
     "cluster_representatives", "near_dup_filter_against",
     "span_chunks", "span_dedup_rebuild",
@@ -293,6 +294,46 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         inter.join(sa, "a").join(sb, "b")
         .filter(jac >= min_jaccard)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 3, min_containment: float = 0.8) -> DataFrame:
+    """(a, b, containment, jaccard) — EXACT n-gram CONTAINMENT join
+    (overlap coefficient |A∩B| / min(|A|,|B|)): the asymmetric-dup
+    detector Jaccard misses.  A short doc quoted nearly whole inside a
+    long one has tiny Jaccard (the union is dominated by the long doc)
+    but containment ~1 — the "article embedded in aggregator page"
+    shape every crawl corpus carries.
+
+    Same inverted-index plan as ``ngram_jaccard_pairs`` (distinct grams,
+    postings equi-join, count intersection, join back the two sizes) —
+    one extra projected column, zero extra shuffles.  At 100 TB the
+    prefix-filter analogue still exists (size-sensitive containment
+    prefixes, |A| - ceil(t*|A|) + 1 under a global gram order) and the
+    stop-gram frequency cap applies unchanged; the exact form here IS
+    the verify step of that path.
+    """
+    grams = tracked_persist(word_ngrams(df, id_col, text_col, n=n)
+                            .select(id_col, "ngram").distinct())
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col(id_col).alias("a"), "ngram")
+    b = grams.select(F.col(id_col).alias("b"), "ngram")
+    inter = (
+        a.join(b, "ngram").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    cont = F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    # threshold on the RAW score; rounding is presentation-only (same
+    # discipline as ngram_jaccard_pairs)
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .filter(cont >= min_containment)
+        .select("a", "b", F.round(cont, 6).alias("containment"),
+                F.round(jac, 6).alias("jaccard"))
     )
 
 

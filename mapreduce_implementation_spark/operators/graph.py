@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .caching import tracked_persist
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "label_propagation",
+           "triangle_count"]
 
 # Rounds are O(log n); 25 covers any graph that fits on a real cluster
 # (2^25 nodes of *diameter* after contraction).  Hitting the cap raises —
@@ -223,3 +224,48 @@ def triangle_count(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def label_propagation(edges: DataFrame, nodes: DataFrame,
+                      iters: int = 5) -> DataFrame:
+    """Synchronous weighted label propagation (community detection,
+    Raghavan et al. 2007) — deterministic variant: every node
+    simultaneously adopts the label with the highest incident edge
+    weight among its neighbors, ties broken by smallest label;
+    isolated nodes keep their own id.  Returns ``(v, label)`` after
+    ``iters`` rounds from the all-singleton start.
+
+    Scale shape mirrors ``pagerank``: the (contracted) edge list is
+    persisted and hash-partitioned once; each round is one equi-join of
+    the label vector onto edges, one (dst, label) partial-aggregable
+    sum, and one KEYED window (partitioned by dst — never a global
+    window) to pick the argmax.  The label vector is O(nodes) and joins
+    by key — no broadcast requirement, so the operator is web-scale by
+    construction.  Synchronous update + min-label tie-break makes the
+    fixed iteration count exactly reproducible (and therefore
+    oracle-able), unlike the asynchronous/random-order formulation.
+    """
+    from pyspark.sql.window import Window
+
+    from .caching import tracked_persist
+
+    e = tracked_persist(
+        edges.select("src", "dst", F.col("w").cast("double").alias("w")))
+    n1 = nodes.select(F.col("v")).distinct()
+    labels = n1.select("v", F.col("v").alias("label"))
+    w_pick = Window.partitionBy("dst").orderBy(F.desc("_s"), F.asc("label"))
+    for _ in range(iters):
+        scores = (
+            e.join(labels, F.col("src") == F.col("v"))
+            .groupBy("dst", "label").agg(F.sum("w").alias("_s"))
+        )
+        picked = (
+            scores.withColumn("_rn", F.row_number().over(w_pick))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("dst"), F.col("label").alias("_new"))
+        )
+        labels = (
+            n1.join(picked, F.col("v") == F.col("dst"), "left")
+            .select("v", F.coalesce("_new", F.col("v")).alias("label"))
+        )
+    return labels

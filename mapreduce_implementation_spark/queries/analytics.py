@@ -412,3 +412,63 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.withColumn("_rn", rn).filter(F.col("_rn") == 1)
             .select("user_id", F.col("event_type").alias("mode_event_type"),
                     F.col("n").alias("mode_count")))
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+             count(*)                               AS freq,
+             round(sum(value), 2)                   AS monetary
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, freq, monetary,
+             ntile(4) OVER (ORDER BY last_ts, user_id)  AS r_q,
+             ntile(4) OVER (ORDER BY freq, user_id)     AS f_q,
+             ntile(4) OVER (ORDER BY monetary, user_id) AS m_q
+      FROM base
+    )
+    SELECT user_id,
+           CAST(r_q AS INTEGER) AS r_q,
+           CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+             || CAST(m_q AS VARCHAR) AS segment
+    FROM scored
+    """,
+    doc="RFM customer segmentation (recency/frequency/monetary "
+        "quartiles, the CRM-analytics staple): one per-user aggregate, "
+        "then THREE exact global ntiles — each via the distributed "
+        "two-phase operator (operators/windows.global_ntile), never a "
+        "single-partition window, so the scoring holds at 10^9 users.  "
+        "Recency orders on the second-formatted last-event string "
+        "(identical truncation both engines, user_id tiebreaker makes "
+        "the order total); monetary orders on the round(2) sum per the "
+        "repo float convention.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_ntile
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    r = global_ntile(base, [F.col("last_ts").asc(), F.col("user_id").asc()],
+                     4, out="r_q").select("user_id", "freq", "monetary", "r_q")
+    f = global_ntile(r, [F.col("freq").asc(), F.col("user_id").asc()],
+                     4, out="f_q")
+    m = global_ntile(f, [F.col("monetary").asc(), F.col("user_id").asc()],
+                     4, out="m_q")
+    return m.select(
+        "user_id",
+        F.col("r_q").cast("int").alias("r_q"),
+        F.col("f_q").cast("int").alias("f_q"),
+        F.col("m_q").cast("int").alias("m_q"),
+        F.concat(F.col("r_q").cast("string"), F.col("f_q").cast("string"),
+                 F.col("m_q").cast("string")).alias("segment"),
+    )

@@ -691,3 +691,36 @@ def q_corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("fc"), F.lit(0)).alias("n_exact_common"),
         )
     )
+
+
+@register(
+    "dedup_containment_overlap",
+    oracle=_DUCK_TRIGRAMS + """
+    , sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+      FROM grams a JOIN grams b ON a.tri = b.tri AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(c * 1.0 / least(sa.sz, sb.sz), 6) AS containment,
+           round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+    JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE c * 1.0 / least(sa.sz, sb.sz) >= 0.8
+    """,
+    doc="Asymmetric near-dup detection by n-gram CONTAINMENT (overlap "
+        "coefficient |A∩B|/min(|A|,|B|) >= 0.8): catches the "
+        "short-doc-quoted-inside-long-doc duplication Jaccard misses "
+        "(the union is dominated by the long doc, so J stays low while "
+        "containment ~1 — the aggregator-page shape in every crawl).  "
+        "Identical inverted-index plan to dedup_ngram_jaccard with one "
+        "extra projected column; the containment-sensitive prefix "
+        "filter and the stop-gram cap are the same 100 TB escalations.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "doc_id", "text",
+                                   n=3, min_containment=0.8)

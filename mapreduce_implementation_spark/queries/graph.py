@@ -139,3 +139,91 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y")
     )
     return triangle_count(edges, "x", "y")
+
+
+_LPA_ITERS = 5
+
+
+def _lpa_oracle() -> str:
+    sql = """
+    WITH raw AS (
+      SELECT c_nationkey AS a, s_nationkey AS b,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT src, dst, sum(w) AS w FROM (
+        SELECT a AS src, b AS dst, w FROM raw
+        UNION ALL
+        SELECT b AS src, a AS dst, w FROM raw
+      ) GROUP BY src, dst
+    ),
+    n1 AS (SELECT n_nationkey AS v FROM nation),
+    l0 AS (SELECT v, v AS lab FROM n1)
+    """
+    for i in range(_LPA_ITERS):
+        sql += f""",
+    l{i + 1} AS (
+      SELECT n1.v, coalesce(p.lab, n1.v) AS lab
+      FROM n1 LEFT JOIN (
+        SELECT dst, lab FROM (
+          SELECT e.dst, l.lab,
+                 row_number() OVER (PARTITION BY e.dst
+                                    ORDER BY sum(e.w) DESC, l.lab) AS rn
+          FROM e JOIN l{i} l ON l.v = e.src
+          GROUP BY e.dst, l.lab
+        ) WHERE rn = 1
+      ) p ON p.dst = n1.v
+    )"""
+    sql += f"""
+    SELECT CAST(v AS INTEGER) AS nationkey,
+           CAST(lab AS INTEGER) AS community
+    FROM l{_LPA_ITERS}
+    """
+    return sql
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"Community detection by synchronous weighted label propagation "
+        f"({_LPA_ITERS} rounds, min-label tie-break) over the undirected "
+        "trade graph (customer-nation <-> supplier-nation, weighted by "
+        "lineitem count).  The deterministic synchronous variant makes an "
+        "iterative clustering algorithm fully hash-checkable: the oracle "
+        "unrolls the identical rounds as chained CTEs.  Each round is one "
+        "label-vector equi-join + partial-aggregable (dst, label) sum + a "
+        "KEYED argmax window — no global window, no broadcast "
+        "requirement, so the operator holds at web-scale node counts "
+        "(the same honesty rule as the PageRank shuffled-join mode).",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("a"),
+                 F.col("s_nationkey").alias("b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = (
+        raw.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            raw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("v"))
+    labels = label_propagation(edges, nodes, iters=_LPA_ITERS)
+    return labels.select(F.col("v").cast("int").alias("nationkey"),
+                         F.col("label").cast("int").alias("community"))

@@ -94,3 +94,51 @@ def test_corpus_overlap_symmetric_bounds(spark):
         assert r["n_common_grams"] <= min(r["n_grams_a"], r["n_grams_b"])
     n = len(srcs)
     assert len(rows) == n * (n - 1) // 2
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment = 1.0
+    while Jaccard stays below any useful dedup threshold — the exact
+    failure mode this operator exists for."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    import itertools
+
+    short = "alpha beta gamma delta epsilon"
+    # letter-only fillers: the tokenizer strips digits, so numbered
+    # fillers would collapse to identical tokens
+    fillers = ["".join(p) for p in itertools.product("abcdef", repeat=3)]
+    long = short + " " + " ".join(fillers[:90])
+    df = spark.createDataFrame([(1, long), (2, short)],
+                               "doc_id long, text string")
+    cont = ngram_containment_pairs(df, "doc_id", "text",
+                                   n=3, min_containment=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    assert cont[0]["jaccard"] < 0.1
+    jac = ngram_jaccard_pairs(df, "doc_id", "text",
+                              n=3, min_jaccard=0.5).collect()
+    assert jac == []
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disconnected triangles converge to two communities labeled by
+    their minimum member; an isolated node keeps its own id."""
+    from mapreduce_implementation_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(a, b, 1.0) for a, b in
+           [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]]
+    edges = spark.createDataFrame(
+        und + [(b, a, w) for a, b, w in und],
+        "src long, dst long, w double")
+    nodes = spark.createDataFrame([(v,) for v in [1, 2, 3, 10, 11, 12, 99]],
+                                  "v long")
+    got = {r["v"]: r["label"]
+           for r in label_propagation(edges, nodes, iters=5).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+    assert got[99] == 99

@@ -51,6 +51,9 @@ _REPRESENTATIVES = [
     "corpus_overlap_sources",    # pair matrix over zero sources
     "split_train_valid_hash",    # hash-bucket split of nothing
     "retrieval_rrf_fusion",      # fusion when both rank lists are empty
+    "dedup_containment_overlap", # containment join over zero grams
+    "graph_label_propagation",   # LPA with an empty edge list
+    "rfm_segments",              # triple global ntile over zero users
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
