@@ -38,6 +38,37 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _unfilter_scanline(ftype: int, data: bytes, prev: bytearray,
+                       nch: int) -> bytearray:
+    """Reverse one PNG scanline filter (types 0-4, PNG spec §6) against
+    the previous de-filtered line.  Shared by the feature decoder and
+    the pixel-grid decoder so the two can never drift."""
+    stride = len(prev)
+    line = bytearray(data)
+    if ftype == 1:  # Sub
+        for i in range(nch, stride):
+            line[i] = (line[i] + line[i - nch]) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(stride):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (line[i] + pred) & 0xFF
+    elif ftype != 0:
+        raise ValueError(f"bad filter type {ftype}")
+    return line
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, float]:
     """Pure-Python PNG decode — public format (RFC 2083 / W3C PNG spec):
     chunk walk, IHDR parse, IDAT ``zlib`` inflate, per-scanline
@@ -95,29 +126,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
     luma_sum = 0.0
     for y in range(height):
         base = y * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1:base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(nch, stride):
-                line[i] = (line[i] + line[i - nch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
-                b = prev[i]
-                c = prev[i - nch] if i >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad filter type {ftype}")
+        line = _unfilter_scanline(raw[base], raw[base + 1:base + 1 + stride],
+                                  prev, nch)
         prev = line
         for x in range(0, stride, nch):
             if color_type in (0, 4):
@@ -152,6 +162,133 @@ def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
     return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(scanlines))
             + chunk(b"IEND", b""))
+
+
+def decode_png_gray_rows(payload: bytes) -> tuple[int, int, list[bytearray]]:
+    """Pure-Python pixel-grid decode for GRAYSCALE (color type 0) PNGs:
+    returns ``(width, height, rows)`` with one de-filtered bytearray per
+    scanline.  The perceptual-hash path needs actual pixels, not the
+    aggregate features ``decode_png`` returns; non-gray or non-baseline
+    payloads raise ``ValueError`` for the caller's decoder ladder."""
+    import struct
+    import zlib
+
+    if not payload or not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data))
+            if (bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0
+                    or color_type != 0):
+                raise ValueError("not a baseline grayscale PNG")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (width + 1) * height:
+        raise ValueError("IDAT length mismatch")
+    rows: list[bytearray] = []
+    prev = bytearray(width)
+    for y in range(height):
+        base = y * (width + 1)
+        line = _unfilter_scanline(raw[base], raw[base + 1:base + 1 + width],
+                                  prev, 1)
+        prev = line
+        rows.append(line)
+    return width, height, rows
+
+
+def image_dhash(df: DataFrame, id_col: str,
+                payload_col: str = "payload") -> DataFrame:
+    """(id, dhash) — difference-hash perceptual image fingerprint
+    (public algorithm: per row, bit = left pixel brighter than its right
+    neighbor) computed from REAL decoded pixels via the pure-Python
+    grayscale PNG decoder.  For a w×h image the hash has h*(w-1) bits,
+    packed little-endian into a signed 64-bit long (so w=8, h=8 → 56
+    bits, sign-safe).  Production dHash resizes to 9×8 first; the
+    resize belongs in the same mapInPandas iterator (PIL/native when
+    the env has it) — payloads here are already thumbnail-sized.
+
+    Undecodable payloads yield NULL (filtered by the caller), never a
+    task failure.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _dhash(payload: bytes | None) -> int | None:
+            if payload is None:
+                return None
+            try:
+                w, h, rows = decode_png_gray_rows(payload)
+            except ValueError:
+                return None
+            if w < 2 or h * (w - 1) > 63:
+                return None
+            acc = 0
+            for r in range(h):
+                row = rows[r]
+                for c in range(w - 1):
+                    if row[c] > row[c + 1]:
+                        acc |= 1 << (r * (w - 1) + c)
+            return acc
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "dhash": pd.Series([_dhash(p) for p in pdf[payload_col]],
+                                   dtype="Int64"),
+            })
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(run, schema="id BIGINT, dhash BIGINT")
+            .withColumnRenamed("id", id_col))
+
+
+def dhash_near_dup_pairs(sigs: DataFrame, id_col: str,
+                         max_hamming: int = 3, bands: int = 4,
+                         band_bits: int = 14) -> DataFrame:
+    """(a, b, hamming) — EXACT Hamming-distance self-join over dHash
+    fingerprints via pigeonhole banding: split the hash into ``bands``
+    disjoint bit ranges; two hashes within ``max_hamming`` bits must
+    agree on at least one band whenever ``bands > max_hamming``, so the
+    banded equi-join loses nothing and the ``bit_count(xor)`` verify
+    (JVM-side) keeps only true matches.  The same shuffle discipline as
+    MinHash-LSH: candidates are (band, value) bucket collisions —
+    O(n x bands) postings, never the n² cross join — and a degenerate
+    bucket (all-black thumbnails) is exactly the stop-bucket case the
+    LSH ``bucket_cap`` treatment handles; apply it upstream if a corpus
+    has constant-image floods."""
+    if bands <= max_hamming:
+        raise ValueError("pigeonhole exactness needs bands > max_hamming")
+    mask = (1 << band_bits) - 1
+    pieces = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("dhash"), b * band_bits).bitwiseAND(mask).alias("val"),
+        ) for b in range(bands)
+    ])
+    posts = (sigs.filter(F.col("dhash").isNotNull())
+             .select(F.col(id_col), "dhash", F.explode(pieces).alias("p"))
+             .select(id_col, "dhash", "p.band", "p.val"))
+    a = posts.select(F.col(id_col).alias("a"), F.col("dhash").alias("ha"),
+                     "band", "val")
+    b = posts.select(F.col(id_col).alias("b"), F.col("dhash").alias("hb"),
+                     "band", "val")
+    cand = (a.join(b, ["band", "val"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b", "ha", "hb").distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.filter(ham <= max_hamming)
+            .select("a", "b", ham.cast("int").alias("hamming")))
 
 
 def to_binary_payload(df: DataFrame, src_col: str, media_type: str = "text/plain") -> DataFrame:

@@ -450,14 +450,18 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo float convention.",
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
     from ..operators.windows import global_ntile
 
     e = load_table(spark, sf_dir, "events")
-    base = e.groupBy("user_id").agg(
+    # persisted: the per-user aggregate is the only full event-log scan;
+    # without it each of the three chained ntiles re-derives it (3x the
+    # 100 TB scan for a frame of O(users) rows)
+    base = tracked_persist(e.groupBy("user_id").agg(
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum("value"), 2).alias("monetary"),
-    )
+    ))
     r = global_ntile(base, [F.col("last_ts").asc(), F.col("user_id").asc()],
                      4, out="r_q").select("user_id", "freq", "monetary", "r_q")
     f = global_ntile(r, [F.col("freq").asc(), F.col("user_id").asc()],
@@ -471,4 +475,122 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_q").cast("int").alias("m_q"),
         F.concat(F.col("r_q").cast("string"), F.col("f_q").cast("string"),
                  F.col("m_q").cast("string")).alias("segment"),
+    )
+
+
+@register(
+    "pattern_sequence_detect",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id)
+               AS s,
+             count(*) AS seq_len,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(seq_len AS BIGINT) AS seq_len,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           regexp_matches(s, 'v[^ep]*c[^ep]*p') AS converted
+    FROM seq
+    """,
+    doc="MATCH_RECOGNIZE-style sequence pattern detection (the SQL:2016 "
+        "row-pattern surface, emulated): per user, the time-ordered "
+        "event-initial string is matched against the regex "
+        "view -> (no error/purchase) -> click -> (no error/purchase) -> "
+        "purchase — a strictly ordered funnel with an exclusion "
+        "condition that plain per-step min(ts) funnels cannot express.  "
+        "One shuffle (groupBy user); per-user state is the event string "
+        "(bounded by events-per-user, same bound any MATCH_RECOGNIZE "
+        "engine needs); the regex runs once per user, not per event.  "
+        "Ordering ties broken by (second-formatted ts, event_id) — a "
+        "total order identical in both engines.  Output is the "
+        "existence boolean (engine-robust), not the overlap-sensitive "
+        "match count.",
+)
+def q_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    row = F.struct(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        F.col("event_id").alias("i"),
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(row)),
+                                lambda s: s["c"])).alias("s"),
+            F.count(F.lit(1)).alias("seq_len"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+        .select("user_id", "seq_len", "n_purchases",
+                F.col("s").rlike("v[^ep]*c[^ep]*p").alias("converted"))
+    )
+
+
+@register(
+    "basket_lift_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders FROM baskets),
+    sup AS (SELECT brand, count(*) AS c FROM baskets GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS c_ab
+      FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b,
+           CAST(c_ab AS BIGINT) AS n_both,
+           round(c_ab / n.n_orders, 6) AS support,
+           round(c_ab * 1.0 / sa.c, 6) AS confidence,
+           round(c_ab * n.n_orders / (sa.c * 1.0 * sb.c), 6) AS lift
+    FROM pairs
+    JOIN sup sa ON pairs.brand_a = sa.brand
+    JOIN sup sb ON pairs.brand_b = sb.brand
+    CROSS JOIN n
+    WHERE c_ab >= 50
+    """,
+    doc="Market-basket association rules (support / confidence / lift "
+        "over brand pairs co-bought in one order): the frequent-itemset "
+        "surface at pair depth.  Baskets are distinct (order, brand) — "
+        "one shuffle; the pair join is keyed by orderkey with per-order "
+        "width bounded by the BRAND vocabulary (~25), so candidate "
+        "volume is O(orders x brands^2) worst-case and in practice "
+        "O(orders x basket_width^2), never corpus-quadratic; brand "
+        "support and the order count broadcast onto the pair frame.  "
+        "min-support floor (n_both >= 50) applied on the raw count.",
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    baskets = (li.join(p, li.l_partkey == p.p_partkey)
+               .select(F.col("l_orderkey").alias("ok"),
+                       F.col("p_brand").alias("brand")).distinct())
+    n = baskets.agg(F.countDistinct("ok").cast("double").alias("n_orders"))
+    sup = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select(F.col("ok"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("ok"), F.col("brand").alias("brand_b"))
+    pairs = (a.join(b, "ok").filter(F.col("brand_a") < F.col("brand_b"))
+             .groupBy("brand_a", "brand_b").agg(F.count(F.lit(1)).alias("c_ab"))
+             .filter(F.col("c_ab") >= 50))
+    sa = sup.select(F.col("brand").alias("brand_a"), F.col("c").alias("_ca"))
+    sb = sup.select(F.col("brand").alias("brand_b"), F.col("c").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a", "brand_b",
+            F.col("c_ab").alias("n_both"),
+            F.round(F.col("c_ab") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("_ca"), 6).alias("confidence"),
+            F.round(F.col("c_ab") * F.col("n_orders")
+                    / (F.col("_ca") * F.col("_cb")), 6).alias("lift"),
+        )
     )

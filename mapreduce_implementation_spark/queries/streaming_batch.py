@@ -236,3 +236,78 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_luma") * 64).cast("long").alias("luma_total"),
         "decoder",
     )
+
+
+@register(
+    "multimodal_image_dhash_pairs",
+    oracle="""
+    WITH px AS (
+      SELECT vec_id, list_transform(embedding,
+         e -> CAST(floor(least(greatest((CAST(e AS DOUBLE)+1)/2, 0), 1)*255)
+              AS BIGINT)) AS p
+      FROM embeddings
+    ),
+    allpx AS (
+      SELECT vec_id AS id, p FROM px
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_concat([255 - p[1]], p[2:64])
+      FROM px WHERE vec_id % 5 = 0
+    ),
+    dh AS (
+      SELECT id,
+        (SELECT sum(CASE WHEN p[r*8+c+1] > p[r*8+c+2]
+                    THEN (1::BIGINT << (r*7+c)) ELSE 0 END)
+         FROM range(8) t1(r), range(7) t2(c)) AS dhash
+      FROM allpx
+    )
+    SELECT a.id AS a, b.id AS b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM dh a JOIN dh b ON a.id < b.id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+    doc="Image near-duplicate detection by dHash perceptual fingerprint "
+        "over REAL decoded pixels: embeddings render to 8x8 grayscale "
+        "PNGs plus deterministic perturbed twins (every 5th image with "
+        "its first pixel inverted, id+100000 — the constructed "
+        "near-identical pairs an image-dedup fixture needs), the "
+        "pure-Python decoder recovers the pixel grid, and the "
+        "56-bit difference hash joins via EXACT pigeonhole banding "
+        "(4 bands x 14 bits: Hamming <= 3 guarantees a shared band, so "
+        "the banded equi-join is lossless — LSH shuffle shape, exact "
+        "semantics).  The oracle recomputes the hash arithmetically "
+        "from the render formula, so a decoder or banding bug breaks "
+        "the hash match.  Fixture minimum inter-image distance is 11, "
+        "so exactly the constructed twins match.",
+)
+def q_multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        dhash_near_dup_pairs, encode_png_gray, image_dhash,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def render(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(vec, dtype=np.float64)
+                px = np.floor(np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255.0
+                              ).astype(np.uint8)
+                ids.append(vid)
+                payloads.append(encode_png_gray(px.tobytes(), 8, 8))
+                if vid % 5 == 0:
+                    twin = px.copy()
+                    twin[0] = 255 - int(px[0])
+                    ids.append(vid + 100000)
+                    payloads.append(encode_png_gray(twin.tobytes(), 8, 8))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    rendered = emb.mapInPandas(render, schema="id BIGINT, payload BINARY")
+    sigs = image_dhash(rendered, "id")
+    return dhash_near_dup_pairs(sigs, "id", max_hamming=3,
+                                bands=4, band_bits=14)

@@ -142,3 +142,25 @@ def test_label_propagation_two_cliques(spark):
     assert got[10] == got[11] == got[12]
     assert got[1] != got[10]
     assert got[99] == 99
+
+
+def test_rfm_single_event_scan(spark):
+    """The three chained global ntiles must share ONE persisted per-user
+    aggregate: exactly one events-parquet scan in the physical plan."""
+    df = SPECS["rfm_segments"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert plan.count("events.parquet") <= 1, plan
+
+
+def test_dq_report_detects_and_passes(spark):
+    """The report must DETECT the fixture's two genuine rule breaches
+    (negative balances, >8% discounts) and report zero for the clean
+    rules — proving it distinguishes, not rubber-stamps."""
+    rows = {r["rule"]: r for r in
+            SPECS["dq_rule_report"].fn(spark, SF_DIR_001).collect()}
+    assert rows["customer_acctbal_nonneg"]["n_violations"] > 0
+    assert rows["lineitem_discount_le_8pct"]["n_violations"] > 0
+    assert rows["orders_pk_unique"]["n_violations"] == 0
+    assert rows["lineitem_fk_orders"]["n_violations"] == 0
+    for r in rows.values():
+        assert r["n_checked"] > 0

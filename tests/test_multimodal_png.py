@@ -135,3 +135,79 @@ def test_text_payloads_still_stub(spark):
     df = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
     out = decode_image_features(to_binary_payload(df, "text")).collect()
     assert out[0].decoder == "stub"
+
+
+def test_dhash_banded_join_equals_brute_force(spark):
+    """Pigeonhole banding is EXACT: the banded candidate join + verify
+    returns precisely the brute-force Hamming<=3 pair set on a hash
+    population engineered with near and far pairs."""
+    from itertools import combinations
+
+    from mapreduce_implementation_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+    )
+
+    base = 0x00FF00FF00FF00
+    hashes = {
+        1: base,
+        2: base ^ 0b1,                      # hamming 1
+        3: base ^ 0b111,                    # hamming 3 from 1
+        4: base ^ (0b11111 << 20),          # hamming 5 — out
+        5: 0x0F0F0F0F0F0F0F & ((1 << 56) - 1),  # far
+    }
+    sigs = spark.createDataFrame(list(hashes.items()), "id long, dhash long")
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in dhash_near_dup_pairs(sigs, "id", max_hamming=3).collect()}
+    want = {}
+    for x, y in combinations(sorted(hashes), 2):
+        d = bin(hashes[x] ^ hashes[y]).count("1")
+        if d <= 3:
+            want[(x, y)] = d
+    assert got == want and (1, 2) in got and (1, 3) in got
+
+
+def test_dhash_banding_requires_pigeonhole(spark):
+    import pytest as _pytest
+
+    from mapreduce_implementation_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+    )
+
+    sigs = spark.createDataFrame([(1, 5)], "id long, dhash long")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_dup_pairs(sigs, "id", max_hamming=4, bands=4)
+
+
+def test_gray_rows_roundtrip_and_filtered_scanlines(spark):
+    """decode_png_gray_rows recovers exact pixels from the filter-0
+    encoder, and de-filters Sub/Up scanlines written by a hand-rolled
+    encoder — pinning the shared _unfilter_scanline against drift."""
+    import struct
+    import zlib
+
+    from mapreduce_implementation_spark.operators.multimodal import (
+        _PNG_MAGIC, decode_png_gray_rows, encode_png_gray,
+    )
+
+    px = bytes(range(64))
+    w, h, rows = decode_png_gray_rows(encode_png_gray(px, 8, 8))
+    assert (w, h) == (8, 8)
+    assert b"".join(bytes(r) for r in rows) == px
+
+    # hand-build a PNG using Sub (1) on row 0 and Up (2) on row 1
+    raw0 = bytes([10, 5, 5, 5])            # Sub: 10,15,20,25
+    raw1 = bytes([1, 1, 1, 1])             # Up:  11,16,21,26
+    scan = b"\x01" + raw0 + b"\x02" + raw1
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (_PNG_MAGIC
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(scan))
+               + chunk(b"IEND", b""))
+    w, h, rows = decode_png_gray_rows(payload)
+    assert (w, h) == (4, 2)
+    assert list(rows[0]) == [10, 15, 20, 25]
+    assert list(rows[1]) == [11, 16, 21, 26]

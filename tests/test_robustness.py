@@ -54,6 +54,10 @@ _REPRESENTATIVES = [
     "dedup_containment_overlap", # containment join over zero grams
     "graph_label_propagation",   # LPA with an empty edge list
     "rfm_segments",              # triple global ntile over zero users
+    "pattern_sequence_detect",   # regex over zero per-user sequences
+    "basket_lift_pairs",         # pair join over zero baskets
+    "dq_rule_report",            # rule counts over empty tables
+    "multimodal_image_dhash_pairs",  # dhash banding over zero images
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
