@@ -645,3 +645,56 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
     return merge_upsert(snap, changes, ["c_custkey"],
                         op_col="op", seq_col="seq")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH t AS (SELECT sum(l_quantity) AS tw FROM lineitem),
+    c AS (
+      SELECT l_extendedprice AS price,
+             sum(l_quantity) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cumw
+      FROM lineitem
+    )
+    SELECT round(price, 2) AS weighted_median,
+           CAST(t.tw AS BIGINT) AS total_weight
+    FROM c CROSS JOIN t
+    WHERE cumw >= t.tw / 2
+    ORDER BY cumw LIMIT 1
+    """,
+    doc="Exact WEIGHTED median (price weighted by quantity) — the "
+        "order-statistic no built-in aggregate computes: the first row "
+        "whose cumulative weight crosses half the total.  The global "
+        "cumulative weight comes from the distributed two-phase prefix "
+        "sum (operators/windows.global_running_sum — range partition + "
+        "parallel local cumsum + broadcast offsets), NEVER a "
+        "single-partition window over the fact table; the crossing row "
+        "is a TakeOrdered(1).  Total weight enters the plan as a "
+        "broadcast 1-row aggregate.  Sort key carries the "
+        "(orderkey, linenumber) tiebreaker so the prefix is a total "
+        "order — exact quantity sums (integer-valued doubles) make the "
+        "half-total comparison engine-identical.",
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        "l_quantity", "l_orderkey", "l_linenumber")
+    cum = global_running_sum(
+        li,
+        "l_quantity",
+        [F.col("price").asc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+        out="cumw",
+    )
+    tw = li.agg(F.sum("l_quantity").alias("tw"))
+    return (
+        cum.crossJoin(F.broadcast(tw))
+        .filter(F.col("cumw") >= F.col("tw") / 2)
+        .orderBy("cumw").limit(1)
+        .select(F.round("price", 2).alias("weighted_median"),
+                F.col("tw").cast("long").alias("total_weight"))
+    )

@@ -82,7 +82,7 @@ _SAMPLE_FIRST = (
     "split_train_valid_hash", "retrieval_rrf_fusion",
     "dedup_containment_overlap", "graph_label_propagation", "rfm_segments",
     "pattern_sequence_detect", "basket_lift_pairs", "dq_rule_report",
-    "multimodal_image_dhash_pairs",
+    "multimodal_image_dhash_pairs", "agg_weighted_median",
     # --- stale: latest driver row is r01/r02 ---
     "text_lang_id", "text_fingerprint", "text_tfidf_top3",
     "json_extract_events", "pipeline_fingerprint_dedup", "text_bm25_top10",

@@ -47,3 +47,40 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def compact_parquet_dir(spark, src_dir: str, dst_dir: str,
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        sort_by: list[str] | None = None) -> int:
+    """Small-file compaction — the table-maintenance job every long-lived
+    100 TB dataset needs (streaming sinks and fine-grained upserts leave
+    thousands of KB-scale files; scan planning then pays per-file open
+    cost and loses row-group-sized reads).
+
+    Rewrites ``src_dir`` into ``dst_dir`` with file count chosen from the
+    ACTUAL input byte size (``target_file_bytes`` per output file, the
+    128 MB row-group discipline), optionally sorted by ``sort_by`` so
+    min/max column stats become selective (the poor man's clustering —
+    what OPTIMIZE ... ZORDER does with space-filling curves).  Sorted
+    compaction uses ``repartitionByRange`` (files hold disjoint key
+    ranges → parquet footer min/max prune whole files); unsorted uses a
+    plain round-robin ``repartition``.  Returns the output file count.
+    """
+    import glob
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ callers)
+
+    in_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(src_dir, "**", "*.parquet"),
+                           recursive=True))
+    n_files = max(1, -(-in_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(src_dir)
+    if sort_by:
+        out = (df.repartitionByRange(n_files, *sort_by)
+               .sortWithinPartitions(*sort_by))
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return len([p for p in glob.glob(os.path.join(dst_dir, "*.parquet"))])

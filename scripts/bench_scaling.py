@@ -43,6 +43,11 @@ PIPELINES = [
     "dedup_semantic_blocked",
     "text_perplexity_buckets",
     "pipeline_sequence_packing",
+    # round-4 session additions (documents/embeddings-side only — the
+    # TPC-H passthrough tables are symlinked, not replicated)
+    "dedup_containment_overlap",
+    "corpus_overlap_sources",
+    "multimodal_image_dhash_pairs",
 ]
 
 PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",

@@ -58,6 +58,7 @@ _REPRESENTATIVES = [
     "basket_lift_pairs",         # pair join over zero baskets
     "dq_rule_report",            # rule counts over empty tables
     "multimodal_image_dhash_pairs",  # dhash banding over zero images
+    "agg_weighted_median",       # prefix-sum median of zero rows
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

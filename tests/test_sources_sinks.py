@@ -122,3 +122,30 @@ def test_orc_scan_pushes_filters(spark, tmp_path):
     assert "PushedFilters: [" in plan and "c_acctbal" in plan, plan
     assert "c_mktsegment" not in plan.split("ReadSchema")[-1], plan
     assert df.count() > 0
+
+
+def test_compact_parquet_dir_reduces_files_and_preserves_rows(spark, tmp_path):
+    """64 tiny files -> size-targeted file count; rows identical; sorted
+    compaction leaves disjoint per-file key ranges so parquet min/max
+    stats prune whole files."""
+    from mapreduce_implementation_spark.sources.sinks import compact_parquet_dir
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(10000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(src)
+    import glob
+    import os
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) == 64
+    n = compact_parquet_dir(spark, src, dst,
+                            target_file_bytes=1 * 1024 * 1024, sort_by=["k"])
+    assert n < 64
+    out = spark.read.parquet(dst)
+    assert out.count() == 10000
+    # disjoint ranges: per-file (min,max) intervals must not overlap
+    from pyspark.sql import functions as F
+    stats = (out.withColumn("f", F.input_file_name())
+             .groupBy("f").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+             .collect())
+    ivals = sorted((r["lo"], r["hi"]) for r in stats)
+    assert all(a[1] < b[0] for a, b in zip(ivals, ivals[1:]))

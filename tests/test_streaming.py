@@ -294,3 +294,42 @@ def test_tws_running_totals_matches_stateful_twin(spark, events_dir):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 0.05
+
+
+def test_cdc_upsert_sink_applies_batches_in_order(spark, tmp_path):
+    """foreachBatch MERGE sink: two micro-batches (maxFilesPerTrigger=1)
+    applied sequentially to a parquet snapshot — batch 2 updates a row
+    batch 1 inserted, deletes an original row, and the final snapshot is
+    the composed result."""
+    import os
+
+    from mapreduce_implementation_spark.streaming.ops import cdc_upsert_sink
+
+    snap_dir = str(tmp_path / "snapshot")
+    chg_dir = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(chg_dir)
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, bal double"
+    ).coalesce(1).write.parquet(snap_dir)
+    # batch 1: update k=1, insert k=3 — written as ONE file
+    spark.createDataFrame(
+        [(1, "a1", 11.0, "U"), (3, "c", 30.0, "I")],
+        "k long, name string, bal double, op string",
+    ).coalesce(1).write.parquet(chg_dir + "/b1")
+    # batch 2: update k=3 (the row batch 1 created), delete k=2
+    spark.createDataFrame(
+        [(3, "c2", 33.0, "U"), (2, None, None, "D")],
+        "k long, name string, bal double, op string",
+    ).coalesce(1).write.parquet(chg_dir + "/b2")
+    stream = (spark.readStream
+              .schema("k long, name string, bal double, op string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(chg_dir + "/b*"))
+    q = (cdc_upsert_sink(stream, snap_dir, ["k"])
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["k"]: (r["name"], r["bal"])
+           for r in spark.read.parquet(snap_dir).collect()}
+    assert got == {1: ("a1", 11.0), 3: ("c2", 33.0)}
