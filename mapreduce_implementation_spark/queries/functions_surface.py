@@ -436,3 +436,119 @@ def q_lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                    lambda t: t.rlike("^[A-Z]{6,}$"))
     return o.select("o_orderkey",
                     F.posexplode_outer(arr).alias("pos", "tok"))
+
+
+@register(
+    "sql_recursive_cte_chain",
+    oracle="""
+    WITH RECURSIVE walk(custkey, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      WHERE c_custkey BETWEEN 1 AND 200
+      UNION ALL
+      SELECT custkey, cur // 2, depth + 1 FROM walk WHERE cur > 1
+    )
+    SELECT custkey,
+           CAST(max(depth) AS INTEGER) AS depth_to_root,
+           CAST(sum(cur) AS BIGINT)    AS path_key_sum
+    FROM walk GROUP BY custkey
+    """,
+    doc="WITH RECURSIVE through the SQL entry point (Spark 4 recursive "
+        "CTE): every customer key in [1, 200] walks its halving chain "
+        "k -> k/2 -> ... -> 1 (a deterministic parent hierarchy derived "
+        "from the data), reporting chain depth and path-key sum — the "
+        "org-chart / BOM-explosion query shape.  Spark executes the "
+        "recursion as iterative union steps (one per level, log2(k) "
+        "levels here), each a plain hash-partitioned map — the same "
+        "bounded-iteration discipline as the PageRank/LPA operators, "
+        "now available in pure SQL; DuckDB runs the identical recursion "
+        "for the oracle.",
+)
+def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, """
+        WITH RECURSIVE walk(custkey, cur, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer
+          WHERE c_custkey BETWEEN 1 AND 200
+          UNION ALL
+          SELECT custkey, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT custkey,
+               CAST(max(depth) AS INT)  AS depth_to_root,
+               CAST(sum(cur) AS BIGINT) AS path_key_sum
+        FROM walk GROUP BY custkey
+    """)
+
+
+@register(
+    "variant_json_surface",
+    oracle="""
+    SELECT event_id,
+           event_type                              AS etype,
+           user_id                                 AS uid,
+           round(value, 2)                         AS val,
+           CAST(props->>'k' AS INTEGER)            AS prop_k,
+           CAST(NULL AS INTEGER)                   AS missing_field
+    FROM events
+    """,
+    doc="VARIANT semi-structured surface (Spark 4 open-variant type): "
+        "a nested JSON document is built from typed columns "
+        "(to_json(struct(...))), parsed once with parse_json into a "
+        "VARIANT, and fields are re-extracted with typed variant_get "
+        "paths ($.u.user_id, $.u.value) plus the raw props payload "
+        "($.k) and a try_variant_get miss that must yield NULL, never "
+        "an error.  VARIANT keeps the shredded binary form, so repeated "
+        "path extraction skips re-tokenizing the JSON text — the 100 TB "
+        "answer to schema-on-read event payloads.  The oracle "
+        "reconstructs every value relationally, so a variant "
+        "encode/decode bug breaks the hash.",
+)
+def q_variant_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    doc = F.to_json(F.struct(
+        F.col("event_id"),
+        F.col("event_type"),
+        F.struct(F.col("user_id"), F.col("value")).alias("u"),
+    ))
+    with_v = (e.withColumn("_v", F.parse_json(doc))
+              .withColumn("_pk", F.try_parse_json(F.col("props"))))
+    return with_v.select(
+        "event_id",
+        F.expr("variant_get(_v, '$.event_type', 'string')").alias("etype"),
+        F.expr("variant_get(_v, '$.u.user_id', 'bigint')").alias("uid"),
+        F.round(F.expr("variant_get(_v, '$.u.value', 'double')"), 2).alias("val"),
+        F.expr("variant_get(_pk, '$.k', 'int')").alias("prop_k"),
+        F.expr("try_variant_get(_v, '$.nope', 'int')").alias("missing_field"),
+    )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    SELECT CAST(i % 16 AS INTEGER)                  AS bucket,
+           count(*)                                 AS n,
+           CAST(sum((i * 2654435761) % 1000) AS BIGINT) AS sum_val,
+           CAST(min(i) AS BIGINT)                   AS min_id,
+           CAST(max(i) AS BIGINT)                   AS max_id
+    FROM range(0, 20000) t(i)
+    GROUP BY 1
+    """,
+    doc="Custom connector through the Python Data Source API (Spark 4): "
+        "the 'synthrange' source declares its schema, plans 8 "
+        "InputPartitions over the id range (one Spark task each — the "
+        "same split contract a 100 TB file/shard source exposes), and "
+        "generates rows executor-side with zero driver materialization. "
+        "Values are an exact integer function of the id, so the DuckDB "
+        "oracle recomputes the whole table arithmetically — a "
+        "partition-planning or generator bug breaks the hash.",
+)
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.python_datasource import register_synthrange
+
+    register_synthrange(spark)
+    df = (spark.read.format("synthrange")
+          .option("n", 20000).option("partitions", 8).load())
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

@@ -59,6 +59,8 @@ _REPRESENTATIVES = [
     "dq_rule_report",            # rule counts over empty tables
     "multimodal_image_dhash_pairs",  # dhash banding over zero images
     "agg_weighted_median",       # prefix-sum median of zero rows
+    "sql_recursive_cte_chain",   # recursion whose seed set is empty
+    "variant_json_surface",      # variant parse/extract of zero rows
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

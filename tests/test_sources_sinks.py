@@ -149,3 +149,18 @@ def test_compact_parquet_dir_reduces_files_and_preserves_rows(spark, tmp_path):
              .collect())
     ivals = sorted((r["lo"], r["hi"]) for r in stats)
     assert all(a[1] < b[0] for a, b in zip(ivals, ivals[1:]))
+
+
+def test_python_datasource_partition_contract(spark):
+    """The custom source's partitions() plan maps 1:1 to Spark tasks and
+    slices are disjoint+complete: 8 partitions, every id exactly once."""
+    from mapreduce_implementation_spark.sources.python_datasource import (
+        register_synthrange,
+    )
+
+    register_synthrange(spark)
+    df = (spark.read.format("synthrange")
+          .option("n", 1000).option("partitions", 8).load())
+    assert df.rdd.getNumPartitions() == 8
+    ids = [r["id"] for r in df.select("id").collect()]
+    assert sorted(ids) == list(range(1000))
