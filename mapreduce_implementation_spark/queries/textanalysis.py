@@ -1059,3 +1059,68 @@ def q_split_train_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("sum_chars"))
     )
+
+
+@register(
+    "pipeline_corpus_build",
+    oracle="WITH" + _DUCK_QUALITY_Z + """
+    , scored AS (
+      SELECT d.doc_id, d.text, 1.0 / (1.0 + exp(-z.z)) AS p
+      FROM documents d JOIN z ON d.doc_id = z.doc_id
+    ),
+    kept AS (SELECT * FROM scored WHERE p >= 0.7),
+    fp AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(concat_ws(' ',
+               list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                           t -> t <> ''))) ORDER BY doc_id) AS occ
+      FROM kept
+    ),
+    final AS (
+      SELECT doc_id, p,
+             len(list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                             t -> t <> '')) AS n_tok,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 95 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM fp WHERE occ = 1
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           round(avg(p), 6) AS avg_quality
+    FROM final GROUP BY split
+    """,
+    doc="The full training-corpus BUILD as one lazy plan — the manifest "
+        "a pre-training run consumes: quality-classifier filter "
+        "(p >= 0.7, map-side before any shuffle) -> normalized-"
+        "fingerprint exact dedup (min-doc_id survivor, one narrow "
+        "shuffle) -> content-stable hash split (pure per-row "
+        "expression) -> per-split token budget + doc count + mean "
+        "quality.  Composes the three proven stages "
+        "(pipeline_curation_stats, split_train_valid_hash, token "
+        "counting) into the end-to-end artifact; Catalyst fuses "
+        "everything — two exchanges total (dedup key, split agg) "
+        "however large the corpus.",
+)
+def q_pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.textfn import tokens_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (docs.withColumn("_p", quality_prob_column())
+            .filter(F.col("_p") >= 0.7))
+    toks = F.filter(tokens_array(F.col("text")), lambda t: t != "")
+    fp = kept.withColumn("_fp", F.md5(F.concat_ws(" ", toks).cast("binary")))
+    occ = F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id"))
+    surv = fp.withColumn("_occ", occ).filter(F.col("_occ") == 1)
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                     16, 10).cast("long") % 100)
+    split = (F.when(bucket < 90, "train")
+             .when(bucket < 95, "valid").otherwise("test"))
+    return (
+        surv.select(split.alias("split"), F.size(toks).alias("_n_tok"), "_p")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("_n_tok").cast("long").alias("sum_tokens"),
+             F.round(F.avg("_p"), 6).alias("avg_quality"))
+    )

@@ -61,6 +61,7 @@ _REPRESENTATIVES = [
     "agg_weighted_median",       # prefix-sum median of zero rows
     "sql_recursive_cte_chain",   # recursion whose seed set is empty
     "variant_json_surface",      # variant parse/extract of zero rows
+    "pipeline_corpus_build",     # filter->dedup->split->agg of nothing
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -164,3 +164,31 @@ def test_python_datasource_partition_contract(spark):
     assert df.rdd.getNumPartitions() == 8
     ids = [r["id"] for r in df.select("id").collect()]
     assert sorted(ids) == list(range(1000))
+
+
+def test_jsonl_corrupt_records_quarantined_not_fatal(spark, tmp_path):
+    """PERMISSIVE JSON ingest: malformed lines land in _corrupt_record
+    (the quarantine column) instead of failing the job — the ingest
+    posture a 100 TB crawl feed needs; FAILFAST is opt-in for curated
+    feeds.  Good rows parse fully; corrupt count is exact."""
+    import os
+
+    p = str(tmp_path / "feed.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "text": "ok"}\n')
+        f.write('{"id": 2, "text": "also ok"}\n')
+        f.write('{"id": 3, "text": "truncated...\n')      # bad JSON
+        f.write('not json at all\n')                       # bad JSON
+    schema = "id BIGINT, text STRING, _corrupt_record STRING"
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(p)).cache()
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert {r["id"] for r in good.collect()} == {1, 2}
+        assert bad.count() == 2
+    finally:
+        df.unpersist()
+        os.remove(p)
