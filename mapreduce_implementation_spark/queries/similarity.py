@@ -248,3 +248,73 @@ def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
     w_out = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w_out).cast("int"))
+
+
+_SUBVECS = 8
+_SUBDIM = 8
+
+
+def _maxsim_oracle() -> str:
+    """DuckDB twin of the maxsim scoring: same slice/cos/greatest/sum
+    expression tree, query subvectors materialized from vec 0."""
+    cos = (lambda j, i:
+           f"round(list_cosine_similarity("
+           f"CAST(b.embedding[{j * _SUBDIM + 1}:{(j + 1) * _SUBDIM}] AS DOUBLE[]), "
+           f"CAST(a.embedding[{i * _SUBDIM + 1}:{(i + 1) * _SUBDIM}] AS DOUBLE[])), 6)")
+    per_q = " + ".join(
+        "greatest(" + ", ".join(cos(j, i) for j in range(_SUBVECS)) + ")"
+        for i in range(_SUBVECS))
+    return f"""
+    SELECT vec_id, maxsim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT vec_id, maxsim,
+             row_number() OVER (ORDER BY maxsim DESC, vec_id) AS rank
+      FROM (
+        SELECT b.vec_id, round({per_q}, 6) AS maxsim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id = 0 AND b.vec_id <> 0
+      )
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "similarity_maxsim_multivector",
+    oracle=_maxsim_oracle(),
+    doc="Late-interaction (ColBERT-style) multi-vector retrieval: each "
+        "64-dim embedding is treated as 8 token-level subvectors of 8 "
+        "dims; score(doc) = sum over query subvectors of the max cosine "
+        "against any doc subvector — the MaxSim operator.  All 64 "
+        "subvector cosines are pure per-row column expressions inside "
+        "whole-stage codegen (slice + fold dot + greatest), one corpus "
+        "scan, TakeOrderedAndProject top-10 — no explode, no join, no "
+        "shuffle before the final top-k.  The 100 TB escalation is the "
+        "same as single-vector search: route through an ANN index on "
+        "the pooled vector, MaxSim-rerank the candidates (exactly this "
+        "expression).",
+)
+def q_similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.window import Window
+
+    from ..functions.vectorfn import dot, l2_norm
+
+    q = _query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+
+    per_q_terms = []
+    for i in range(_SUBVECS):
+        qi = q[i * _SUBDIM:(i + 1) * _SUBDIM]
+        qn = math.sqrt(sum(x * x for x in qi))
+        qlit = F.array(*[F.lit(float(x)) for x in qi])
+        cos_js = []
+        for j in range(_SUBVECS):
+            sl = F.slice(F.col("embedding"), j * _SUBDIM + 1, _SUBDIM)
+            cos_js.append(F.round(
+                dot(sl, qlit) / (l2_norm(sl) * F.lit(qn)), 6))
+        per_q_terms.append(F.greatest(*cos_js))
+    score = F.round(sum(per_q_terms[1:], per_q_terms[0]), 6)
+    top = (emb.select("vec_id", score.alias("maxsim"))
+           .orderBy(F.desc("maxsim"), F.asc("vec_id")).limit(10))
+    w = Window.orderBy(F.desc("maxsim"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -1124,3 +1124,81 @@ def q_pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("_n_tok").cast("long").alias("sum_tokens"),
              F.round(F.avg("_p"), 6).alias("avg_quality"))
     )
+
+
+@register(
+    "text_collocations_llr",
+    oracle=_DUCK_POSTOKS + """,
+    bg AS (
+      SELECT w1, w2 FROM (
+        SELECT tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+      ) WHERE w2 IS NOT NULL
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS k11 FROM bg GROUP BY 1, 2),
+    r AS (SELECT w1, sum(k11) AS r1 FROM c12 GROUP BY 1),
+    c AS (SELECT w2, sum(k11) AS c1 FROM c12 GROUP BY 1),
+    n AS (SELECT sum(k11) AS nn FROM c12),
+    kk AS (
+      SELECT w1, w2, k11,
+             r1 - k11                 AS k12,
+             c1 - k11                 AS k21,
+             nn - r1 - c1 + k11       AS k22,
+             r1, c1, nn
+      FROM c12 JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN n
+      WHERE k11 >= 30
+    )
+    SELECT w1, w2, CAST(k11 AS BIGINT) AS n_pair,
+           round(2 * (
+             CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * nn / (CAST(r1 AS DOUBLE) * c1)) ELSE 0 END
+           + CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * nn / (CAST(r1 AS DOUBLE) * (nn - c1))) ELSE 0 END
+           + CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * nn / (CAST(nn - r1 AS DOUBLE) * c1)) ELSE 0 END
+           + CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * nn / (CAST(nn - r1 AS DOUBLE) * (nn - c1))) ELSE 0 END
+           ), 4) AS llr
+    FROM kk
+    ORDER BY llr DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Bigram collocation extraction by log-likelihood ratio (Dunning "
+        "1993 — the statistically sound alternative to PMI for "
+        "frequency-skewed corpora; PMI overweights rare pairs, LLR "
+        "scores the full 2x2 contingency table): observed bigram count "
+        "vs independence via 2*sum k_ij ln(k_ij N / (row_i col_j)).  "
+        "All counts come from ONE aggregation over the zero-shuffle "
+        "bigram stream; marginals re-aggregate the (w1, w2) counts "
+        "(vocab-sized, not corpus-sized); the scalar LLR arithmetic is "
+        "per-row inside codegen; top-20 is TakeOrderedAndProject.",
+)
+def q_text_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (word_ngrams(docs, "doc_id", "text", n=2)
+          .select(F.split("ngram", " ")[0].alias("w1"),
+                  F.split("ngram", " ")[1].alias("w2")))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("k11"))
+    r = c12.groupBy("w1").agg(F.sum("k11").alias("r1"))
+    c = c12.groupBy("w2").agg(F.sum("k11").alias("c1"))
+    n = c12.agg(F.sum("k11").alias("nn"))
+    kk = (c12.join(r, "w1").join(c, "w2").crossJoin(F.broadcast(n))
+          .filter(F.col("k11") >= 30)
+          .withColumn("k12", F.col("r1") - F.col("k11"))
+          .withColumn("k21", F.col("c1") - F.col("k11"))
+          .withColumn("k22", F.col("nn") - F.col("r1") - F.col("c1") + F.col("k11")))
+
+    def term(k, num_l, num_r):
+        return F.when(
+            k > 0,
+            k * F.log(k.cast("double") * F.col("nn")
+                      / (num_l.cast("double") * num_r))).otherwise(0.0)
+
+    llr = F.round(2 * (
+        term(F.col("k11"), F.col("r1"), F.col("c1"))
+        + term(F.col("k12"), F.col("r1"), F.col("nn") - F.col("c1"))
+        + term(F.col("k21"), F.col("nn") - F.col("r1"), F.col("c1"))
+        + term(F.col("k22"), F.col("nn") - F.col("r1"), F.col("nn") - F.col("c1"))
+    ), 4)
+    return (kk.select("w1", "w2", F.col("k11").alias("n_pair"),
+                      llr.alias("llr"))
+            .orderBy(F.desc("llr"), "w1", "w2").limit(20))

@@ -85,6 +85,7 @@ _SAMPLE_FIRST = (
     "multimodal_image_dhash_pairs", "agg_weighted_median",
     "sql_recursive_cte_chain", "variant_json_surface",
     "source_python_datasource", "pipeline_corpus_build",
+    "text_collocations_llr", "similarity_maxsim_multivector",
     # --- stale: latest driver row is r01/r02 ---
     "text_lang_id", "text_fingerprint", "text_tfidf_top3",
     "json_extract_events", "pipeline_fingerprint_dedup", "text_bm25_top10",

@@ -70,3 +70,51 @@ def test_tokenizer_reference_edge_cases(spark):
     df = spark.createDataFrame([(c,) for c in cases], ["value"])
     got = sorted(r["word"] for r in tokenize(df).collect())
     assert got == sorted(["dont", "wellknown", "endstart", "a", "b"])
+
+
+# --- CDC merge model test: random change batches vs a dict reference ---
+
+_keys = st.integers(min_value=0, max_value=9)
+_change = st.tuples(_keys,
+                    st.sampled_from(["U", "I", "D"]),
+                    st.floats(min_value=-100, max_value=100,
+                              allow_nan=False, width=32))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_change, min_size=0, max_size=25))
+def test_merge_upsert_matches_dict_model(spark, changes):
+    """merge_upsert == the obvious sequential dict semantics: replay the
+    change log in seq order against {key: value}; 'D' deletes, 'U'/'I'
+    set.  The operator's latest-per-key window + anti join + union must
+    land on the same final table for ANY change sequence, including
+    repeated keys, delete-then-insert, and updates to absent keys
+    (upsert semantics: a 'U' on a missing key creates it, exactly like
+    MERGE WHEN NOT MATCHED)."""
+    from mapreduce_implementation_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    base = {k: float(k * 10) for k in range(0, 10, 2)}  # keys 0,2,4,6,8
+    model = dict(base)
+    for k, op, v in changes:
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = round(float(v), 2)
+
+    snap = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k long, v double")
+    if changes:
+        ch = spark.createDataFrame(
+            [(k, op, round(float(v), 2), seq)
+             for seq, (k, op, v) in enumerate(changes)],
+            "k long, op string, v double, seq int",
+        ).select("k", "v", "op", "seq")
+        got_rows = merge_upsert(snap, ch, ["k"],
+                                op_col="op", seq_col="seq").collect()
+    else:
+        got_rows = snap.collect()
+    got = {r["k"]: r["v"] for r in got_rows}
+    assert len(got_rows) == len(got), "duplicate keys in merged output"
+    assert got == model

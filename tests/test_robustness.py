@@ -62,6 +62,8 @@ _REPRESENTATIVES = [
     "sql_recursive_cte_chain",   # recursion whose seed set is empty
     "variant_json_surface",      # variant parse/extract of zero rows
     "pipeline_corpus_build",     # filter->dedup->split->agg of nothing
+    "text_collocations_llr",     # contingency LLR over zero bigrams
+    "similarity_maxsim_multivector",  # maxsim when corpus is empty
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
