@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from .caching import tracked_persist
 
 __all__ = ["connected_components", "pagerank", "label_propagation",
-           "triangle_count"]
+           "triangle_count", "bfs_distances"]
 
 # Rounds are O(log n); 25 covers any graph that fits on a real cluster
 # (2^25 nodes of *diameter* after contraction).  Hitting the cap raises —
@@ -269,3 +269,40 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
             .select("v", F.coalesce("_new", F.col("v")).alias("label"))
         )
     return labels
+
+
+def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
+                  max_hops: int = 5) -> DataFrame:
+    """Single-source shortest HOP distances (multi-round distributed
+    BFS / the unit-weight Bellman-Ford relaxation): ``(v, dist)`` with
+    NULL dist for nodes unreachable within ``max_hops``.
+
+    Each round relaxes every edge once — one equi-join of the current
+    distance vector onto the edge list, one (dst) min-aggregate, one
+    key-joined merge with the previous vector: the Pregel superstep
+    expressed declaratively.  The distance vector is O(nodes) and joins
+    by key (no broadcast requirement — same web-scale posture as the
+    shuffled-rank PageRank mode); rounds are a fixed unrolled count so
+    the whole computation is one lazy plan and oracle-able.  At true
+    web diameter, wrap the same step in a convergence loop with
+    ``localCheckpoint`` per round like ``connected_components``.
+    """
+    e = edges.select("src", "dst")
+    n1 = nodes.select(F.col("v")).distinct()
+    dist = n1.select(
+        "v", F.when(F.col("v") == source, 0).cast("int").alias("d"))
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(dist.filter(F.col("d").isNotNull()),
+                   F.col("src") == F.col("v"))
+            .groupBy("dst").agg((F.min("d") + 1).alias("_nd"))
+        )
+        dist = (
+            dist.join(relaxed, dist.v == relaxed.dst, "left")
+            .select(dist.v,
+                    F.least(F.coalesce(F.col("d"), F.lit(999)),
+                            F.coalesce(F.col("_nd"), F.lit(999))).alias("_m"))
+            .select("v", F.when(F.col("_m") < 999,
+                                F.col("_m")).cast("int").alias("d"))
+        )
+    return dist.withColumnRenamed("d", "dist")

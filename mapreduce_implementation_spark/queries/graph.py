@@ -227,3 +227,83 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = label_propagation(edges, nodes, iters=_LPA_ITERS)
     return labels.select(F.col("v").cast("int").alias("nationkey"),
                          F.col("label").cast("int").alias("community"))
+
+
+_BFS_HOPS = 5
+_BFS_EDGE_MIN_W = 160
+
+
+def _bfs_oracle() -> str:
+    sql = f"""
+    WITH raw AS (
+      SELECT c_nationkey AS a, s_nationkey AS b
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2 HAVING count(*) >= {_BFS_EDGE_MIN_W}
+    ),
+    e AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    n1 AS (SELECT n_nationkey AS v FROM nation),
+    d0 AS (SELECT v, CASE WHEN v = 0 THEN 0 ELSE NULL END AS d FROM n1)
+    """
+    prev = "d0"
+    for i in range(1, _BFS_HOPS + 1):
+        sql += f""",
+    d{i} AS (
+      SELECT n1.v,
+             CASE WHEN least(coalesce(p.d, 999), coalesce(m.nd, 999)) = 999
+                  THEN NULL
+                  ELSE least(coalesce(p.d, 999), coalesce(m.nd, 999)) END AS d
+      FROM n1 LEFT JOIN {prev} p ON p.v = n1.v
+      LEFT JOIN (SELECT e.dst AS v, min(p2.d) + 1 AS nd
+                 FROM e JOIN {prev} p2 ON p2.v = e.src AND p2.d IS NOT NULL
+                 GROUP BY e.dst) m ON m.v = n1.v
+    )"""
+        prev = f"d{i}"
+    sql += f"""
+    SELECT CAST(v AS INTEGER) AS nationkey, CAST(d AS INTEGER) AS dist
+    FROM {prev}
+    """
+    return sql
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=_bfs_oracle(),
+    doc=f"Single-source shortest-hop distances ({_BFS_HOPS} unrolled BFS "
+        "rounds from nation 0) over the STRONG trade graph — edges kept "
+        f"only where >= {_BFS_EDGE_MIN_W} lineitems connect the nation "
+        "pair, which gives the fixture real multi-hop structure (dist 0/"
+        "1/2 and an unreachable NULL node) instead of the dense graph's "
+        "all-ones.  Each round is one edge-list equi-join + dst "
+        "min-aggregate + key-joined merge (the Pregel superstep, "
+        "declaratively); the distance vector joins by key, never "
+        "broadcast-bound.  Oracle unrolls the identical relaxation as "
+        "chained CTEs.",
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("a"),
+                 F.col("s_nationkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _BFS_EDGE_MIN_W)
+    )
+    edges = (raw.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(raw.select(F.col("b").alias("src"),
+                                     F.col("a").alias("dst")))
+             .distinct())
+    nodes = n.select(F.col("n_nationkey").alias("v"))
+    d = bfs_distances(edges, nodes, source=0, max_hops=_BFS_HOPS)
+    return d.select(F.col("v").cast("int").alias("nationkey"),
+                    F.col("dist").cast("int").alias("dist"))

@@ -164,3 +164,33 @@ def test_dq_report_detects_and_passes(spark):
     assert rows["lineitem_fk_orders"]["n_violations"] == 0
     for r in rows.values():
         assert r["n_checked"] > 0
+
+
+def test_bfs_distances_path_graph(spark):
+    """Hop distances on a 4-node path with an isolated node: exact
+    distances, NULL for unreachable, and max_hops truncation."""
+    from mapreduce_implementation_spark.operators.graph import bfs_distances
+
+    und = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 9]], "v long")
+    got = {r["v"]: r["dist"]
+           for r in bfs_distances(edges, nodes, source=1, max_hops=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 9: None}
+    trunc = {r["v"]: r["dist"]
+             for r in bfs_distances(edges, nodes, source=1, max_hops=2).collect()}
+    assert trunc == {1: 0, 2: 1, 3: 2, 4: None, 9: None}
+
+
+def test_corpus_build_quality_filter_below_shuffle(spark):
+    """The corpus-build pipeline filters on the quality predicate
+    map-side, BEFORE the dedup shuffle: the Filter node containing the
+    0.7 threshold sits below the first Exchange in the plan."""
+    plan = plan_string(SPECS["pipeline_corpus_build"].fn(spark, SF_DIR_01))
+    # formatted plan prints operators root-first: the Exchange must
+    # appear BEFORE (above) the quality Filter in the text
+    fpos = plan.find("0.7")
+    assert fpos != -1, plan
+    first_ex = plan.find("Exchange")
+    assert first_ex != -1 and first_ex < fpos, plan[:4000]

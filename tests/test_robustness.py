@@ -64,6 +64,7 @@ _REPRESENTATIVES = [
     "pipeline_corpus_build",     # filter->dedup->split->agg of nothing
     "text_collocations_llr",     # contingency LLR over zero bigrams
     "similarity_maxsim_multivector",  # maxsim when corpus is empty
+    "graph_bfs_distances",       # BFS with an empty edge list
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
