@@ -37,6 +37,7 @@ __all__ = [
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
+    "sign_lsh_params",
     "cluster_representatives", "near_dup_filter_against",
     "span_chunks", "span_dedup_rebuild",
 ]
@@ -683,3 +684,37 @@ def span_dedup_rebuild(df: DataFrame, id_col: str, text_col: str,
                 lambda s: s["chunk_text"])).alias("text_dedup"),
         )
     )
+
+
+def sign_lsh_params(n_vectors: int, min_cosine: float,
+                    target_bucket: int = 1000,
+                    target_recall: float = 0.9,
+                    max_tables: int = 64) -> tuple[int, int]:
+    """(bits, tables) for sign-LSH at a given corpus size and threshold —
+    the SCALE.md parameter policy as code, so callers scale the index
+    instead of inheriting fixture-tuned constants.
+
+    ``bits`` grows with log2(n / target_bucket): expected bucket
+    occupancy ~ n / 2^bits, and candidate volume from RANDOM collisions
+    ~ tables * n^2 / 2^bits — holding bucket size constant is what keeps
+    the banded join linear as n grows (measured: fixed (4, 16) went
+    superlinear at 10x, (10, 32) restored ~5.7 s at 500k vectors).
+    ``tables`` is then the smallest count with per-pair recall
+    1 - (1 - p^bits)^tables >= target_recall at the threshold, where
+    p = 1 - arccos(min_cosine)/pi is the per-hyperplane agreement
+    probability (Goemans-Williamson / Charikar SimHash analysis),
+    capped at ``max_tables`` (beyond which callers should raise the
+    threshold or accept lower recall — more tables is linear cost).
+    """
+    import math
+
+    bits = max(2, int(math.ceil(math.log2(max(n_vectors, 2)
+                                          / max(target_bucket, 1)))))
+    p = 1.0 - math.acos(max(min(min_cosine, 1.0), -1.0)) / math.pi
+    p_bits = p ** bits
+    if p_bits >= 1.0:
+        return bits, 1
+    tables = 1
+    while (1.0 - (1.0 - p_bits) ** tables) < target_recall and tables < max_tables:
+        tables += 1
+    return bits, tables

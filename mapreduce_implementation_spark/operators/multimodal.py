@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["to_binary_payload", "binary_metadata", "decode_image_features",
-           "sample_chunks", "decode_png", "encode_png_gray"]
+           "sample_chunks", "decode_png", "encode_png_gray",
+           "decode_png_gray_rows", "image_dhash", "dhash_near_dup_pairs",
+           "encode_wav_pcm16", "decode_wav_pcm", "audio_frame_rms"]
 
 DECODE_IS_STUBBED: bool
 try:  # full-featured decoder if the env ever provides it
@@ -442,3 +444,86 @@ def batch_inference_scores(df, id_col: str, text_col: str,
                                 "scored_by": batch_label})
 
     return df.select(id_col, text_col).mapInPandas(_score, schema=schema)
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal valid mono 16-bit PCM WAV writer (RIFF/WAVE, public
+    format) — the audio-side inverse of :func:`decode_wav_pcm` for the
+    synthetic render→decode roundtrip path."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                   byte_rate, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-Python WAV decode (RIFF chunk walk, fmt parse, 16-bit mono
+    PCM samples) — the audio analogue of the PNG decoder: real format,
+    real parse, no codec libs.  Returns (sample_rate, n_samples,
+    samples); raises ``ValueError`` for non-WAV / unsupported variants
+    so callers can ladder to a stub."""
+    import struct
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    rate = None
+    samples: list[int] | None = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or nch != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant")
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{len(body) // 2}h", body))
+    if rate is None or samples is None:
+        raise ValueError("truncated WAV")
+    return rate, len(samples), samples
+
+
+def audio_frame_rms(df: DataFrame, id_col: str, payload_col: str = "payload",
+                    frame: int = 16) -> DataFrame:
+    """(id, frame_idx, rms, sample_rate, n_samples) — decode WAV
+    payloads and emit per-frame RMS energy (the VAD / silence-trim /
+    loudness-normalization primitive of an audio-curation pipeline).
+    Arrow-batched mapInPandas; undecodable payloads are dropped (the
+    caller quarantines via the metadata path).  At 100 TB payloads
+    stay inside executor batches; only (id, frame, rms) rows leave."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, rms, rates, ns = [], [], [], [], []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, n, samples = decode_wav_pcm(payload)
+                except ValueError:
+                    continue
+                for f in range(n // frame):
+                    w = samples[f * frame:(f + 1) * frame]
+                    ids.append(pid); fids.append(f)
+                    # raw double — callers round JVM-side (F.round is
+                    # half-up like the oracle; Python round is banker's)
+                    rms.append(math.sqrt(sum(s * s for s in w) / frame))
+                    rates.append(rate); ns.append(n)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fids, dtype="int32"),
+                "rms": pd.Series(rms, dtype="float64"),
+                "sample_rate": pd.Series(rates, dtype="int32"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+            })
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(run, schema="id BIGINT, frame_idx INT, rms DOUBLE,"
+                                     " sample_rate INT, n_samples INT")
+            .withColumnRenamed("id", id_col))

@@ -154,3 +154,53 @@ def global_running_sum(df: DataFrame, value_col: str,
         .withColumn(out, F.col("_local_cum") + F.col("_offset"))
         .drop("_pid", "_local_cum", "_offset")
     )
+
+
+def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
+                        order_by: list[Column], out: str = "cum",
+                        partitions: int | None = None) -> DataFrame:
+    """Exact ``sum(v) OVER (PARTITION BY g ORDER BY ...)`` that stays
+    distributed even when single groups dwarf a partition — the grouped
+    sibling of :func:`global_running_sum`.
+
+    A plain keyed window puts each ENTIRE group in one task: fine for
+    many small groups, fatal when one group holds billions of rows (the
+    3-value l_returnflag case).  Instead: range-partition on
+    (group..., order...) — groups occupy contiguous partition runs, a
+    huge group spans MANY partitions — then per-(partition, group)
+    local cumsums run in parallel, and the per-(partition, group)
+    totals frame (at most partitions + distinct-groups rows, because a
+    partition holds a contiguous group range) computes each group's
+    exclusive prefix offsets with a window partitioned BY GROUP over
+    partition ids.  Offsets come back via a keyed join (not broadcast:
+    group cardinality may itself be huge — Spark upgrades to broadcast
+    when stats allow).
+
+    Same single-evaluation discipline as the global operators: the
+    ranged frame is persisted so both consumers see one ``_pid``
+    assignment.
+    """
+    spark = df.sparkSession
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    gcols = [F.col(g) for g in group_cols]
+    ranged = tracked_persist(
+        df.repartitionByRange(parts, *gcols, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "_local_cum",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid", *group_cols).orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    totals = ranged.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_tot"))
+    w_off = (Window.partitionBy(*group_cols).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid", *group_cols,
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_offset"))
+    return (
+        local.join(offsets, ["_pid", *group_cols])
+        .withColumn(out, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_local_cum", "_offset")
+    )

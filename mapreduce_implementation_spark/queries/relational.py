@@ -698,3 +698,59 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.round("price", 2).alias("weighted_median"),
                 F.col("tw").cast("long").alias("total_weight"))
     )
+
+
+@register(
+    "agg_weighted_median_by_flag",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag, sum(l_quantity) AS tw
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             sum(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cumw
+      FROM lineitem
+    )
+    SELECT c.l_returnflag,
+           round(arg_min(price, cumw), 2)  AS weighted_median,
+           CAST(t.tw AS BIGINT)            AS total_weight
+    FROM c JOIN t USING (l_returnflag)
+    WHERE cumw >= t.tw / 2
+    GROUP BY c.l_returnflag, t.tw
+    """,
+    doc="PER-GROUP exact weighted median via the GROUPED distributed "
+        "prefix sum (operators/windows.grouped_running_sum): a plain "
+        "PARTITION BY window puts each whole group in ONE task — fatal "
+        "when a 3-value flag column partitions 100 TB into 33 TB "
+        "groups.  The grouped operator range-partitions on (group, "
+        "order key) so one group spans many partitions, cumsums run "
+        "per (partition, group) in parallel, and group offsets come "
+        "from the tiny contiguous-run totals frame.  Crossing row "
+        "picked with min_by(price, cumw) — cumw is strictly increasing "
+        "within a group, so the pick is deterministic.",
+)
+def q_agg_weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("price"),
+        "l_quantity", "l_orderkey", "l_linenumber")
+    cum = grouped_running_sum(
+        li, "l_quantity", ["l_returnflag"],
+        [F.col("price").asc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+        out="cumw",
+    )
+    tw = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))
+    return (
+        cum.join(tw, "l_returnflag")
+        .filter(F.col("cumw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag", "tw")
+        .agg(F.round(F.min_by("price", "cumw"), 2).alias("weighted_median"))
+        .select("l_returnflag", "weighted_median",
+                F.col("tw").cast("long").alias("total_weight"))
+    )

@@ -311,3 +311,62 @@ def q_multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = image_dhash(rendered, "id")
     return dhash_near_dup_pairs(sigs, "id", max_hamming=3,
                                 bands=4, band_bits=14)
+
+
+@register(
+    "multimodal_audio_rms",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(floor(least(greatest(CAST(e AS DOUBLE), -1), 1) * 32767
+                        + 0.5) AS INTEGER) AS smp,
+             CAST(i - 1 AS INTEGER) AS idx
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    )
+    SELECT vec_id,
+           CAST(idx // 16 AS INTEGER) AS frame_idx,
+           round(sqrt(sum(CAST(smp AS DOUBLE) * smp) / 16.0), 6) AS rms,
+           8000 AS sample_rate,
+           64 AS n_samples
+    FROM s GROUP BY vec_id, idx // 16
+    """,
+    doc="REAL audio decode end-to-end, fully hash-oracled — the WAV "
+        "twin of the PNG path, completing the multimodal triad (image "
+        "decode, audio decode, binary chunk sampling): each 64-dim "
+        "embedding renders to a mono 16-bit PCM WAV (RIFF writer, "
+        "executor-side), decode_wav_pcm parses the RIFF chunks back, "
+        "and audio_frame_rms emits per-16-sample-frame RMS energy — "
+        "the VAD / silence-trim / loudness primitive of an audio "
+        "curation pipeline.  Quantization (floor(clip(e)*32767+0.5)) "
+        "and the RMS arithmetic are identical IEEE expressions in both "
+        "engines, so the oracle recomputes every frame from the "
+        "embedding alone — a RIFF writer, parser, or framing bug "
+        "breaks the hash.",
+)
+def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_frame_rms, encode_wav_pcm16
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def render(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                v = np.asarray(vec, dtype=np.float64)
+                smp = np.floor(np.clip(v, -1.0, 1.0) * 32767.0 + 0.5
+                               ).astype(np.int64)
+                payloads.append(encode_wav_pcm16([int(x) for x in smp], 8000))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+    rendered = emb.mapInPandas(render, schema="vec_id BIGINT, payload BINARY")
+    feats = audio_frame_rms(rendered, "vec_id", frame=16)
+    return feats.select(
+        "vec_id", "frame_idx",
+        F.round("rms", 6).alias("rms"),
+        "sample_rate", "n_samples",
+    )

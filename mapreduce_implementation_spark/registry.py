@@ -86,7 +86,8 @@ _SAMPLE_FIRST = (
     "sql_recursive_cte_chain", "variant_json_surface",
     "source_python_datasource", "pipeline_corpus_build",
     "text_collocations_llr", "similarity_maxsim_multivector",
-    "graph_bfs_distances",
+    "graph_bfs_distances", "agg_weighted_median_by_flag",
+    "multimodal_audio_rms",
     # --- stale: latest driver row is r01/r02 ---
     "text_lang_id", "text_fingerprint", "text_tfidf_top3",
     "json_extract_events", "pipeline_fingerprint_dedup", "text_bm25_top10",

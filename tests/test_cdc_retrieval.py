@@ -194,3 +194,38 @@ def test_corpus_build_quality_filter_below_shuffle(spark):
     assert fpos != -1, plan
     first_ex = plan.find("Exchange")
     assert first_ex != -1 and first_ex < fpos, plan[:4000]
+
+
+def test_grouped_running_sum_matches_keyed_window(spark):
+    """grouped_running_sum == the plain PARTITION BY window on a frame
+    engineered so single groups straddle many range partitions (2
+    groups x 5000 rows across 8 partitions)."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import (
+        grouped_running_sum,
+    )
+
+    df = (spark.range(10000)
+          .select((F.col("id") % 2).cast("string").alias("g"),
+                  F.col("id").alias("k"),
+                  (F.col("id") % 7 + 1).alias("v")))
+    got = grouped_running_sum(df, "v", ["g"], [F.col("k").asc()],
+                              out="cum", partitions=8)
+    w = Window.partitionBy("g").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    try:
+        assert got.count() == 10000
+        diff = (got.select("g", "k", "cum")
+                .exceptAll(want.select("g", "k", "cum")))
+        assert diff.count() == 0
+        # and the distributed form really range-partitions: base rows
+        # never funnel through a per-group hash exchange into one task
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan, plan[:2000]
+    finally:
+        release_persisted()

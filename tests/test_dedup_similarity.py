@@ -320,3 +320,47 @@ def test_semantic_block_cap_bounds_degenerate_block(spark):
                                   min_cosine=0.9, block_cap=None)
     kept_full = {r["vec_id"] for r in full.collect() if r["kept"]}
     assert kept_full == {0, 1000}
+
+
+def test_sign_lsh_params_policy(spark):
+    """The codified parameter rule: bits track log2(n/bucket) so bucket
+    occupancy stays ~constant; tables hit the recall target via the
+    Charikar collision probability; and the auto-parameterized LSH join
+    still recalls the brute-force pairs at fixture scale."""
+    import math
+
+    from mapreduce_implementation_spark.operators.dedup import (
+        embedding_near_dup_pairs, embedding_near_dup_pairs_lsh,
+        sign_lsh_params,
+    )
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    # bits nondecreasing in n, exact log2 rule
+    prev_bits = 0
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        bits, tables = sign_lsh_params(n, 0.9)
+        assert bits >= prev_bits
+        assert bits == max(2, math.ceil(math.log2(n / 1000)))
+        prev_bits = bits
+        # where not capped, the analytic recall meets the target
+        p = 1.0 - math.acos(0.9) / math.pi
+        if tables < 64:
+            assert 1 - (1 - p ** bits) ** tables >= 0.9
+    # tighter thresholds need FEWER tables at same n (higher p)
+    assert sign_lsh_params(10**6, 0.95)[1] <= sign_lsh_params(10**6, 0.5)[1]
+
+    # end-to-end: auto params at fixture scale keep recall >= 0.8
+    emb = load_table(spark, SF_DIR_001, "embeddings")
+    n = emb.count()
+    bits, tables = sign_lsh_params(n, 0.35, target_bucket=50)
+    exact = {(r["a"], r["b"]) for r in
+             embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                      min_cosine=0.35).collect()}
+    approx = {(r["a"], r["b"]) for r in
+              embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding",
+                                           dim=64, min_cosine=0.35,
+                                           bits=bits, tables=tables).collect()}
+    assert approx <= exact  # verify step is exact — no false positives
+    assert exact, "fixture should contain near-dup pairs"
+    assert len(approx & exact) / len(exact) >= 0.8

@@ -211,3 +211,35 @@ def test_gray_rows_roundtrip_and_filtered_scanlines(spark):
     assert (w, h) == (4, 2)
     assert list(rows[0]) == [10, 15, 20, 25]
     assert list(rows[1]) == [11, 16, 21, 26]
+
+
+def test_wav_roundtrip_and_variant_rejection(spark):
+    """WAV writer→parser roundtrip preserves samples and rate exactly;
+    non-PCM / stereo / 8-bit variants raise for the decoder ladder; an
+    extra odd-length chunk before data is walked with word alignment."""
+    import struct
+
+    import pytest as _pytest
+
+    from mapreduce_implementation_spark.operators.multimodal import (
+        decode_wav_pcm, encode_wav_pcm16,
+    )
+
+    smp = [0, 1, -1, 32767, -32768, 12345, -12345]
+    rate, n, back = decode_wav_pcm(encode_wav_pcm16(smp, 16000))
+    assert (rate, n, back) == (16000, len(smp), smp)
+
+    # inject an odd-length LIST chunk between fmt and data
+    w = encode_wav_pcm16([5, -5], 8000)
+    fmt_end = 12 + 8 + 16
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    patched = w[:fmt_end] + odd + w[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav_pcm(patched)[2] == [5, -5]
+
+    stereo = bytearray(encode_wav_pcm16([1, 2], 8000))
+    stereo[22] = 2  # nch = 2
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(bytes(stereo))
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(b"RIFFxxxxNOPE")

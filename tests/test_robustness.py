@@ -65,6 +65,8 @@ _REPRESENTATIVES = [
     "text_collocations_llr",     # contingency LLR over zero bigrams
     "similarity_maxsim_multivector",  # maxsim when corpus is empty
     "graph_bfs_distances",       # BFS with an empty edge list
+    "agg_weighted_median_by_flag",  # grouped prefix sum of zero rows
+    "multimodal_audio_rms",      # WAV render/decode of zero rows
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
