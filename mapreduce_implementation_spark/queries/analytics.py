@@ -594,3 +594,102 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("_ca") * F.col("_cb")), 6).alias("lift"),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS n_trans
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT cur, sum(n_trans) AS t FROM pairs GROUP BY 1)
+    SELECT pairs.cur AS cur_type, pairs.nxt AS next_type,
+           CAST(pairs.n_trans AS BIGINT) AS n_trans,
+           round(pairs.n_trans * 1.0 / tot.t, 6) AS p
+    FROM pairs JOIN tot ON pairs.cur = tot.cur
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences (the behavioral-model summary behind next-action "
+        "prediction and anomaly scoring): adjacent (current, next) "
+        "pairs from a per-user lead window — keyed by user, state "
+        "bounded by events-per-user — then two vocabulary-sized "
+        "aggregates for counts and row-normalized probabilities.  "
+        "Ordering ties broken by (second-formatted ts, event_id), the "
+        "engine-portable total order.",
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "event_id")
+    seq = e.select("user_id", F.col("event_type").alias("cur"),
+                   F.lead("event_type").over(w).alias("nxt"))
+    pairs = (seq.filter(F.col("nxt").isNotNull())
+             .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n_trans")))
+    tot = pairs.groupBy("cur").agg(F.sum("n_trans").alias("t"))
+    return (pairs.join(tot, "cur")
+            .select(F.col("cur").alias("cur_type"),
+                    F.col("nxt").alias("next_type"),
+                    "n_trans",
+                    F.round(F.col("n_trans") / F.col("t"), 6).alias("p")))
+
+
+@register(
+    "timeseries_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             list_transform(list_sort(list_zip(array_agg(day), array_agg(v)),
+                                      'ASC'),
+                            z -> CAST(z[2] AS DOUBLE)) AS vals,
+             count(*) AS n_days,
+             strftime(max(day), '%Y-%m-%d') AS last_day
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days, last_day,
+           round(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+             AS ewma
+    FROM ser
+    """,
+    doc="Exponentially weighted moving average over each type's daily "
+        "series (alpha=0.2 — the classic smoothing/forecast-seed "
+        "statistic): the RECURSIVE recurrence acc = a*x + (1-a)*acc is "
+        "a sequential fold no window frame expresses, so it runs as an "
+        "array fold (F.aggregate) over the time-sorted per-key series "
+        "— collected state is bounded by series length per key (days), "
+        "never the event count; the daily aggregation underneath is "
+        "the only full-data shuffle.  Daily sums are rounded(2) BEFORE "
+        "the fold so both engines fold bit-identical inputs; Spark "
+        "seeds the fold with the first element to match DuckDB's "
+        "list_reduce semantics.",
+)
+def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum("value"), 2).alias("v")))
+    ser = (daily.groupBy("event_type")
+           .agg(F.array_sort(F.collect_list(F.struct("day", "v"))).alias("_s"),
+                F.count(F.lit(1)).alias("n_days"),
+                F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day")))
+    vals = F.transform("_s", lambda s: s["v"].cast("double"))
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return ser.select("event_type", "n_days", "last_day",
+                      F.round(ewma, 6).alias("ewma"))

@@ -724,3 +724,77 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_containment_pairs(docs, "doc_id", "text",
                                    n=3, min_containment=0.8)
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS s
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(s, i, 9) AS shingle
+      FROM norm, unnest(range(1, len(s) - 7)) t(i)
+      WHERE len(s) >= 9
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard_exact,
+           TRUE AS est_within_bound
+    FROM inter
+    JOIN sz sa ON inter.a = sa.doc_id
+    JOIN sz sb ON inter.b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """,
+    doc="MinHash as an ESTIMATOR, hash-oracled via the bounded-accuracy "
+        "convention (same pattern that graduated the HLL/percentile "
+        "sketches): for every char-9-shingle pair with true Jaccard >= "
+        "0.5, the 64-component signature agreement rate must sit within "
+        "0.3 of the exact value (4.8 sigma of the binomial se — the "
+        "signatures are fixed-seed deterministic, so this is a hard "
+        "regression pin, not a flaky probabilistic test).  Emits the "
+        "exact Jaccard plus the in-query bound boolean; a signature "
+        "formula or banding regression flips the boolean and breaks the "
+        "driver hash.  One shingle scan feeds BOTH the exact join "
+        "(distinct set semantics) and the signature aggregation "
+        "(duplicate-insensitive, straight off the map stage).",
+)
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
+    from ..operators.dedup import char_shingles, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(char_shingles(docs, "doc_id", "text", k=9))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    pairs = (inter.join(sa, "a").join(sb, "b")
+             .filter(jac >= 0.5)
+             .select("a", "b", jac.alias("_j")))
+    sigs = minhash_signatures(
+        char_shingles(docs, "doc_id", "text", k=9, distinct=False),
+        "doc_id", num_hashes=64)
+    siga = sigs.select(F.col("doc_id").alias("a"),
+                       *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(64)])
+    sigb = sigs.select(F.col("doc_id").alias("b"),
+                       *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(64)])
+    est = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(64)
+    ) / F.lit(64.0)
+    return (
+        pairs.join(siga, "a").join(sigb, "b")
+        .select("a", "b",
+                F.round("_j", 6).alias("jaccard_exact"),
+                (F.abs(est - F.col("_j")) <= 0.3).alias("est_within_bound"))
+    )

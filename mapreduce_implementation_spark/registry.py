@@ -87,7 +87,8 @@ _SAMPLE_FIRST = (
     "source_python_datasource", "pipeline_corpus_build",
     "text_collocations_llr", "similarity_maxsim_multivector",
     "graph_bfs_distances", "agg_weighted_median_by_flag",
-    "multimodal_audio_rms",
+    "multimodal_audio_rms", "events_markov_transitions",
+    "timeseries_ewma_daily", "dedup_minhash_estimate",
     # --- stale: latest driver row is r01/r02 ---
     "text_lang_id", "text_fingerprint", "text_tfidf_top3",
     "json_extract_events", "pipeline_fingerprint_dedup", "text_bm25_top10",

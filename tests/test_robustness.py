@@ -67,6 +67,9 @@ _REPRESENTATIVES = [
     "graph_bfs_distances",       # BFS with an empty edge list
     "agg_weighted_median_by_flag",  # grouped prefix sum of zero rows
     "multimodal_audio_rms",      # WAV render/decode of zero rows
+    "events_markov_transitions", # lead window over zero sequences
+    "timeseries_ewma_daily",     # array fold over zero series
+    "dedup_minhash_estimate",    # estimator join over zero pairs
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
