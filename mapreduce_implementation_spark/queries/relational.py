@@ -754,3 +754,78 @@ def q_agg_weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("l_returnflag", "weighted_median",
                 F.col("tw").cast("long").alias("total_weight"))
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Bag-semantics INTERSECT ALL (multiplicity = min of the two "
+        "sides' counts): df.intersectAll — completes the multiset "
+        "trio with unionAll and exceptAll.  Same single "
+        "aggregate-and-replicate plan shape as EXCEPT ALL.",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_totalprice") > 100000).select("o_orderpriority")
+    right = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return left.intersectAll(right)
+
+
+@register(
+    "anomaly_daily_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS m
+      FROM daily GROUP BY 1
+    ),
+    mad AS (
+      SELECT daily.event_type,
+             quantile_cont(abs(daily.v - med.m), 0.5) AS mad
+      FROM daily JOIN med USING (event_type)
+      GROUP BY daily.event_type
+    )
+    SELECT daily.event_type,
+           strftime(daily.day, '%Y-%m-%d') AS day,
+           daily.v AS revenue,
+           round((daily.v - med.m) / (1.4826 * mad.mad), 4)
+             AS robust_z
+    FROM daily JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+      AND abs((daily.v - med.m) / (1.4826 * mad.mad)) > 2.5
+    """,
+    doc="Robust anomaly detection by median absolute deviation "
+        "(robust_z = (x - median) / (1.4826 * MAD) — the "
+        "outlier-resistant alternative to the mean/stddev z-score "
+        "query, which an actual outlier inflates): two exact-percentile "
+        "aggregations over the DAILY frame (O(types x days), tiny "
+        "regardless of event volume — the only full-data pass is the "
+        "daily sum), then a per-row flag.  At true scale the exact "
+        "percentile swaps for approx_percentile, same plan shape.",
+)
+def q_anomaly_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum("value"), 2).alias("v")))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("m"))
+    dev = daily.join(med, "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(v - m), 0.5)").alias("mad"))
+    z = (F.col("v") - F.col("m")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > 2.5))
+        .select("event_type",
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                F.col("v").alias("revenue"),
+                F.round(z, 4).alias("robust_z"))
+    )

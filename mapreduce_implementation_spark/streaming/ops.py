@@ -92,16 +92,24 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
 
 def click_attribution_join(clicks: DataFrame, purchases: DataFrame,
                            horizon: str = "1 hour",
-                           watermark: str = "2 hours") -> DataFrame:
-    """Stream-stream inner join: purchases attributed to a same-user
-    click within ``horizon`` after the click.
+                           watermark: str = "2 hours",
+                           join_type: str = "inner") -> DataFrame:
+    """Stream-stream join: purchases attributed to a same-user click
+    within ``horizon`` after the click.
 
     Both sides carry watermarks and the join condition bounds purchase
     time to [click_ts, click_ts + horizon], so each side's buffered
     state is evicted once the other side's watermark passes the bound —
     the canonical bounded-state stream-stream join.  On batch inputs
     the watermarks are no-ops and this is a plain range join (the
-    oracle-checked twin in queries/streaming_batch.py)."""
+    oracle-checked twin in queries/streaming_batch.py).
+
+    ``join_type='leftOuter'`` gives the unconverted-click semantics: a
+    click with no purchase in its horizon is emitted null-extended ONLY
+    once the purchase-side watermark proves no future match can arrive
+    — the delayed-null-emission contract unique to streaming outer
+    joins (a batch outer join has no such wait), pinned in
+    tests/test_streaming.py."""
     c = (
         clicks.filter(F.col("event_type") == "click")
         .select(F.col("user_id"),
@@ -123,7 +131,7 @@ def click_attribution_join(clicks: DataFrame, purchases: DataFrame,
             (c["user_id"] == p["p_user_id"])
             & (p["purchase_ts"] >= c["click_ts"])
             & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {horizon}")),
-            "inner",
+            join_type,
         )
         .select("user_id", "click_id", "click_ts", "purchase_id",
                 "purchase_ts", "amount")

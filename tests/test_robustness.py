@@ -70,6 +70,8 @@ _REPRESENTATIVES = [
     "events_markov_transitions", # lead window over zero sequences
     "timeseries_ewma_daily",     # array fold over zero series
     "dedup_minhash_estimate",    # estimator join over zero pairs
+    "set_intersect_all",         # multiset intersect of empty bags
+    "anomaly_daily_mad",         # MAD percentiles over zero days
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

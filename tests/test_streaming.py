@@ -333,3 +333,52 @@ def test_cdc_upsert_sink_applies_batches_in_order(spark, tmp_path):
     got = {r["k"]: (r["name"], r["bal"])
            for r in spark.read.parquet(snap_dir).collect()}
     assert got == {1: ("a1", 11.0), 3: ("c2", 33.0)}
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Streaming LEFT OUTER join semantics: an unmatched click is
+    emitted null-extended only once the purchase watermark proves no
+    future match can arrive.  Batch 1 carries a matched and an
+    unmatched click; batch 2 (a much later event) advances the
+    watermark past both horizons, forcing the null row out."""
+    import datetime as dt
+    import os
+
+    from mapreduce_implementation_spark.streaming.ops import (
+        click_attribution_join,
+    )
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch1 = [
+        (1, t0, 1, "click", 0.0),
+        (2, t0 + dt.timedelta(minutes=10), 1, "purchase", 9.99),  # matches 1
+        (3, t0, 2, "click", 0.0),                                  # never converts
+    ]
+    # watermark pushes must be visible to BOTH watermark nodes (each
+    # side filters to its event type BEFORE withWatermark, and the
+    # global watermark is the MIN across sides) — so each push batch
+    # carries a late click AND a late purchase for unrelated users
+    batch2 = [(4, t0 + dt.timedelta(hours=12), 98, "click", 0.0),
+              (5, t0 + dt.timedelta(hours=12), 99, "purchase", 1.0)]
+    # outer-null emission happens while PROCESSING a batch whose
+    # STARTING watermark already passed the horizon — b2's advance
+    # takes effect during b3
+    batch3 = [(6, t0 + dt.timedelta(hours=13), 98, "click", 0.0),
+              (7, t0 + dt.timedelta(hours=13), 99, "purchase", 1.0)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(d + "/b2")
+    spark.createDataFrame(batch3, schema).coalesce(1).write.parquet(d + "/b3")
+    s1 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d + "/b*"))
+    s2 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d + "/b*"))
+    joined = click_attribution_join(s1, s2, join_type="leftOuter")
+    _run_stream(joined, "ssj_outer_out", "append")
+    rows = spark.sql("SELECT * FROM ssj_outer_out").collect()
+    got = {(r["click_id"], r["purchase_id"]) for r in rows}
+    assert (1, 2) in got, rows          # matched pair
+    assert (3, None) in got, rows       # null-extended after watermark
+    assert (2, None) not in got  # converted click never null-extends
