@@ -813,29 +813,64 @@ def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_countmin_stopwords",
-    oracle=None,  # bucket addresses are Spark-hash (xxhash64) dependent;
-    # the CM overestimate-bound contract is pinned in test_graph_text.py
-    doc="Count-min sketch point queries (Cormode-Muthukrishnan): the "
-        "token stream folds into a fixed 4x1024 counter grid (one "
-        "partially-aggregated groupBy — shuffle carries <=4096 rows at "
-        "ANY corpus size or skew), then the eight stopwords are point-"
-        "queried (min over depths).  Estimates never undercount; the "
-        "test pins est >= exact and est <= exact + (e/w)*N.  The "
-        "mergeable-sketch family next to agg_hll_distinct and "
-        "agg_approx_stats.",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+          string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+          t -> t <> '')) AS tok
+      FROM documents
+    ),
+    stops AS (
+      SELECT unnest(['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it']) AS key
+    )
+    SELECT stops.key,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_exact,
+           TRUE AS never_undercounts,
+           TRUE AS within_eps
+    FROM stops
+    LEFT JOIN (SELECT tok, count(*) AS n FROM toks GROUP BY tok) c
+      ON c.tok = stops.key
+    """,
+    doc="Count-min sketch point queries (Cormode-Muthukrishnan), "
+        "HASH-ORACLED via the bounded-accuracy convention (the same "
+        "graduation as the HLL/percentile/MinHash rows): the token "
+        "stream folds into a fixed 4x1024 counter grid (one partially-"
+        "aggregated groupBy — shuffle carries <=4096 rows at ANY corpus "
+        "size or skew), the eight stopwords are point-queried (min over "
+        "depths), and the query emits the EXACT count plus the two CM "
+        "contract booleans — est >= exact (deterministic, always) and "
+        "est <= exact + (e/w)*N (fixed-seed sketch => a hard regression "
+        "pin; measured slack at sf0.01 is ZERO collisions vs a 72-count "
+        "budget).  A sketch-addressing or merge regression flips a "
+        "boolean and breaks the driver hash.",
 )
 def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from ..operators.sketch import countmin_build, countmin_estimate
     from ..operators.textstats import _tok_df
 
     docs = load_table(spark, sf_dir, "documents")
     toks = _tok_df(docs, "doc_id", "text")
     sketch = countmin_build(toks, "tok", depth=4, width=1024)
-    stops = spark.createDataFrame(
-        [(w,) for w in ("the", "a", "of", "to", "and", "in", "is", "it")],
-        "tok string")
-    return countmin_estimate(sketch, stops, "tok", depth=4, width=1024) \
-        .orderBy("key")
+    stops_w = ("the", "a", "of", "to", "and", "in", "is", "it")
+    stops = spark.createDataFrame([(w,) for w in stops_w], "tok string")
+    est = countmin_estimate(sketch, stops, "tok", depth=4, width=1024)
+    exact = (toks.filter(F.col("tok").isin(*stops_w))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("_nx")))
+    n_total = toks.agg(F.count(F.lit(1)).alias("_N"))
+    eps = F.lit(math.e / 1024.0)
+    return (
+        est.join(exact, est.key == exact.tok, "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "key",
+            F.coalesce("_nx", F.lit(0)).alias("n_exact"),
+            (F.col("est") >= F.coalesce("_nx", F.lit(0))).alias("never_undercounts"),
+            (F.col("est") <= F.coalesce("_nx", F.lit(0))
+             + eps * F.col("_N")).alias("within_eps"),
+        )
+    )
 
 
 @register(
