@@ -693,3 +693,63 @@ def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ser.select("event_type", "n_days", "last_day",
                       F.round(ewma, 6).alias("ewma"))
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             row_number() OVER w AS version,
+             ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             round(value, 2) AS state_value
+      FROM events WHERE event_type = 'signup'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(iv.version AS BIGINT) AS version,
+           iv.state_value
+    FROM events p
+    LEFT JOIN iv ON iv.user_id = p.user_id
+                AND p.ts >= iv.valid_from
+                AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Point-in-time (time-travel) lookup against SCD2 validity "
+        "intervals: every purchase joins the signup STATE VERSION that "
+        "was current at its timestamp — the as-of dimension lookup every "
+        "warehouse fact load runs against slowly-changing dimensions.  "
+        "Intervals come from a keyed lead window (versions per user are "
+        "bounded); the join is an equi-join on user_id with the validity "
+        "range as a post-join filter — at 100 TB both sides hash-"
+        "partition on the key and each key's interval list is small, so "
+        "no interval index is needed; purchases before the first version "
+        "survive null-extended (left join).  Exactly one interval can "
+        "match per purchase (intervals partition the timeline), so "
+        "cardinality is stable by construction.",
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (e.filter(F.col("event_type") == "signup")
+          .select(F.col("user_id").alias("iv_user"),
+                  F.row_number().over(w).alias("version"),
+                  F.col("ts").alias("valid_from"),
+                  F.lead("ts").over(w).alias("valid_to"),
+                  F.round("value", 2).alias("state_value")))
+    p = e.filter(F.col("event_type") == "purchase")
+    cond = ((p.user_id == iv.iv_user)
+            & (p.ts >= iv.valid_from)
+            & (iv.valid_to.isNull() | (p.ts < iv.valid_to)))
+    return (
+        p.join(iv, cond, "left")
+        .select(F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+                "version", "state_value")
+    )

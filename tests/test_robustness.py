@@ -72,6 +72,7 @@ _REPRESENTATIVES = [
     "dedup_minhash_estimate",    # estimator join over zero pairs
     "set_intersect_all",         # multiset intersect of empty bags
     "anomaly_daily_mad",         # MAD percentiles over zero days
+    "scd2_point_in_time_join",   # as-of lookup over zero intervals
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
