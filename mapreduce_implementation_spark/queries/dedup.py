@@ -798,3 +798,80 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("_j", 6).alias("jaccard_exact"),
                 (F.abs(est - F.col("_j")) <= 0.3).alias("est_within_bound"))
     )
+
+
+@register(
+    "dedup_simhash_estimate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+          string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+          t -> t <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    dots AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             sum(a.c * b.c) AS dot
+      FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM cnt GROUP BY 1)
+    SELECT dots.a, dots.b,
+           round(dots.dot / (na.nn * nb.nn), 6) AS cos_exact,
+           TRUE AS est_within_bound
+    FROM dots
+    JOIN norms na ON dots.a = na.doc_id
+    JOIN norms nb ON dots.b = nb.doc_id
+    WHERE dots.dot / (na.nn * nb.nn) > 0.9
+    """,
+    doc="SimHash as an ESTIMATOR, hash-oracled via the bounded-accuracy "
+        "convention (the sibling of dedup_minhash_estimate): for every "
+        "pair whose exact token-count-vector cosine exceeds 0.9, the "
+        "Hamming-implied cosine cos(pi * hamming / 64) must sit within "
+        "0.35 of the exact value (measured max deviation 0.177 on the "
+        "fixture — 2x headroom; fixed-seed signed projections make the "
+        "bound a deterministic regression pin).  Exact cosines use "
+        "integer dot products (engine-identical), so the oracle "
+        "recomputes them relationally; a projection or bit-packing "
+        "regression flips the boolean and breaks the driver hash.  The "
+        "all-pairs token join here is the fixture-scale verify form — "
+        "at 100 TB the candidate set comes from the banded SimHash "
+        "buckets (dedup_simhash) and this check is its verify stage.",
+)
+def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..functions.textfn import tokens_array
+    from ..operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens_array(F.col("text")),
+                           lambda t: t != "")).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    a = cnt.select(F.col("doc_id").alias("a"), "tok", F.col("c").alias("ca"))
+    b = cnt.select(F.col("doc_id").alias("b"), "tok", F.col("c").alias("cb"))
+    dots = (a.join(b, "tok").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot")))
+    norms = cnt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nn"))
+    na = norms.select(F.col("doc_id").alias("a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("nn").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    pairs = (dots.join(na, "a").join(nb, "b")
+             .filter(cos > 0.9)
+             .select("a", "b", cos.alias("_cos")))
+    sh = simhash(docs, "doc_id", "text")
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_ha"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_hb"))
+    hd = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    est = F.cos(hd.cast("double") * F.lit(math.pi / 64.0))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select("a", "b",
+                F.round("_cos", 6).alias("cos_exact"),
+                (F.abs(est - F.col("_cos")) <= 0.35).alias("est_within_bound"))
+    )

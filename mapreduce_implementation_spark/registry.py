@@ -91,7 +91,7 @@ _SAMPLE_FIRST = (
     "timeseries_ewma_daily", "dedup_minhash_estimate",
     "set_intersect_all", "anomaly_daily_mad",
     "sketch_countmin_stopwords",  # re-drawn: graduated to a full oracle
-    "scd2_point_in_time_join",
+    "scd2_point_in_time_join", "dedup_simhash_estimate",
     # --- stale: latest driver row is r01/r02 ---
     "text_lang_id", "text_fingerprint", "text_tfidf_top3",
     "json_extract_events", "pipeline_fingerprint_dedup", "text_bm25_top10",

@@ -118,3 +118,39 @@ def test_merge_upsert_matches_dict_model(spark, changes):
     got = {r["k"]: r["v"] for r in got_rows}
     assert len(got_rows) == len(got), "duplicate keys in merged output"
     assert got == model
+
+
+# --- grouped prefix sum vs the keyed-window reference, random frames ---
+
+_grow = st.tuples(st.integers(min_value=0, max_value=3),   # group
+                  st.integers(min_value=0, max_value=50),  # order key
+                  st.integers(min_value=-5, max_value=9))  # value
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_grow, min_size=1, max_size=60, unique_by=lambda t: (t[0], t[1])))
+def test_grouped_running_sum_matches_window_model(spark, rows):
+    """grouped_running_sum == sum() OVER (PARTITION BY g ORDER BY k) on
+    arbitrary group/key/value frames (duplicate keys excluded — the
+    operator's contract requires a total order), across partition
+    counts that force groups to straddle range partitions."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import (
+        grouped_running_sum,
+    )
+
+    df = spark.createDataFrame(rows, "g long, k long, v long")
+    got = grouped_running_sum(df, "v", ["g"], [F.col("k").asc()],
+                              out="cum", partitions=5)
+    w = Window.partitionBy("g").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    try:
+        assert {(r["g"], r["k"], r["cum"]) for r in got.collect()} \
+            == {(r["g"], r["k"], r["cum"]) for r in want.collect()}
+    finally:
+        release_persisted()

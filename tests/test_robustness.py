@@ -73,6 +73,7 @@ _REPRESENTATIVES = [
     "set_intersect_all",         # multiset intersect of empty bags
     "anomaly_daily_mad",         # MAD percentiles over zero days
     "scd2_point_in_time_join",   # as-of lookup over zero intervals
+    "dedup_simhash_estimate",    # simhash estimator over zero pairs
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
