@@ -6,9 +6,26 @@ unique tiebreaker key, otherwise row_number/lag results are
 partition-order-dependent and cannot hash-match any oracle.  At 100 TB a
 window spec costs one shuffle on its partition keys; specs sharing keys
 reuse the exchange.
+
+Two-phase global operators (:func:`global_running_sum`,
+:func:`global_ntile`, :func:`grouped_running_sum`) derive their range
+bucket id as a PURE FUNCTION OF THE ROW VALUES — a broadcast list of
+boundary key tuples compared against each row with an ordinary
+expression — never from ``spark_partition_id()`` over a
+``repartitionByRange``.  RangePartitioner boundaries come from a
+nondeterministic sampling job and partition ids are an artifact of the
+one evaluation that produced them: under cache eviction, task retry,
+AQE re-planning, or a second action over the same lineage, a recompute
+re-samples and re-assigns ids, silently desyncing the local prefix from
+its bucket offsets.  A value-derived bucket id is identical under ANY
+recomputation, configuration, or cache state, so the persist below is a
+pure perf optimization (one materialization feeds both plan branches),
+not a correctness requirement.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
@@ -16,7 +33,7 @@ from pyspark.sql import functions as F
 from .caching import tracked_persist
 
 __all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group",
-           "global_ntile", "global_running_sum"]
+           "global_ntile", "global_running_sum", "grouped_running_sum"]
 
 
 def _spec(partition_by: list[str], order_by: list[Column]) -> WindowSpec:
@@ -55,45 +72,163 @@ def top_k_per_group(df: DataFrame, partition_by: list[str],
     )
 
 
-def global_ntile(df: DataFrame, order_by: list[Column], n_tiles: int,
+# --------------------------------------------------------------------------
+# Deterministic range buckets for the two-phase global operators.
+#
+# A sort key is given as a column NAME plus direction and null placement:
+#   "price"                       -> ascending, Spark default NULLS FIRST
+#   ("cnt", "desc")               -> descending, Spark default NULLS LAST
+#   ("p", "asc", "first")         -> explicit null placement
+# Names (not Column sort expressions) are required because the operator
+# must build BOTH a window sort spec and a value-comparison expression
+# from the same key, and Column objects don't expose their sort direction
+# through a public API.
+# --------------------------------------------------------------------------
+
+SortKey = "str | tuple[str, str] | tuple[str, str, str]"
+
+
+def _norm_keys(order_by) -> list[tuple[str, bool, bool]]:
+    """-> [(name, ascending, nulls_first)] with Spark's default null
+    placement (ASC -> NULLS FIRST, DESC -> NULLS LAST)."""
+    keys: list[tuple[str, bool, bool]] = []
+    for k in order_by:
+        if isinstance(k, str):
+            name, d, n = k, "asc", None
+        elif len(k) == 2:
+            (name, d), n = k, None
+        else:
+            name, d, n = k
+        asc = d.lower() == "asc"
+        nf = (asc if n is None else n.lower() == "first")
+        keys.append((name, asc, nf))
+    return keys
+
+
+def _sort_cols(keys: list[tuple[str, bool, bool]]) -> list[Column]:
+    out = []
+    for name, asc, nf in keys:
+        c = F.col(name)
+        if asc:
+            out.append(c.asc_nulls_first() if nf else c.asc_nulls_last())
+        else:
+            out.append(c.desc_nulls_first() if nf else c.desc_nulls_last())
+    return out
+
+
+def _boundaries(df: DataFrame, keys: list[tuple[str, bool, bool]],
+                n_buckets: int, sample_per_bucket: int = 24) -> list[tuple]:
+    """B-1 boundary key tuples — a deterministic function of the DATA.
+
+    Selection: the ``S = n_buckets * sample_per_bucket`` rows with the
+    smallest ``xxhash64(keys)`` (a fixed-seed uniform sample; TakeOrdered
+    over a total order, so the same rows come back on every evaluation),
+    sorted driver-side in the operator's sort order, boundaries picked at
+    the S/B quantile positions.  Unlike RangePartitioner's per-partition
+    reservoir sample this depends only on row VALUES — never on input
+    partitioning, task scheduling, or cache state.  Boundary placement
+    affects only bucket BALANCE; the two-phase prefix math is exact for
+    any boundary set, so an imperfect sample can never change results.
+    Cost: one column-pruned pass collecting ~S tiny tuples.
+    """
+    names = [k[0] for k in keys]
+    S = max(n_buckets * sample_per_bucket, 96)
+    rows = (
+        df.select(*names)
+        .withColumn("_tag", F.xxhash64(*names))
+        .orderBy(F.col("_tag").asc(),
+                 *[F.col(n).asc_nulls_first() for n in names])
+        .limit(S)
+        .collect()
+    )
+    vals = [tuple(r[n] for n in names) for r in rows]
+    # stable multi-key sort in the operator's sort order, last key first
+    for i in reversed(range(len(keys))):
+        _, asc, nf = keys[i]
+        rank_null = (0 if nf else 1) if asc else (1 if nf else 0)
+        vals.sort(
+            key=lambda t: (rank_null if t[i] is None else 1 - rank_null,
+                           0 if t[i] is None else t[i]),
+            reverse=not asc,
+        )
+    bounds: list[tuple] = []
+    n = len(vals)
+    for i in range(1, n_buckets):
+        b = vals[(i * n) // n_buckets] if n else None
+        if b is not None and (not bounds or b != bounds[-1]):
+            bounds.append(b)
+    return bounds
+
+
+def _bucket_expr(df: DataFrame, keys: list[tuple[str, bool, bool]],
+                 bounds: list[tuple]) -> Column:
+    """bucket = #boundaries at-or-before the row in sort order — the
+    searchsorted expression.  Pure row-value function: identical under
+    recomputation, retry, AQE re-plan, or any shuffle-partition conf.
+    Size is O(B * n_keys) comparison terms (fine to B ~ a few hundred;
+    a 1000-executor deployment wanting B in the thousands would move the
+    boundary list into an array literal + ``aggregate`` HOF, same math).
+    Null-safe: boundary components may themselves be NULL (a mostly-null
+    sort key samples null boundaries) and rows may be NULL at any key.
+    """
+    if not bounds:
+        return F.lit(0)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    terms = []
+    for b in bounds:
+        ge = F.lit(True)  # row >= boundary given all later keys compared
+        for i in reversed(range(len(keys))):
+            name, asc, nf = keys[i]
+            c, bv = F.col(name), b[i]
+            if bv is None:
+                eq = c.isNull()
+                # rows strictly after a NULL boundary: non-null rows when
+                # nulls sort first; nothing when nulls sort last
+                after = c.isNotNull() if nf else F.lit(False)
+            else:
+                blit = F.lit(bv).cast(dtypes[name])
+                eq = c.eqNullSafe(blit)
+                gt = (c > blit) if asc else (c < blit)
+                after = (c.isNull() & F.lit(not nf)) | (c.isNotNull() & gt)
+            ge = after | (eq & ge)
+        terms.append(ge.cast("int"))
+    return reduce(lambda a, t: a + t, terms)
+
+
+def global_ntile(df: DataFrame, order_by, n_tiles: int,
                  out: str = "tile", partitions: int | None = None) -> DataFrame:
     """Exact SQL ``ntile(k) OVER (ORDER BY ...)`` WITHOUT the
     single-partition global window (the classic distributed two-phase
     global ranking).
 
-    Phase 1: range-partition on the sort key — partitions hold disjoint,
-    ordered key ranges, so global rank = rank within partition + number
-    of rows in all earlier partitions.  Phase 2: per-partition
-    ``row_number`` (parallel across partitions), plus a tiny
-    per-partition count frame (``partitions`` rows) whose cumulative
-    offsets broadcast back.  ntile semantics: with N rows the first
-    (N mod k) tiles take ceil(N/k) rows, the rest floor(N/k).
+    Phase 1: assign each row a range-bucket id from broadcast boundary
+    values (:func:`_boundaries` / :func:`_bucket_expr`) — buckets hold
+    disjoint, ordered key ranges, so global rank = rank within bucket +
+    rows in all earlier buckets.  Phase 2: per-bucket ``row_number``
+    (parallel across buckets, one hash exchange on ``_bkt``) plus a tiny
+    per-bucket count frame whose cumulative offsets broadcast back.
+    ntile semantics: with N rows the first (N mod k) tiles take
+    ceil(N/k) rows, the rest floor(N/k).
 
-    The sort key must be a total order (include a unique tiebreaker) or
-    ties straddling a range boundary make ranks nondeterministic.
-
-    ``ranged`` feeds TWO consumers (the local rank and the per-partition
-    counts), and correctness requires both to see the SAME partition
-    boundaries and ``_pid`` assignment.  Range boundaries come from a
-    sampling job and ``spark_partition_id()`` is evaluation-dependent,
-    so the frame is persisted before branching: the broadcast-offsets
-    job materializes it once and every consumer reads that one
-    materialization (both plan subtrees show InMemoryTableScan —
-    pinned in tests/test_plans.py::test_global_window_single_range_exchange).
+    ``order_by`` is a list of sort keys (see module docstring) and must
+    be a total order (include a unique tiebreaker) or ties straddling a
+    boundary make ranks nondeterministic.  The persist is purely a perf
+    optimization — the bucket id is recompute-stable by construction.
     """
     spark = df.sparkSession
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = tracked_persist(
-        df.repartitionByRange(parts, *order_by)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    local = ranked(ranged, ["_pid"], order_by, kind="row_number", out="_local_rn")
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_pid").rowsBetween(
+    keys = _norm_keys(order_by)
+    bounds = _boundaries(df, keys, parts)
+    bucketed = tracked_persist(
+        df.withColumn("_bkt", _bucket_expr(df, keys, bounds)))
+    local = ranked(bucketed, ["_bkt"], _sort_cols(keys),
+                   kind="row_number", out="_local_rn")
+    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
     offsets = counts.select(
-        "_pid",
+        "_bkt",
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
         F.sum("_cnt").over(w_all).alias("_n"),
     )
@@ -105,59 +240,52 @@ def global_ntile(df: DataFrame, order_by: list[Column], n_tiles: int,
     tile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
         rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1)
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bkt")
         .withColumn(out, tile.cast("int"))
-        .drop("_pid", "_local_rn", "_offset", "_n")
+        .drop("_bkt", "_local_rn", "_offset", "_n")
     )
 
 
 def global_running_sum(df: DataFrame, value_col: str,
-                       order_by: list[Column], out: str = "cum",
+                       order_by, out: str = "cum",
                        partitions: int | None = None) -> DataFrame:
     """Exact ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
     WITHOUT a single-partition window — the prefix-sum sibling of
     :func:`global_ntile`, same two-phase shape.
 
-    Phase 1: range-partition on the (total-ordered) sort key; partitions
-    hold disjoint key ranges.  Phase 2: per-partition cumulative sum in
-    parallel, plus a ``partitions``-row per-partition-total frame whose
-    exclusive prefix offsets broadcast back; global cumsum = local
-    cumsum + offset of everything in earlier partitions.
+    Phase 1: value-derived range-bucket id (broadcast boundaries —
+    deterministic under any recomputation; see module docstring).
+    Phase 2: per-bucket cumulative sum in parallel, plus a B-row
+    per-bucket-total frame whose exclusive prefix offsets broadcast
+    back; global cumsum = local cumsum + offset of earlier buckets.
 
-    The sort key must include a unique tiebreaker or ties straddling a
-    range boundary make the prefix nondeterministic.
-
-    Same single-evaluation discipline as :func:`global_ntile`: ``ranged``
-    feeds both the local-cumsum and per-partition-totals subtrees, and
-    the ``_pid`` assignment must be identical in both — range-boundary
-    sampling and ``spark_partition_id()`` are evaluation-dependent, so
-    the frame is persisted before branching (one materialization, both
-    consumers read the cache; plan-pinned).
+    ``order_by``: sort-key list (module docstring), total order
+    required.  The persist is a perf optimization only.
     """
     spark = df.sparkSession
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = tracked_persist(
-        df.repartitionByRange(parts, *order_by)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    local = ranged.withColumn(
+    keys = _norm_keys(order_by)
+    bounds = _boundaries(df, keys, parts)
+    bucketed = tracked_persist(
+        df.withColumn("_bkt", _bucket_expr(df, keys, bounds)))
+    local = bucketed.withColumn(
         "_local_cum",
         F.sum(value_col).over(
-            Window.partitionBy("_pid").orderBy(*order_by)
+            Window.partitionBy("_bkt").orderBy(*_sort_cols(keys))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    totals = bucketed.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_offset"))
+        "_bkt", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_offset"))
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bkt")
         .withColumn(out, F.col("_local_cum") + F.col("_offset"))
-        .drop("_pid", "_local_cum", "_offset")
+        .drop("_bkt", "_local_cum", "_offset")
     )
 
 
 def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
-                        order_by: list[Column], out: str = "cum",
+                        order_by, out: str = "cum",
                         partitions: int | None = None) -> DataFrame:
     """Exact ``sum(v) OVER (PARTITION BY g ORDER BY ...)`` that stays
     distributed even when single groups dwarf a partition — the grouped
@@ -165,42 +293,40 @@ def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
 
     A plain keyed window puts each ENTIRE group in one task: fine for
     many small groups, fatal when one group holds billions of rows (the
-    3-value l_returnflag case).  Instead: range-partition on
-    (group..., order...) — groups occupy contiguous partition runs, a
-    huge group spans MANY partitions — then per-(partition, group)
-    local cumsums run in parallel, and the per-(partition, group)
-    totals frame (at most partitions + distinct-groups rows, because a
-    partition holds a contiguous group range) computes each group's
-    exclusive prefix offsets with a window partitioned BY GROUP over
-    partition ids.  Offsets come back via a keyed join (not broadcast:
-    group cardinality may itself be huge — Spark upgrades to broadcast
-    when stats allow).
-
-    Same single-evaluation discipline as the global operators: the
-    ranged frame is persisted so both consumers see one ``_pid``
-    assignment.
+    3-value l_returnflag case).  Instead: bucket on (group..., order...)
+    via broadcast boundaries — groups occupy contiguous bucket runs, a
+    huge group spans MANY buckets — then per-(bucket, group) local
+    cumsums run in parallel, and the per-(bucket, group) totals frame
+    (at most buckets + distinct-groups rows, because a bucket holds a
+    contiguous group range) computes each group's exclusive prefix
+    offsets with a window partitioned BY GROUP over bucket ids.
+    Offsets come back via a keyed join (not broadcast: group
+    cardinality may itself be huge — Spark upgrades to broadcast when
+    stats allow).  Bucket ids are value-derived, so every plan branch
+    sees the same assignment under any recomputation (module
+    docstring); the persist is perf-only.
     """
     spark = df.sparkSession
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    gcols = [F.col(g) for g in group_cols]
-    ranged = tracked_persist(
-        df.repartitionByRange(parts, *gcols, *order_by)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    local = ranged.withColumn(
+    keys = _norm_keys([*group_cols, *order_by])
+    okeys = _norm_keys(order_by)
+    bounds = _boundaries(df, keys, parts)
+    bucketed = tracked_persist(
+        df.withColumn("_bkt", _bucket_expr(df, keys, bounds)))
+    local = bucketed.withColumn(
         "_local_cum",
         F.sum(value_col).over(
-            Window.partitionBy("_pid", *group_cols).orderBy(*order_by)
+            Window.partitionBy("_bkt", *group_cols).orderBy(*_sort_cols(okeys))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    totals = ranged.groupBy("_pid", *group_cols).agg(
+    totals = bucketed.groupBy("_bkt", *group_cols).agg(
         F.sum(value_col).alias("_tot"))
-    w_off = (Window.partitionBy(*group_cols).orderBy("_pid")
+    w_off = (Window.partitionBy(*group_cols).orderBy("_bkt")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(
-        "_pid", *group_cols,
+        "_bkt", *group_cols,
         F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_offset"))
     return (
-        local.join(offsets, ["_pid", *group_cols])
+        local.join(offsets, ["_bkt", *group_cols])
         .withColumn(out, F.col("_local_cum") + F.col("_offset"))
-        .drop("_pid", "_local_cum", "_offset")
+        .drop("_bkt", "_local_cum", "_offset")
     )

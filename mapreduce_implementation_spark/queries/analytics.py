@@ -462,12 +462,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum("value"), 2).alias("monetary"),
     ))
-    r = global_ntile(base, [F.col("last_ts").asc(), F.col("user_id").asc()],
+    r = global_ntile(base, ["last_ts", "user_id"],
                      4, out="r_q").select("user_id", "freq", "monetary", "r_q")
-    f = global_ntile(r, [F.col("freq").asc(), F.col("user_id").asc()],
-                     4, out="f_q")
-    m = global_ntile(f, [F.col("monetary").asc(), F.col("user_id").asc()],
-                     4, out="m_q")
+    f = global_ntile(r, ["freq", "user_id"], 4, out="f_q")
+    m = global_ntile(f, ["monetary", "user_id"], 4, out="m_q")
     return m.select(
         "user_id",
         F.col("r_q").cast("int").alias("r_q"),

@@ -487,7 +487,7 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(1).cast("long").alias("_one"))
     ranked = global_running_sum(
         base, "_one",
-        [F.col("prio_or_null").asc_nulls_first(), F.col("o_orderkey").asc()],
+        [("prio_or_null", "asc", "first"), "o_orderkey"],
         out="rn")
     return ranked.select("o_orderkey", "prio_or_null",
                          F.col("rn").cast("long").alias("rn"))
@@ -686,8 +686,7 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_running_sum(
         li,
         "l_quantity",
-        [F.col("price").asc(), F.col("l_orderkey").asc(),
-         F.col("l_linenumber").asc()],
+        ["price", "l_orderkey", "l_linenumber"],
         out="cumw",
     )
     tw = li.agg(F.sum("l_quantity").alias("tw"))
@@ -741,8 +740,7 @@ def q_agg_weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         "l_quantity", "l_orderkey", "l_linenumber")
     cum = grouped_running_sum(
         li, "l_quantity", ["l_returnflag"],
-        [F.col("price").asc(), F.col("l_orderkey").asc(),
-         F.col("l_linenumber").asc()],
+        ["price", "l_orderkey", "l_linenumber"],
         out="cumw",
     )
     tw = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))

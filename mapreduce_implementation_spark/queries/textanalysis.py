@@ -688,7 +688,7 @@ def q_text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import global_ntile
 
     lp = _bigram_logprob_df(spark, sf_dir).select("doc_id", "avg_logprob")
-    return global_ntile(lp, [F.col("avg_logprob").asc(), F.col("doc_id").asc()],
+    return global_ntile(lp, ["avg_logprob", "doc_id"],
                         n_tiles=10, out="ppl_bucket")
 
 
@@ -915,7 +915,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.filter(tokens_array(F.col("text")), lambda t: t != ""))
     tok = docs.select("doc_id", ntok.cast("long").alias("n_tok"))
-    cum = global_running_sum(tok, "n_tok", [F.col("doc_id").asc()], out="cum")
+    cum = global_running_sum(tok, "n_tok", ["doc_id"], out="cum")
     # integer `div`, not double division + cast: exact past 2^53 tokens,
     # and the same floor-division semantics as the oracle's `//`.
     binned = cum.withColumn("seq_id", F.expr("(cum - n_tok) div 2048"))
@@ -1040,7 +1040,7 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_one", F.lit(1))
     )
     ranked = global_running_sum(
-        wc, "_one", [F.col("cnt").desc(), F.col("tok").asc()], out="rnk")
+        wc, "_one", [("cnt", "desc"), "tok"], out="rnk")
     return ranked.agg(
         F.round(-F.expr("regr_slope(ln(cnt), ln(rnk))"), 4).alias("zipf_alpha"),
         F.round(F.expr("regr_r2(ln(cnt), ln(rnk))"), 4).alias("fit_r2"),

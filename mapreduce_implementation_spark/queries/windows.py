@@ -129,7 +129,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import global_ntile
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    tiled = global_ntile(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10, out="decile")
+    tiled = global_ntile(o, [("o_totalprice", "desc"), "o_orderkey"], 10, out="decile")
     return tiled.select("o_orderkey", "decile")
 
 

@@ -39,6 +39,58 @@ def test_merge_upsert_no_seq_single_change_per_key(spark):
     assert [(r["k"], r["v"]) for r in rows] == [(1, 2.0)]
 
 
+def test_merge_upsert_no_seq_duplicate_keys_fails_loudly(spark):
+    """Without seq_col, 'latest wins' is undefined for a batch holding
+    two changes to one key — the in-plan assert_true guard must FAIL the
+    job with the actionable message, never emit duplicate-key rows in
+    nondeterministic order (ADVICE r4)."""
+    import pytest
+
+    snap = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(1, 2.0, "U"), (1, 3.0, "U")], "k long, v double, op string")
+    with pytest.raises(Exception, match="seq_col"):
+        merge_upsert(snap, changes, ["k"], op_col="op").collect()
+
+
+def test_cdc_sink_recovers_missing_snapshot_from_retired(spark, tmp_path):
+    """Crash-window recovery (ADVICE r4): if a crash between the retire
+    and promote renames leaves no live snapshot, the next batch restores
+    the newest .retired-* generation before merging, so the replayed
+    batch has its base and exactly-once holds."""
+    import os
+
+    from mapreduce_implementation_spark.streaming.ops import cdc_upsert_sink
+
+    snap_dir = str(tmp_path / "snap")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double") \
+        .coalesce(1).write.parquet(snap_dir)
+    # simulate the crash: snapshot retired, promote never happened
+    os.rename(snap_dir, snap_dir + ".retired-7")
+    assert not os.path.exists(snap_dir)
+
+    chg_dir = str(tmp_path / "chg")
+    spark.createDataFrame([(2, 25.0, "U")], "k long, v double, op string") \
+        .coalesce(1).write.parquet(chg_dir)
+    stream = (spark.readStream
+              .schema("k long, v double, op string").parquet(chg_dir))
+    q = (cdc_upsert_sink(stream, snap_dir, ["k"])
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(snap_dir).collect()}
+    assert got == {1: 10.0, 2: 25.0}
+
+
+def test_cdc_sink_rejects_object_store_paths(spark):
+    import pytest
+
+    from mapreduce_implementation_spark.streaming.ops import cdc_upsert_sink
+
+    with pytest.raises(ValueError, match="local paths only"):
+        cdc_upsert_sink(None, "s3://bucket/snap", ["k"])
+
+
 def test_cdc_merge_plan_hash_joins_only(spark):
     """The snapshot flows through a hash LeftAnti join — never a nested
     loop or cartesian — and unchanged rows are not widened by change
@@ -213,7 +265,7 @@ def test_grouped_running_sum_matches_keyed_window(spark):
           .select((F.col("id") % 2).cast("string").alias("g"),
                   F.col("id").alias("k"),
                   (F.col("id") % 7 + 1).alias("v")))
-    got = grouped_running_sum(df, "v", ["g"], [F.col("k").asc()],
+    got = grouped_running_sum(df, "v", ["g"], ["k"],
                               out="cum", partitions=8)
     w = Window.partitionBy("g").orderBy("k").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
@@ -223,9 +275,12 @@ def test_grouped_running_sum_matches_keyed_window(spark):
         diff = (got.select("g", "k", "cum")
                 .exceptAll(want.select("g", "k", "cum")))
         assert diff.count() == 0
-        # and the distributed form really range-partitions: base rows
-        # never funnel through a per-group hash exchange into one task
+        # and the distributed form really buckets: base rows shuffle on
+        # the value-derived (_bkt, g) key, never through a per-group-only
+        # hash exchange into one task, and no evaluation-dependent
+        # spark_partition_id survives anywhere in the plan
         plan = got._jdf.queryExecution().executedPlan().toString()
-        assert "rangepartitioning" in plan, plan[:2000]
+        assert "_bkt" in plan, plan[:2000]
+        assert "SPARK_PARTITION_ID" not in plan.upper(), plan[:2000]
     finally:
         release_persisted()

@@ -52,15 +52,16 @@ def test_tpch_q9_no_forced_broadcast_of_fact_side(spark):
 
 def test_global_ntile_no_single_partition_window_over_base(spark):
     """The distributed ntile: base-table row_number windows partition by
-    the range-partition id (parallel), the base table feeds a range
-    exchange, and any SinglePartition exchange carries only the tiny
-    per-partition counts frame (_cnt), never base-table rows."""
+    the value-derived bucket id (parallel), and any SinglePartition
+    exchange carries only the tiny per-bucket counts frame (_cnt),
+    never base-table rows.  No spark_partition_id anywhere: the bucket
+    id must be a pure function of row values (recompute-stable)."""
     import re
 
     df = SPECS["window_global_ntile"].fn(spark, SF_DIR_01)
     plan = plan_string(df)
-    assert "rangepartitioning" in plan.lower(), plan
-    assert re.search(r"row_number\(\) windowspecdefinition\(_pid", plan), plan
+    assert re.search(r"row_number\(\) windowspecdefinition\(_bkt", plan), plan
+    assert "SPARK_PARTITION_ID" not in plan.upper(), plan
     for m in re.finditer(
             r"Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", plan):
         assert "_cnt" in m.group(1), plan
@@ -101,29 +102,25 @@ def test_tpch_q11_scalar_is_broadcast_on_persisted_frame(spark):
     assert plan.count("InMemoryTableScan") == 4, plan
 
 
-def test_global_window_single_range_exchange(spark):
-    """global_running_sum / global_ntile correctness leans on BOTH plan
-    subtrees (local cumsum/rank and per-partition totals/counts) seeing
-    the SAME _pid assignment, so the range-partitioned frame is
-    persisted before branching and BOTH consumers must read it as
-    InMemoryTableScan leaves.  A consumer bypassing the cache would
-    appear as a live parquet-scan + range-exchange leaf instead.
+def test_global_window_value_derived_buckets(spark):
+    """global_running_sum / global_ntile determinism: the bucket id is a
+    pure function of row VALUES (broadcast boundary comparisons), so no
+    spark_partition_id and no repartitionByRange may appear anywhere in
+    the lineage — under cache eviction, task retry, or AQE re-plan a
+    recompute yields the identical assignment.  The persist is still
+    present as a perf optimization (one materialization feeds both the
+    local-prefix and totals branches: both leaves are cache scans), but
+    a consumer bypassing it can no longer change results.
 
-    Counted STRUCTURALLY on the physical plan tree, not via substring
-    counts: formatted explain renders a cached relation differently
-    before vs after materialization, and a relation whose own cached
-    plan embeds ANOTHER cached scan (which happens when the full suite
-    materialized overlapping lineages earlier) prints nested
-    InMemoryTableScan text — both made text counts order-dependent.
-
-    Runs against a CLEAN cache: other tests cache whole query outputs
-    (e.g. test_sequence_packing_invariants caches the full packing
-    result), and the CacheManager would then swallow this entire plan
-    into that one InMemoryRelation, hiding the branch structure under
-    test."""
+    Runs against a CLEAN cache: other tests cache whole query outputs,
+    and the CacheManager would then swallow this entire plan into one
+    InMemoryRelation, hiding the branch structure under test."""
     spark.catalog.clearCache()
     for name in ("pipeline_sequence_packing", "window_global_ntile"):
         df = SPECS[name].fn(spark, SF_DIR_01)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "SPARK_PARTITION_ID" not in analyzed.upper(), (name, analyzed)
+        assert "RepartitionByExpression" not in analyzed, (name, analyzed)
         # sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its
         # children from collectLeaves until execution
         leaves = df._jdf.queryExecution().sparkPlan().collectLeaves()
@@ -131,18 +128,12 @@ def test_global_window_single_range_exchange(spark):
         cache_scans = [n for n in names if "InMemoryTableScan" in n]
         live_scans = [n for n in names if "Scan" in n and "InMemory" not in n]
         assert len(cache_scans) == 2, (name, names)
-        # offsets ride a broadcast join back onto the local branch, so the
-        # ONLY leaves are the two cache scans — any live file scan means a
-        # consumer rebuilt the ranged lineage from source
         assert not live_scans, (name, names)
         plan = plan_string(df)
-        # the range phase exists (inside the cached relation, however the
-        # current cache state renders it)
-        assert "rangepartitioning" in plan.lower(), (name, plan)
-        # both consumer branches: the per-partition window and the
-        # per-partition totals/counts aggregate keyed on _pid
+        # both consumer branches: the per-bucket window and the
+        # per-bucket totals/counts aggregate keyed on _bkt
         assert "Window" in plan, (name, plan)
-        assert "hashpartitioning(_pid" in plan, (name, plan)
+        assert "hashpartitioning(_bkt" in plan, (name, plan)
 
 
 def test_word_count_has_map_side_combine(spark):
@@ -392,7 +383,7 @@ def test_sequence_packing_no_single_partition_over_base(spark):
 
     df = SPECS["pipeline_sequence_packing"].fn(spark, SF_DIR_01)
     plan = plan_string(df)
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "hashpartitioning(_bkt" in plan, plan
     for m in re.finditer(
             r"Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", plan):
         assert "_tot" in m.group(1), plan

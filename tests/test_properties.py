@@ -72,6 +72,28 @@ def test_tokenizer_reference_edge_cases(spark):
     assert got == sorted(["dont", "wellknown", "endstart", "a", "b"])
 
 
+# --- registry/doc drift guard (VERDICT r04 item 7) ---
+
+def test_registry_counts_match_coverage_doc():
+    """COVERAGE.md's canonical counts line must equal the live registry —
+    doc and code can no longer drift (the r4 181/174 counting slip)."""
+    import pathlib
+    import re
+
+    from mapreduce_implementation_spark.registry import all_specs
+
+    specs = all_specs()
+    live = (len(specs),
+            sum(1 for s in specs.values() if s.oracle),
+            sum(1 for s in specs.values() if not s.oracle))
+    txt = (pathlib.Path(__file__).resolve().parent.parent
+           / "COVERAGE.md").read_text()
+    m = re.search(r"Registry counts[^:]*: (\d+) registered, (\d+) oracled, "
+                  r"(\d+) rows-only", txt)
+    assert m, "COVERAGE.md must carry the canonical 'Registry counts' line"
+    assert (int(m[1]), int(m[2]), int(m[3])) == live, (m.groups(), live)
+
+
 # --- CDC merge model test: random change batches vs a dict reference ---
 
 _keys = st.integers(min_value=0, max_value=9)
@@ -144,7 +166,7 @@ def test_grouped_running_sum_matches_window_model(spark, rows):
     )
 
     df = spark.createDataFrame(rows, "g long, k long, v long")
-    got = grouped_running_sum(df, "v", ["g"], [F.col("k").asc()],
+    got = grouped_running_sum(df, "v", ["g"], ["k"],
                               out="cum", partitions=5)
     w = Window.partitionBy("g").orderBy("k").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)

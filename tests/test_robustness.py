@@ -74,6 +74,11 @@ _REPRESENTATIVES = [
     "anomaly_daily_mad",         # MAD percentiles over zero days
     "scd2_point_in_time_join",   # as-of lookup over zero intervals
     "dedup_simhash_estimate",    # simhash estimator over zero pairs
+    # round-5 families
+    "agg_trimmed_mean",          # percentile bounds over zero rows -> NULL
+    "corpus_source_topp",        # grouped prefix-sum cut over zero sources
+    "agg_skew_kurtosis",         # moment arithmetic over zero groups
+    "text_dedup_exact_normalized",  # normalized-hash groups of nothing
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -137,6 +142,44 @@ def test_wide_documents_text_and_dedup_path(spark):
     assert len(out) == 8
     assert all(len(r) == 65 for r in out)  # doc_id + 64 minhash columns
     assert all(r[f"mh{j}"] is not None for r in out for j in (0, 31, 63))
+
+
+def test_two_phase_windows_recompute_stable(spark):
+    """The r03/r04 driver red-row class, reproduced and pinned: the
+    two-phase prefix sum must produce IDENTICAL results when (a) every
+    persisted intermediate is evicted between plan construction and a
+    later action (the cache-eviction recompute that desynced
+    spark_partition_id-based offsets), and (b) the session runs a
+    vanilla shuffle-partition count (200) instead of the tuned 32.
+    The value-derived bucket id makes both invariant by construction."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    spec = all_specs()["pipeline_sequence_packing"]
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = canon(spec.fn(spark, SF_DIR_001))
+    release_persisted()
+
+    # (a) materialize once, drop every cache under the plan's feet, act
+    # again on the SAME DataFrame: the recompute must not desync
+    df = spec.fn(spark, SF_DIR_001)
+    df.write.format("noop").mode("overwrite").save()
+    release_persisted()
+    spark.catalog.clearCache()
+    assert canon(df) == base
+
+    # (b) default-conf session shape (the driver replays ran both)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        assert canon(spec.fn(spark, SF_DIR_001)) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        release_persisted()
 
 
 def test_tracked_persist_release(spark):
