@@ -287,6 +287,10 @@ def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
     web diameter, wrap the same step in a convergence loop with
     ``localCheckpoint`` per round like ``connected_components``.
     """
+    # infinity sentinel derived from max_hops (a reachable distance is
+    # <= max_hops, so max_hops + 1 can never collide with a real value);
+    # a magic constant here silently mis-NULLed distances >= it
+    inf = max_hops + 1
     e = edges.select("src", "dst")
     n1 = nodes.select(F.col("v")).distinct()
     dist = n1.select(
@@ -300,9 +304,9 @@ def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
         dist = (
             dist.join(relaxed, dist.v == relaxed.dst, "left")
             .select(dist.v,
-                    F.least(F.coalesce(F.col("d"), F.lit(999)),
-                            F.coalesce(F.col("_nd"), F.lit(999))).alias("_m"))
-            .select("v", F.when(F.col("_m") < 999,
+                    F.least(F.coalesce(F.col("d"), F.lit(inf)),
+                            F.coalesce(F.col("_nd"), F.lit(inf))).alias("_m"))
+            .select("v", F.when(F.col("_m") < inf,
                                 F.col("_m")).cast("int").alias("d"))
         )
     return dist.withColumnRenamed("d", "dist")

@@ -77,6 +77,16 @@ def merge_upsert(snapshot: DataFrame, changes: DataFrame, keys: list[str],
     semantics on plain DataFrames (dedup-then-anti-join-then-union is
     exactly how those table formats rewrite non-matching files).
 
+    Without ``seq_col`` there is no change-log order to arbitrate
+    duplicate keys within the batch (the normal CDC case), so "latest
+    wins" is undefined: the batch is REQUIRED to hold at most one change
+    per key and that contract is ENFORCED in-plan — a duplicate key
+    poisons every output column of the affected key to NULL via a
+    count-over-key guard and ``assert_true``, failing the job with a
+    clear message instead of silently emitting duplicate-key rows in
+    nondeterministic order.  (The guard is a second window over the same
+    key exchange — no extra shuffle.)
+
     Scale: latest-per-key is a keyed window over the CHANGE BATCH only
     (typically ≪ snapshot); the snapshot itself flows through one
     left-anti hash join on the key and is never widened or re-sorted —
@@ -91,6 +101,17 @@ def merge_upsert(snapshot: DataFrame, changes: DataFrame, keys: list[str],
         w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
         ch = (ch.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
+    else:
+        wc = Window.partitionBy(*keys)
+        guard = F.assert_true(
+            F.count(F.lit(1)).over(wc) == 1,
+            F.lit("merge_upsert: duplicate keys in change batch but no "
+                  "seq_col to order them — pass seq_col"))
+        # assert_true yields NULL on success and raises on violation; the
+        # filter keeps the guard column referenced so pruning can't drop it
+        ch = (ch.withColumn("_dupchk", guard)
+                .filter(F.col("_dupchk").isNull())
+                .drop("_dupchk"))
     kept = snapshot.join(ch.select(*keys), keys, "left_anti")
     applied = ch.filter(F.col(op_col) != "D").select(*data_cols)
     return kept.unionByName(applied)

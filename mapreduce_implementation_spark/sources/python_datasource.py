@@ -37,6 +37,10 @@ class SynthRangeReader(DataSourceReader):
         self.num_parts = int(options.get("partitions", 8))
 
     def partitions(self):
+        if self.num_parts < 1:
+            raise ValueError(f"partitions must be >= 1, got {self.num_parts}")
+        if self.n <= 0:
+            return [_Slice(0, 0)]  # empty scan, not range(0, 0, 0)
         step = -(-self.n // self.num_parts)  # ceil
         return [_Slice(s, min(s + step, self.n))
                 for s in range(0, self.n, step)]

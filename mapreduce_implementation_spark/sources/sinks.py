@@ -66,21 +66,33 @@ def compact_parquet_dir(spark, src_dir: str, dst_dir: str,
     ranges → parquet footer min/max prune whole files); unsorted uses a
     plain round-robin ``repartition``.  Returns the output file count.
     """
-    import glob
-    import os
-
-    from pyspark.sql import functions as F  # noqa: F401  (parity w/ callers)
-
-    in_bytes = sum(
-        os.path.getsize(p)
-        for p in glob.glob(os.path.join(src_dir, "**", "*.parquet"),
-                           recursive=True))
-    n_files = max(1, -(-in_bytes // target_file_bytes))  # ceil
     df = spark.read.parquet(src_dir)
+    # size the input through Hadoop's FileSystem API, not a local glob:
+    # works identically for file:/, hdfs:// and s3a:// paths (a local
+    # glob silently returns 0 bytes off-local, collapsing output to one
+    # file and reporting count 0)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _dir_stats(d: str) -> tuple[int, int]:
+        path = jvm.org.apache.hadoop.fs.Path(d)
+        fs = path.getFileSystem(hconf)
+        it = fs.listFiles(path, True)
+        nbytes = nfiles = 0
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.endswith(".parquet"):
+                nbytes += st.getLen()
+                nfiles += 1
+        return nbytes, nfiles
+
+    in_bytes, _ = _dir_stats(src_dir)
+    n_files = max(1, -(-in_bytes // target_file_bytes))  # ceil
     if sort_by:
         out = (df.repartitionByRange(n_files, *sort_by)
                .sortWithinPartitions(*sort_by))
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dst_dir)
-    return len([p for p in glob.glob(os.path.join(dst_dir, "*.parquet"))])
+    return _dir_stats(dst_dir)[1]

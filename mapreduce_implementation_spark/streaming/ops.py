@@ -255,6 +255,24 @@ def cdc_upsert_sink(changes: DataFrame, snapshot_dir: str, keys: list[str],
     Returns the un-started ``DataStreamWriter`` — the caller owns
     trigger/checkpoint/start, same contract as every op in this module.
 
+    Commit protocol and its limits (single-writer, LOCAL filesystem):
+    the retire-then-promote swap is two ``os.rename`` calls, so (a) a
+    concurrent reader can observe a missing ``snapshot_dir`` in the
+    gap between them, and (b) a crash in that gap leaves no live
+    snapshot.  (b) is self-healing: every batch first restores
+    ``snapshot_dir`` from the newest ``.retired-*`` directory if it is
+    missing, so the checkpoint's replayed batch re-merges against the
+    pre-crash state and exactly-once holds.  (a) means readers must
+    tolerate-and-retry or be scheduled around the writer — the
+    single-writer assumption every plain-parquet swap scheme carries.
+    ``os.rename`` is also local-fs-only; a non-local URI (s3://,
+    hdfs://) is rejected eagerly — production on object stores swaps a
+    manifest pointer (or uses a real table format's MERGE) instead.
+
+    Prefer passing ``seq_col``: without it a batch holding two changes
+    for one key has no defined winner, and :func:`merge_upsert` fails
+    the batch by contract rather than pick one nondeterministically.
+
     Scale notes: each micro-batch pays one left-anti hash join of
     snapshot x batch keys (the batch side is small by construction) and
     rewrites the snapshot — the plain-parquet cost a table format
@@ -269,16 +287,39 @@ def cdc_upsert_sink(changes: DataFrame, snapshot_dir: str, keys: list[str],
 
     from ..operators.relational import merge_upsert
 
+    if "://" in snapshot_dir and not snapshot_dir.startswith("file:"):
+        raise ValueError(
+            "cdc_upsert_sink swaps snapshots with os.rename and supports "
+            f"local paths only, got {snapshot_dir!r}; on object stores use "
+            "a manifest pointer or a table format's MERGE INTO")
+
+    snap_path = snapshot_dir.rstrip("/")
+
+    def recover_if_crashed() -> None:
+        # a crash between retire and promote leaves no snapshot_dir;
+        # restore the newest retired generation so the replayed batch
+        # has a base to merge against (idempotent recovery)
+        if os.path.exists(snap_path):
+            return
+        parent, name = os.path.dirname(snap_path), os.path.basename(snap_path)
+        retired = sorted(
+            (d for d in os.listdir(parent or ".")
+             if d.startswith(name + ".retired-")),
+            key=lambda d: int(d.rsplit("-", 1)[1]))
+        if retired:
+            os.rename(os.path.join(parent, retired[-1]), snap_path)
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        recover_if_crashed()
         snap = spark.read.parquet(snapshot_dir)
         merged = merge_upsert(snap, batch_df, keys,
                               op_col=op_col, seq_col=seq_col)
-        staging = snapshot_dir.rstrip("/") + f".staging-{batch_id}"
+        staging = snap_path + f".staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        retired = snapshot_dir.rstrip("/") + f".retired-{batch_id}"
-        os.rename(snapshot_dir, retired)
-        os.rename(staging, snapshot_dir)
+        retired = snap_path + f".retired-{batch_id}"
+        os.rename(snap_path, retired)
+        os.rename(staging, snap_path)
         shutil.rmtree(retired, ignore_errors=True)
 
     return changes.writeStream.foreachBatch(apply_batch).outputMode("update")

@@ -166,6 +166,24 @@ def test_python_datasource_partition_contract(spark):
     assert sorted(ids) == list(range(1000))
 
 
+def test_python_datasource_empty_and_bad_options(spark):
+    """n=0 must plan an empty scan (one empty slice), not raise
+    `range step must not be zero`; partitions<1 is a caller error with
+    a clear message (ADVICE r4)."""
+    import pytest
+
+    from mapreduce_implementation_spark.sources.python_datasource import (
+        SynthRangeReader, register_synthrange,
+    )
+
+    register_synthrange(spark)
+    df = (spark.read.format("synthrange")
+          .option("n", 0).option("partitions", 4).load())
+    assert df.count() == 0
+    with pytest.raises(ValueError, match="partitions"):
+        SynthRangeReader({"n": "10", "partitions": "0"}).partitions()
+
+
 def test_jsonl_corrupt_records_quarantined_not_fatal(spark, tmp_path):
     """PERMISSIVE JSON ingest: malformed lines land in _corrupt_record
     (the quarantine column) instead of failing the job — the ingest
