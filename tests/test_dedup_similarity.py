@@ -94,19 +94,74 @@ def test_ivf_recall_vs_exact(spark):
 
 def test_embedding_lsh_recall_and_precision(spark):
     """The bucketed embedding near-dup (sign-LSH candidates + exact-cosine
-    verify) must recall >=85% of the brute-force pairs at the same
-    threshold (seeded hyperplanes -> deterministic; measured 0.919 at
-    (bits=4, tables=16), matching 1-(1-p^4)^16 for p = 1 - theta/pi), and
-    the verify step makes false positives impossible."""
+    verify) at the AUTO-CHOSEN (bits, tables) — sign_lsh_params, the rule
+    the sf1 bench validated as ~linear (VERDICT r04 item 3) — must recall
+    >=85% of the brute-force pairs at the same threshold (seeded
+    hyperplanes -> deterministic; measured 0.919-0.922 across SFs), and
+    the verify step makes false positives impossible.  The registered
+    query's own audit (exact pairs on the md5 50% subset + recall_ok)
+    must agree: recall_ok TRUE on every row."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        embedding_near_dup_pairs_lsh, sign_lsh_params,
+    )
+
     specs = all_specs()
+    emb = load_table(spark, SF_DIR_01, "embeddings")
+    bits, tables = sign_lsh_params(emb.count(), 0.35, target_bucket=50)
     exact = {(r["a"], r["b"])
              for r in specs["dedup_embedding_cosine"].fn(spark, SF_DIR_01).collect()}
     lsh = {(r["a"], r["b"])
-           for r in specs["dedup_embedding_lsh"].fn(spark, SF_DIR_01).collect()}
+           for r in embedding_near_dup_pairs_lsh(
+               emb, "vec_id", "embedding", dim=64, min_cosine=0.35,
+               bits=bits, tables=tables).collect()}
     assert exact, "corpus should contain pairs above the cosine threshold"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.85, f"embedding-LSH recall too low: {recall}"
     assert not (lsh - exact), f"verified candidates above threshold yet absent from exact: {sorted(lsh - exact)[:5]}"
+
+    audited = specs["dedup_embedding_lsh"].fn(spark, SF_DIR_01).collect()
+    assert audited and all(r["recall_ok"] for r in audited)
+    # the audit rows are exactly the exact pairs within the hash subset
+    assert {(r["a"], r["b"]) for r in audited} <= exact
+
+
+def test_ann_queries_recall_ok_and_exact_rows(spark):
+    """The graduated ANN queries return the exact top-10 with
+    recall_ok=TRUE at the fixed seeds (the bounded-oracle contract the
+    driver hashes)."""
+    specs = all_specs()
+    for name, min_hits in (("similarity_ann_lsh", 7), ("similarity_ann_ivf", 5)):
+        rows = specs[name].fn(spark, SF_DIR_01).collect()
+        assert len(rows) == 10, name
+        assert all(r["recall_ok"] for r in rows), name
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] \
+            == list(range(1, 11)), name
+
+
+def test_simhash_banding_is_lossless(spark):
+    """The 4x16-bit band join is COMPLETE for Hamming <= 3 (pigeonhole:
+    <= 3 differing bits cannot touch all 4 bands, so every qualifying
+    pair shares at least one exact band) — the banded operator must
+    equal the brute-force all-pairs Hamming join on the same simhashes.
+    This is the structural guarantee that lets dedup_simhash stay a
+    candidate-set query without a SQL twin: the candidate generation
+    provably loses nothing."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        simhash, simhash_near_dup_pairs,
+    )
+    from tests.conftest import SF_DIR_001
+
+    docs = load_table(spark, SF_DIR_001, "documents")
+    hashes = {r["doc_id"]: r["simhash"]
+              for r in simhash(docs, "doc_id", "text").collect()}
+    ids = sorted(hashes)
+    mask = (1 << 64) - 1  # JVM longs are signed; popcount needs the
+    brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]  # two's-complement view
+             if bin((hashes[a] ^ hashes[b]) & mask).count("1") <= 3}
+    banded = {(r["a"], r["b"]) for r in
+              simhash_near_dup_pairs(docs, "doc_id", "text",
+                                     max_hamming=3).collect()}
+    assert banded == brute
 
 
 def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
