@@ -1,0 +1,221 @@
+"""Round-5 curation/statistics queries: robust aggregates, per-source
+nucleus selection, normalized exact dedup — corpus-curation operations a
+training-data pipeline runs between ingest and packing.
+
+Every query follows the registry oracle conventions (identical aliases,
+round() on floats both sides, BIGINT casts for DuckDB sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH p AS (
+      SELECT quantile_cont(l_extendedprice, 0.1) AS p10,
+             quantile_cont(l_extendedprice, 0.9) AS p90
+      FROM lineitem
+    )
+    SELECT round(p.p10, 2) AS p10,
+           round(p.p90, 2) AS p90,
+           round(avg(CASE WHEN l_extendedprice >= p.p10
+                           AND l_extendedprice <= p.p90
+                          THEN l_extendedprice END), 2) AS trimmed_mean,
+           round(avg(least(greatest(l_extendedprice, p.p10), p.p90)), 2)
+             AS winsorized_mean,
+           CAST(sum(CASE WHEN l_extendedprice >= p.p10
+                          AND l_extendedprice <= p.p90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM lineitem CROSS JOIN p
+    GROUP BY p.p10, p.p90
+    """,
+    doc="Robust location statistics (the outlier-resistant aggregates a "
+        "quality-scoring pipeline needs): 10%-two-sided TRIMMED mean "
+        "(drop the tails) and WINSORIZED mean (clamp to the decile "
+        "bounds) of l_extendedprice.  The exact interpolated deciles "
+        "come from one tiny aggregate broadcast back as a 1-row frame "
+        "(Spark percentile() == DuckDB quantile_cont, both linear "
+        "interpolation between closest ranks), so the whole query is "
+        "two scans and zero wide shuffles at any scale.",
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    p = li.agg(
+        F.expr("percentile(l_extendedprice, 0.1)").alias("_p10"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("_p90"))
+    x = F.col("l_extendedprice")
+    inside = (x >= F.col("_p10")) & (x <= F.col("_p90"))
+    return (
+        li.crossJoin(F.broadcast(p))
+        .agg(
+            F.round(F.first("_p10"), 2).alias("p10"),
+            F.round(F.first("_p90"), 2).alias("p90"),
+            F.round(F.avg(F.when(inside, x)), 2).alias("trimmed_mean"),
+            F.round(F.avg(F.least(F.greatest(x, F.col("_p10")),
+                                  F.col("_p90"))), 2).alias("winsorized_mean"),
+            F.sum(F.when(inside, 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "corpus_source_topp",
+    oracle="""
+    WITH tot AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    cum AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+      FROM documents
+    ),
+    kept AS (
+      SELECT cum.source, cum.doc_id, cum.n_chars
+      FROM cum JOIN tot USING (source)
+      WHERE cum.c - cum.n_chars < 0.5 * tot.total_chars
+    )
+    SELECT kept.source,
+           count(*) AS n_docs_kept,
+           CAST(sum(kept.n_chars) AS BIGINT) AS chars_kept,
+           round(sum(kept.n_chars) * 1.0 / tot.total_chars, 4) AS share
+    FROM kept JOIN tot USING (source)
+    GROUP BY kept.source, tot.total_chars
+    """,
+    doc="Per-source nucleus (top-p) selection — the budgeted curation "
+        "cut: within each source, keep the largest documents until they "
+        "cover half the source's character mass (a doc is kept while "
+        "its EXCLUSIVE cumulative offset is below the budget, so the "
+        "crossing doc is included).  The cumulative mass comes from the "
+        "GROUPED distributed prefix sum (operators/windows."
+        "grouped_running_sum — value-derived buckets, a single source "
+        "spans many buckets), never a per-source single-task window; "
+        "per-source totals ride a broadcastable 20-row join.  Ordering "
+        "(n_chars desc, doc_id) is total, so the cut is deterministic.",
+)
+def q_corpus_source_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_running_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    tot = d.groupBy("source").agg(F.sum("n_chars").alias("total_chars"))
+    cum = grouped_running_sum(
+        d, "n_chars", ["source"], [("n_chars", "desc"), "doc_id"], out="c")
+    kept = (cum.join(F.broadcast(tot), "source")
+            .filter(F.col("c") - F.col("n_chars")
+                    < 0.5 * F.col("total_chars")))
+    return (
+        kept.groupBy("source", "total_chars")
+        .agg(F.count(F.lit(1)).alias("n_docs_kept"),
+             F.sum("n_chars").alias("chars_kept"))
+        .select("source", "n_docs_kept", "chars_kept",
+                F.round(F.col("chars_kept") / F.col("total_chars"), 4)
+                .alias("share"))
+    )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             avg(l_quantity)                         AS m1,
+             avg(l_quantity * l_quantity)            AS m2,
+             avg(l_quantity * l_quantity * l_quantity) AS m3,
+             avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(m1, 4) AS mean_qty,
+           round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / pow(m2 - m1 * m1, 1.5), 4) AS skewness_pop,
+           round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * pow(m1, 4))
+                 / pow(m2 - m1 * m1, 2) - 3, 4) AS excess_kurtosis_pop
+    FROM m
+    """,
+    doc="Population skewness and excess kurtosis of l_quantity per "
+        "returnflag, computed from raw power sums (one partial-aggregable "
+        "pass — the distribution-shape diagnostics a length/score column "
+        "gets profiled with).  Both sides evaluate the IDENTICAL moment "
+        "arithmetic (avg of x^k then the central-moment formula) rather "
+        "than each engine's skewness()/kurtosis() builtins, which differ "
+        "in sample-vs-population correction.",
+)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = F.col("l_quantity")
+    m = (load_table(spark, sf_dir, "lineitem")
+         .select(F.col("l_returnflag"), x)
+         .groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.avg(x).alias("m1"),
+              F.avg(x * x).alias("m2"),
+              F.avg(x * x * x).alias("m3"),
+              F.avg(x * x * x * x).alias("m4")))
+    m1, m2, m3, m4 = (F.col(c) for c in ("m1", "m2", "m3", "m4"))
+    var = m2 - m1 * m1
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n"),
+        F.round(m1, 4).alias("mean_qty"),
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                / F.pow(var, F.lit(1.5)), 4).alias("skewness_pop"),
+        F.round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * F.pow(m1, F.lit(4.0)))
+                / F.pow(var, F.lit(2.0)) - 3, 4).alias("excess_kurtosis_pop"),
+    )
+
+
+@register(
+    "text_dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(
+                 lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')),
+                 ' +', ' ', 'g'))) AS h
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT h) AS n_distinct_norm,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM norm
+    GROUP BY source
+    """,
+    doc="Normalization-aware exact-dedup audit (the variants plain exact "
+        "dedup misses: case, punctuation and whitespace differences): "
+        "normalize (lower, strip non-letters, collapse spaces, trim), "
+        "md5 the canonical form, count distinct canonical docs per "
+        "source — n_dup_docs is the normalization-dup volume the source "
+        "would shed.  md5 makes the canonical key engine-portable; one "
+        "map stage + one partial-aggregable shuffle on (source, 16-byte "
+        "hash) — the canonical 100 TB exact-dedup shape.  (Fixture note: "
+        "normalized dups first appear at sf0.1 — 8 groups; smaller SFs "
+        "honestly report 0.)",
+)
+def q_text_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", "")),
+        " +", " "))
+    return (
+        d.select("doc_id", "source", F.md5(norm).alias("_h"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("_h").alias("n_distinct_norm"),
+             (F.count(F.lit(1)) - F.countDistinct("_h")).alias("n_dup_docs"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+

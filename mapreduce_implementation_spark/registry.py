@@ -64,41 +64,30 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Driver-sample rotation: the driver records ~50 queries per round in
-# registry iteration order.  Round-4 policy (VERDICT r03 item 2):
-# `pipeline_sequence_packing` stays FIRST (the one red r03 row — its
-# root-cause fix needs a green driver row), then the round-4 additions
-# (first-ever driver rows), then the queries whose latest driver row
-# dates from r01/r02 (stalest first, in their prior registry order);
-# the r03-green remainder keeps its import order at the back.
+# registry iteration order.  Round-5 policy (VERDICT r04 items 1, 2, 4):
+# `pipeline_sequence_packing` stays FIRST (red r03+r04 rows — the
+# value-derived-bucket rewrite needs its green driver row), then the
+# round-5 additions (first-ever driver rows), then every query whose
+# IMPLEMENTATION changed this round (the two-phase window rewrite and
+# the ANN oracle graduations — driver re-confirmation of changed code),
+# then the queries whose latest driver row dates from r01/r02 (stalest
+# first); the r03/r04-green remainder keeps import order at the back.
 _SAMPLE_FIRST = (
     "pipeline_sequence_packing",
-    # --- round-4 additions (no driver row yet) ---
-    "subq_tpch_q17_shape", "subq_tpch_q20_shape", "subq_tpch_q21_shape",
-    "subq_tpch_q2_shape", "subq_tpch_q11_shape", "subq_tpch_q16_shape",
-    "join_tpch_q8_shape", "join_tpch_q12_shape", "join_tpch_q14_shape",
-    "multimodal_decode_png", "agg_approx_stats", "agg_hll_distinct",
-    "text_chunk_overlap", "text_zipf_alpha", "dedup_source_stats",
-    "sketch_hll_rollup", "cdc_merge_upsert", "corpus_overlap_sources",
-    "split_train_valid_hash", "retrieval_rrf_fusion",
-    "dedup_containment_overlap", "graph_label_propagation", "rfm_segments",
-    "pattern_sequence_detect", "basket_lift_pairs", "dq_rule_report",
-    "multimodal_image_dhash_pairs", "agg_weighted_median",
-    "sql_recursive_cte_chain", "variant_json_surface",
-    "source_python_datasource", "pipeline_corpus_build",
-    "text_collocations_llr", "similarity_maxsim_multivector",
-    "graph_bfs_distances", "agg_weighted_median_by_flag",
-    "multimodal_audio_rms", "events_markov_transitions",
-    "timeseries_ewma_daily", "dedup_minhash_estimate",
-    "set_intersect_all", "anomaly_daily_mad",
-    "sketch_countmin_stopwords",  # re-drawn: graduated to a full oracle
-    "scd2_point_in_time_join", "dedup_simhash_estimate",
-    # --- stale: latest driver row is r01/r02 ---
-    "text_lang_id", "text_fingerprint", "text_tfidf_top3",
-    "json_extract_events", "pipeline_fingerprint_dedup", "text_bm25_top10",
+    # --- round-5 additions (no driver row yet) ---
+    "agg_trimmed_mean", "corpus_source_topp", "agg_skew_kurtosis",
+    "text_dedup_exact_normalized",
+    # --- implementation changed this round: re-verify ---
+    "window_global_ntile", "rfm_segments", "text_perplexity_buckets",
+    "text_zipf_alpha", "agg_weighted_median", "agg_weighted_median_by_flag",
+    "sort_nulls_ordering",
+    "similarity_ann_lsh", "similarity_ann_ivf", "dedup_embedding_lsh",
+    # --- stale: latest driver row is r01/r02, stalest first ---
+    "pipeline_fingerprint_dedup", "text_bm25_top10",
     "text_pmi_pairs", "text_bigram_logprob", "text_contamination_4gram",
     "text_repetition_gopher", "window_rank", "window_row_number_topk",
     "window_lag_lead", "window_running_sum", "window_moving_avg",
-    "window_global_ntile", "window_range_frame", "window_percent_rank_cume",
+    "window_range_frame", "window_percent_rank_cume",
     "udtf_order_years", "pandas_udf_charge", "pandas_udaf_rms_spend",
     "subq_exists_late_ship", "subq_custdist", "subq_in_large_orders",
     "subq_scalar_anti_q22", "graph_pagerank_trade", "funnel_conversion",
@@ -107,7 +96,7 @@ _SAMPLE_FIRST = (
     "anomaly_daily_zscore", "tokenize", "word_count", "distributed_sort",
     "distributed_sort_desc", "partitioned_scan_events_week", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_clusters", "dedup_embedding_lsh",
+    "dedup_embedding_cosine", "dedup_clusters",
     "dedup_ngram_jaccard_prefix", "dedup_tfidf_cosine",
     "dedup_cluster_representatives", "agg_percentiles",
     "agg_conditional_filter", "null_handling", "date_arithmetic",
@@ -119,7 +108,7 @@ _SAMPLE_FIRST = (
     "scalar_string_math", "scalar_date_functions", "top_k",
     "set_union_distinct", "set_intersect", "set_except", "distinct_rows",
     "rollup_agg", "cube_agg", "pivot_linestatus", "similarity_cosine_topk",
-    "similarity_ann_lsh", "similarity_ann_ivf", "window_tumbling_events",
+    "window_tumbling_events",
     "window_sliding_events", "sessionize_events", "stream_join_attribution",
     "multimodal_binary_meta", "multimodal_decode_stub",
 )
@@ -132,8 +121,8 @@ def _ensure_loaded() -> None:
         return
     from .queries import (  # noqa: F401
         textanalysis, windows, udf_surface, subqueries, graph,
-        analytics, core, dedup, functions_surface, joins, profiling,
-        relational, similarity, streaming_batch,
+        analytics, core, curation, dedup, functions_surface, joins,
+        profiling, relational, similarity, streaming_batch,
     )
     ordered = {n: _REGISTRY[n] for n in _SAMPLE_FIRST if n in _REGISTRY}
     ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
