@@ -69,6 +69,11 @@ HEADLINE = [
     "cdc_merge_upsert",
     "retrieval_rrf_fusion",
     "graph_label_propagation",
+    # round 5: nucleus cut over the grouped prefix sum, canonical-hash
+    # dedup audit, robust means over broadcast decile bounds
+    "corpus_source_topp",
+    "text_dedup_exact_normalized",
+    "agg_trimmed_mean",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

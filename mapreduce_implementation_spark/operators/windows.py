@@ -25,8 +25,6 @@ not a correctness requirement.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
@@ -160,6 +158,27 @@ def _boundaries(df: DataFrame, keys: list[tuple[str, bool, bool]],
     return bounds
 
 
+def _sql_lit(v) -> str:
+    """Render a collected boundary value as a Spark SQL literal with an
+    exact round-trip (floats go through repr -> CAST AS DOUBLE so the
+    binary64 value is bit-identical to the collected one)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"CAST({v} AS BIGINT)"
+    if isinstance(v, float):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    raise TypeError(f"unsupported boundary literal type: {type(v)!r}")
+
+
 def _bucket_expr(df: DataFrame, keys: list[tuple[str, bool, bool]],
                  bounds: list[tuple]) -> Column:
     """bucket = #boundaries at-or-before the row in sort order — the
@@ -170,29 +189,43 @@ def _bucket_expr(df: DataFrame, keys: list[tuple[str, bool, bool]],
     boundary list into an array literal + ``aggregate`` HOF, same math).
     Null-safe: boundary components may themselves be NULL (a mostly-null
     sort key samples null boundaries) and rows may be NULL at any key.
+
+    Built as ONE generated SQL string parsed server-side: composing the
+    ~B * keys comparison tree out of Column objects costs hundreds of
+    py4j round-trips (~1.5 s of pure plan-build per operator call,
+    measured); a single ``F.expr`` is one round-trip for the same tree.
+    Comparisons stay on the untouched column (literals are cast, never
+    the column), so parquet min/max and codegen behavior are unchanged.
     """
     if not bounds:
         return F.lit(0)
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     terms = []
     for b in bounds:
-        ge = F.lit(True)  # row >= boundary given all later keys compared
+        ge = "TRUE"  # row >= boundary given all later keys compared
         for i in reversed(range(len(keys))):
             name, asc, nf = keys[i]
-            c, bv = F.col(name), b[i]
+            c, bv = f"`{name}`", b[i]
             if bv is None:
-                eq = c.isNull()
+                eq = f"({c} IS NULL)"
                 # rows strictly after a NULL boundary: non-null rows when
                 # nulls sort first; nothing when nulls sort last
-                after = c.isNotNull() if nf else F.lit(False)
+                after = f"({c} IS NOT NULL)" if nf else "FALSE"
             else:
-                blit = F.lit(bv).cast(dtypes[name])
-                eq = c.eqNullSafe(blit)
-                gt = (c > blit) if asc else (c < blit)
-                after = (c.isNull() & F.lit(not nf)) | (c.isNotNull() & gt)
-            ge = after | (eq & ge)
-        terms.append(ge.cast("int"))
-    return reduce(lambda a, t: a + t, terms)
+                lit = _sql_lit(bv)
+                if not dtypes[name].startswith(("bigint", "int", "smallint",
+                                                "tinyint", "double", "float",
+                                                "string", "date", "timestamp",
+                                                "boolean", "decimal")):
+                    raise TypeError(
+                        f"unsupported sort-key type {dtypes[name]} for {name}")
+                eq = f"({c} <=> {lit})"
+                op = ">" if asc else "<"
+                after = (f"(({c} IS NULL AND {'FALSE' if nf else 'TRUE'}) OR "
+                         f"({c} IS NOT NULL AND {c} {op} {lit}))")
+            ge = f"({after} OR ({eq} AND {ge}))"
+        terms.append(f"(CASE WHEN {ge} THEN 1 ELSE 0 END)")
+    return F.expr(" + ".join(terms))
 
 
 def global_ntile(df: DataFrame, order_by, n_tiles: int,
@@ -218,9 +251,13 @@ def global_ntile(df: DataFrame, order_by, n_tiles: int,
     spark = df.sparkSession
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = _norm_keys(order_by)
-    bounds = _boundaries(df, keys, parts)
-    bucketed = tracked_persist(
-        df.withColumn("_bkt", _bucket_expr(df, keys, bounds)))
+    # persist the BASE frame: the boundary-sample collect materializes
+    # it, so the upstream lineage (often the expensive part) runs once
+    # and both consumer branches read the cache.  The _bkt expression is
+    # recomputed per branch — cheap, and recompute-stable by design.
+    base = tracked_persist(df)
+    bounds = _boundaries(base, keys, parts)
+    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
     local = ranked(bucketed, ["_bkt"], _sort_cols(keys),
                    kind="row_number", out="_local_rn")
     counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -265,9 +302,12 @@ def global_running_sum(df: DataFrame, value_col: str,
     spark = df.sparkSession
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = _norm_keys(order_by)
-    bounds = _boundaries(df, keys, parts)
-    bucketed = tracked_persist(
-        df.withColumn("_bkt", _bucket_expr(df, keys, bounds)))
+    # persist the BASE frame (see global_ntile): the sample collect
+    # materializes the upstream lineage once; _bkt recomputes per
+    # branch, cheap and recompute-stable.
+    base = tracked_persist(df)
+    bounds = _boundaries(base, keys, parts)
+    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
     local = bucketed.withColumn(
         "_local_cum",
         F.sum(value_col).over(
@@ -310,9 +350,10 @@ def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = _norm_keys([*group_cols, *order_by])
     okeys = _norm_keys(order_by)
-    bounds = _boundaries(df, keys, parts)
-    bucketed = tracked_persist(
-        df.withColumn("_bkt", _bucket_expr(df, keys, bounds)))
+    # persist the BASE frame (see global_ntile)
+    base = tracked_persist(df)
+    bounds = _boundaries(base, keys, parts)
+    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
     local = bucketed.withColumn(
         "_local_cum",
         F.sum(value_col).over(

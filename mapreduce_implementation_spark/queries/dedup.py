@@ -180,11 +180,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_lsh",
     oracle="""
-    WITH sub AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    WITH k AS (
+      SELECT greatest(1, least(50, CAST(50000 // count(*) AS BIGINT))) AS kk
       FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings, k
       WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
-            % 100 < 50
+            % 100 < k.kk
     )
     SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cos,
@@ -201,10 +205,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fixed (bits=4, tables=16) superlinear while the auto rule stays "
         "~linear (VERDICT r04 item 3).  Graduated to a bounded hash "
         "oracle: output = the exact pairs within a deterministic "
-        "md5-hash 50% vector subset (SQL twin — the audit brute-force "
-        "touches n^2/4 pairs at fixture scale; production pins a fixed "
-        "sample COUNT instead of a fraction) + in-query recall_ok = "
-        "LSH found >= 80% of those pairs (measured 0.92 at every SF).",
+        "md5-hash vector subset + in-query recall_ok = LSH found >= 80% "
+        "of those pairs (measured 0.92 at every SF).  The audit subset "
+        "uses an ADAPTIVE bucket count K = clamp(50000 // n, 1, 50) "
+        "out of 100 (identical integer arithmetic in the SQL twin), so "
+        "the brute-force audit holds ~500 vectors however big the "
+        "corpus: the audit cost stays O(const) while the LSH leg "
+        "scales — a fraction-based subset would re-introduce the exact "
+        "quadratic the LSH path exists to avoid.",
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.caching import tracked_persist
@@ -216,9 +224,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = embedding_near_dup_pairs_lsh(
         emb, "vec_id", "embedding", dim=64, min_cosine=0.35,
         bits=bits, tables=tables).select("a", "b")
+    kk = max(1, min(50, 50000 // max(n, 1)))
     bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4),
                      16, 10).cast("long") % 100)
-    sub = emb.filter(bucket < 50)
+    sub = emb.filter(bucket < kk)
     exact_sub = tracked_persist(
         embedding_near_dup_pairs(sub, "vec_id", "embedding", min_cosine=0.35))
     marked = exact_sub.join(lsh.withColumn("_f", F.lit(1)), ["a", "b"], "left")

@@ -429,6 +429,34 @@ def test_prefix_jaccard_candidate_join_is_narrow(spark):
     assert posting_nodes >= 1, plan
 
 
+def test_trimmed_mean_broadcasts_decile_bounds(spark):
+    """The decile frame is a 1-row broadcast onto the scan — never a
+    per-row subquery re-execution — and the scan reads only the one
+    measure column."""
+    df = SPECS["agg_trimmed_mean"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert_read_schema_only(df, {"l_extendedprice"})
+
+
+def test_source_topp_uses_value_buckets_no_per_group_window(spark):
+    """The nucleus cut rides the grouped two-phase prefix sum: base rows
+    shuffle on the value-derived (_bkt, source) key, never through a
+    per-source-only hash exchange into one task per source; no
+    spark_partition_id anywhere."""
+    df = SPECS["corpus_source_topp"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "hashpartitioning(_bkt" in plan, plan
+    assert "SPARK_PARTITION_ID" not in plan.upper(), plan
+
+
+def test_normalized_dedup_partial_aggregates(spark):
+    """The canonical-hash dedup audit map-side combines before the one
+    shuffle on (source) — the 100 TB exact-dedup discipline."""
+    df = SPECS["text_dedup_exact_normalized"].fn(spark, SF_DIR_01)
+    assert_partial_aggregate(df)
+
+
 def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     """Runtime row-level bloom filtering (the shuffle-width killer for
     selective fact⋈filtered-dim joins at 100 TB): with the optimizer
@@ -460,3 +488,4 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+

@@ -72,6 +72,50 @@ def test_tokenizer_reference_edge_cases(spark):
     assert got == sorted(["dont", "wellknown", "endstart", "a", "b"])
 
 
+# --- global prefix sum vs the single-partition window model, with
+# --- descending keys and NULLs (exercises the value-derived boundary
+# --- comparison's direction/null-order logic on arbitrary frames) ---
+
+_grow_null = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),  # key (nullable)
+    st.integers(min_value=0, max_value=10**6),                       # tiebreak
+    st.integers(min_value=-5, max_value=9))                          # value
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_grow_null, min_size=1, max_size=50,
+                unique_by=lambda t: t[1]),
+       st.booleans())
+def test_global_running_sum_matches_window_model_desc_nulls(spark, rows, asc):
+    """global_running_sum == sum() OVER (ORDER BY k ASC NULLS FIRST / k
+    DESC NULLS LAST, tb) on frames with NULL keys, in BOTH directions,
+    across a bucket count that forces many range buckets — pinning the
+    boundary searchsorted expression's direction and null-placement
+    semantics (null boundary tuples included)."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(rows, "k long, tb long, v long")
+    key = ("k", "asc") if asc else ("k", "desc")
+    got = global_running_sum(df, "v", [key, "tb"], out="cum", partitions=7)
+    order = ([F.col("k").asc_nulls_first(), F.col("tb").asc()] if asc
+             else [F.col("k").desc_nulls_last(), F.col("tb").asc()])
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    try:
+        assert {(r["k"], r["tb"], r["cum"]) for r in got.collect()} \
+            == {(r["k"], r["tb"], r["cum"]) for r in want.collect()}
+    finally:
+        release_persisted()
+
+
 # --- registry/doc drift guard (VERDICT r04 item 7) ---
 
 def test_registry_counts_match_coverage_doc():
