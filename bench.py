@@ -74,6 +74,10 @@ HEADLINE = [
     "corpus_source_topp",
     "text_dedup_exact_normalized",
     "agg_trimmed_mean",
+    # round 5 wave 3: keyphrase extraction (4-consumer persisted token
+    # stream), video container frame sampling (map-only multimodal leg)
+    "text_keyphrase_rake",
+    "multimodal_video_framesample",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

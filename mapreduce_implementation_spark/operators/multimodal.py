@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 __all__ = ["to_binary_payload", "binary_metadata", "decode_image_features",
            "sample_chunks", "decode_png", "encode_png_gray",
            "decode_png_gray_rows", "image_dhash", "dhash_near_dup_pairs",
-           "encode_wav_pcm16", "decode_wav_pcm", "audio_frame_rms"]
+           "encode_wav_pcm16", "decode_wav_pcm", "audio_frame_rms",
+           "encode_video_gray", "decode_video_gray", "video_frame_sample"]
 
 DECODE_IS_STUBBED: bool
 try:  # full-featured decoder if the env ever provides it
@@ -526,4 +527,80 @@ def audio_frame_rms(df: DataFrame, id_col: str, payload_col: str = "payload",
     return (df.select(id_col, payload_col)
             .mapInPandas(run, schema="id BIGINT, frame_idx INT, rms DOUBLE,"
                                      " sample_rate INT, n_samples INT")
+            .withColumnRenamed("id", id_col))
+
+
+def encode_video_gray(frames: list[bytes], width: int, height: int,
+                      fps: int = 8) -> bytes:
+    """Minimal synthetic grayscale video container: ``b'VID0'`` magic +
+    little-endian (width u16, height u16, n_frames u16, fps u8) header,
+    then raw frames back-to-back — the video-side inverse of
+    :func:`decode_video_gray` for the render->decode roundtrip path
+    (image: PNG, audio: WAV; real video codecs aren't in this container,
+    so the CONTAINER walk + frame indexing is the part under test)."""
+    import struct
+
+    if not frames:
+        raise ValueError("empty video")
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("frame size mismatch")
+    hdr = b"VID0" + struct.pack("<HHHB", width, height, len(frames), fps)
+    return hdr + b"".join(frames)
+
+
+def decode_video_gray(payload: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Parse a VID0 payload back to (width, height, n_frames, fps,
+    frames).  Raises ``ValueError`` on bad magic / truncation so callers
+    can quarantine undecodable rows via the metadata path."""
+    import struct
+
+    if not payload or payload[:4] != b"VID0" or len(payload) < 11:
+        raise ValueError("not a VID0 payload")
+    width, height, n_frames, fps = struct.unpack("<HHHB", payload[4:11])
+    fsz = width * height
+    if len(payload) != 11 + n_frames * fsz:
+        raise ValueError("truncated VID0 payload")
+    frames = [payload[11 + i * fsz:11 + (i + 1) * fsz] for i in range(n_frames)]
+    return width, height, n_frames, fps, frames
+
+
+def video_frame_sample(df: DataFrame, id_col: str,
+                       payload_col: str = "payload",
+                       stride: int = 4) -> DataFrame:
+    """(id, frame_idx, mean_luma, n_frames, fps) — decode video payloads
+    and keep every ``stride``-th frame with its mean luminance (the
+    frame-sampling primitive of a video-curation pipeline: thumbnail /
+    shot-boundary / dedup features are computed on a strided subset,
+    never every frame).  Arrow-batched mapInPandas; undecodable payloads
+    are dropped.  At 100 TB the multi-frame payload never leaves the
+    executor batch — only (id, frame_idx, features) rows are emitted,
+    which is what makes strided sampling a map stage rather than an
+    explode-then-filter shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, luma, nfs, fpss = [], [], [], [], []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, n, fps, frames = decode_video_gray(payload)
+                except ValueError:
+                    continue
+                for i in range(0, n, stride):
+                    f = frames[i]
+                    ids.append(pid); fids.append(i)
+                    # raw double — callers round JVM-side (F.round is
+                    # half-up like the oracle; Python round is banker's)
+                    luma.append(sum(f) / float(w * h))
+                    nfs.append(n); fpss.append(fps)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fids, dtype="int32"),
+                "mean_luma": pd.Series(luma, dtype="float64"),
+                "n_frames": pd.Series(nfs, dtype="int32"),
+                "fps": pd.Series(fpss, dtype="int32"),
+            })
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(run, schema="id BIGINT, frame_idx INT,"
+                                     " mean_luma DOUBLE, n_frames INT,"
+                                     " fps INT")
             .withColumnRenamed("id", id_col))

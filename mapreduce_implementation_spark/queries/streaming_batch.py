@@ -370,3 +370,62 @@ def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "sample_rate", "n_samples",
     )
+
+
+@register(
+    "multimodal_video_framesample",
+    oracle="""
+    SELECT vec_id,
+           CAST(t AS INTEGER) AS frame_idx,
+           round(list_sum(list_transform(embedding,
+             e -> least(CAST(floor(least(greatest((CAST(e AS DOUBLE) + 1) / 2,
+                                         0), 1) * 255) AS BIGINT)
+                        + 16 * t, 255))) / 64.0, 6) AS mean_luma,
+           16 AS n_frames,
+           8 AS fps
+    FROM embeddings, (SELECT unnest([0, 4, 8, 12]) AS t) s
+    """,
+    doc="Video frame sampling end-to-end, fully hash-oracled — the "
+        "video leg of the multimodal family (image PNG decode, audio "
+        "WAV decode, binary chunk sampling): each 64-dim embedding "
+        "renders a 16-frame 8x8 grayscale clip (frame t = base pixels "
+        "+16t, clipped — a deterministic brightness ramp, so every "
+        "frame is distinguishable and an off-by-one frame index breaks "
+        "the hash) packed into a VID0 container (magic + u16 dims/count "
+        "+ u8 fps header, raw frames), then video_frame_sample walks "
+        "the container, keeps every 4th frame and emits per-frame mean "
+        "luminance.  The oracle recomputes each sampled frame's mean "
+        "from the render formula alone (integer pixel math, one final "
+        "division — bit-exact IEEE both engines), so a container "
+        "writer, parser, stride, or frame-offset bug flips the hash.  "
+        "At 100 TB the multi-frame payload never leaves the executor "
+        "Arrow batch; only (id, frame_idx, features) rows emerge — "
+        "frame sampling stays a map stage, no explode shuffle.",
+)
+def q_multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_video_gray, video_frame_sample
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def render(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                v = np.asarray(vec, dtype=np.float64)
+                base = np.floor(np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255.0
+                                ).astype(np.int64)
+                frames = [np.minimum(base + 16 * t, 255).astype(np.uint8)
+                          .tobytes() for t in range(16)]
+                payloads.append(encode_video_gray(frames, 8, 8, fps=8))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+    rendered = emb.mapInPandas(render, schema="vec_id BIGINT, payload BINARY")
+    feats = video_frame_sample(rendered, "vec_id", stride=4)
+    return feats.select(
+        "vec_id", "frame_idx",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "n_frames", "fps",
+    )

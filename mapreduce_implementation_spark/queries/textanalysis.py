@@ -1237,3 +1237,99 @@ def q_text_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kk.select("w1", "w2", F.col("k11").alias("n_pair"),
                       llr.alias("llr"))
             .orderBy(F.desc("llr"), "w1", "w2").limit(20))
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM raw
+    ), t2 AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN {_STOP} OR tok = '' THEN 1 ELSE 0 END AS d,
+             sum(CASE WHEN tok IN {_STOP} OR tok = '' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS pid
+      FROM t
+    ), words AS (SELECT doc_id, pid, pos, tok FROM t2 WHERE d = 0),
+    pl AS (
+      SELECT doc_id, pid, count(*) AS plen,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase
+      FROM words GROUP BY doc_id, pid
+    ),
+    ws AS (
+      SELECT tok, count(*) AS freq, sum(plen) AS deg
+      FROM words JOIN pl USING (doc_id, pid) GROUP BY tok
+    ),
+    ps AS (
+      SELECT w.doc_id, w.pid, sum(ws.deg * 1.0 / ws.freq) AS pscore
+      FROM words w JOIN ws USING (tok) GROUP BY w.doc_id, w.pid
+    )
+    SELECT pl.phrase AS phrase,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(max(pl.plen) AS BIGINT) AS n_words,
+           round(max(ps.pscore), 4) AS rake_score
+    FROM pl JOIN ps USING (doc_id, pid)
+    WHERE pl.plen >= 2
+    GROUP BY pl.phrase
+    HAVING count(*) >= 3
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010) — the classic "
+        "unsupervised keyword/topic surfacer a corpus-curation pipeline "
+        "runs for content profiling.  Candidate phrases are maximal runs "
+        "of non-stopword tokens (stopwords and empty tokens delimit); "
+        "word score = corpus degree/frequency where degree(w) = sum of "
+        "the lengths of the phrases containing each occurrence of w; "
+        "phrase score = sum of its word scores.  Output: phrases of >= 2 "
+        "words occurring >= 3 times (an integer support cut, so no "
+        "float-ranked LIMIT can flip the hash on a knife-edge score).  "
+        "Scale shape: the phrase-segmentation window is keyed by doc_id "
+        "(doc-sized partitions, never global), both stats frames are "
+        "vocabulary-sized partial aggregates, and the score rejoin is a "
+        "token->vocab hash join — no all-pairs, no driver loop.",
+)
+def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.textfn import tokens_array
+    from ..operators.caching import tracked_persist
+    from ..operators.textstats import EN_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_array(F.col("text"))).alias("pos", "tok"))
+    d = (F.col("tok").isin(*EN_STOPWORDS) | (F.col("tok") == "")).cast("int")
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t2 = toks.withColumn("d", d).withColumn("pid", F.sum("d").over(w))
+    # persist the segmented word stream: it feeds the phrase build, the
+    # corpus word stats, and the score rejoin — without the cache the
+    # plan re-scans + re-tokenizes + re-windows documents four times
+    # (verified via explain), a 4x token-stream cost at 100 TB
+    words = tracked_persist(
+        t2.filter(F.col("d") == 0).select("doc_id", "pid", "pos", "tok"))
+    pl = (words.groupBy("doc_id", "pid")
+          .agg(F.count(F.lit(1)).alias("plen"),
+               F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                       lambda x: x["tok"]), " ").alias("phrase")))
+    ws = (words.join(pl.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+          .groupBy("tok")
+          .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")))
+    ps = (words.join(ws, "tok")
+          .groupBy("doc_id", "pid")
+          .agg(F.sum(F.col("deg") * F.lit(1.0) / F.col("freq")).alias("pscore")))
+    return (pl.join(ps, ["doc_id", "pid"])
+            .filter(F.col("plen") >= 2)
+            .groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("n_occ"),
+                 F.max("plen").alias("n_words"),
+                 F.round(F.max("pscore"), 4).alias("rake_score"))
+            .filter(F.col("n_occ") >= 3))

@@ -54,6 +54,10 @@ PIPELINES = [
     "scd2_point_in_time_join",
     "basket_lift_pairs",
     "cdc_merge_upsert",
+    # round-5 wave 3: token-stream-heavy keyphrase extraction and the
+    # map-only video frame-sampling leg
+    "text_keyphrase_rake",
+    "multimodal_video_framesample",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

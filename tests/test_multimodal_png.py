@@ -243,3 +243,52 @@ def test_wav_roundtrip_and_variant_rejection(spark):
         decode_wav_pcm(bytes(stereo))
     with _pytest.raises(ValueError):
         decode_wav_pcm(b"RIFFxxxxNOPE")
+
+
+# --- VID0 synthetic video container (round 5: video frame sampling) ---
+
+def test_video_container_roundtrip():
+    from mapreduce_implementation_spark.operators.multimodal import (
+        decode_video_gray, encode_video_gray,
+    )
+
+    frames = [bytes([i] * 6) for i in range(5)]
+    w, h, n, fps, back = decode_video_gray(encode_video_gray(frames, 3, 2, fps=12))
+    assert (w, h, n, fps) == (3, 2, 5, 12)
+    assert back == frames
+
+
+def test_video_container_rejects_malformed():
+    import pytest
+
+    from mapreduce_implementation_spark.operators.multimodal import (
+        decode_video_gray, encode_video_gray,
+    )
+
+    with pytest.raises(ValueError):
+        encode_video_gray([], 3, 2)
+    with pytest.raises(ValueError):
+        encode_video_gray([b"\x00" * 5], 3, 2)  # frame size mismatch
+    ok = encode_video_gray([b"\x00" * 6], 3, 2)
+    with pytest.raises(ValueError):
+        decode_video_gray(ok[:-1])  # truncated payload
+    with pytest.raises(ValueError):
+        decode_video_gray(b"NOPE" + ok[4:])  # bad magic
+
+
+def test_video_frame_sample_strides_and_drops(spark):
+    """Strided sampling keeps frames 0, s, 2s, ...; undecodable payloads
+    are quarantined (dropped), not errored — the decoder-ladder contract
+    shared with the PNG/WAV paths."""
+    from mapreduce_implementation_spark.operators.multimodal import (
+        encode_video_gray, video_frame_sample,
+    )
+
+    clip = encode_video_gray([bytes([10 * t] * 4) for t in range(6)], 2, 2, fps=4)
+    df = spark.createDataFrame(
+        [(1, bytearray(clip)), (2, bytearray(b"garbage"))],
+        "id LONG, payload BINARY")
+    rows = {(r["id"], r["frame_idx"]): r["mean_luma"]
+            for r in video_frame_sample(df, "id", stride=2).collect()}
+    assert set(rows) == {(1, 0), (1, 2), (1, 4)}
+    assert rows[(1, 2)] == 20.0 and rows[(1, 4)] == 40.0

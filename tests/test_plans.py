@@ -489,3 +489,19 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
             else:
                 spark.conf.set(k, v)
 
+
+def test_rake_reuses_persisted_word_stream(spark):
+    """RAKE's word stream feeds four consumers (phrase build, plen join,
+    corpus stats, score rejoin); all four must read the persisted frame
+    (InMemoryTableScan), not re-scan + re-tokenize + re-window the
+    corpus four times — a 4x token-stream cost at 100 TB."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    try:
+        df = SPECS["text_keyphrase_rake"].fn(spark, SF_DIR_01)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 4, plan
+    finally:
+        release_persisted()
