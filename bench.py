@@ -78,6 +78,9 @@ HEADLINE = [
     # stream), video container frame sampling (map-only multimodal leg)
     "text_keyphrase_rake",
     "multimodal_video_framesample",
+    # round 5 wave 4: grouped two-phase ntile, budget resample pipeline
+    "corpus_quality_deciles_by_source",
+    "pipeline_budget_resample",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from .caching import tracked_persist
 
 __all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group",
-           "global_ntile", "global_running_sum", "grouped_running_sum"]
+           "global_ntile", "global_running_sum", "grouped_running_sum",
+           "grouped_ntile", "exact_quantiles"]
 
 
 def _spec(partition_by: list[str], order_by: list[Column]) -> WindowSpec:
@@ -371,3 +372,121 @@ def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
         .withColumn(out, F.col("_local_cum") + F.col("_offset"))
         .drop("_bkt", "_local_cum", "_offset")
     )
+
+
+def grouped_ntile(df: DataFrame, group_cols: list[str], order_by,
+                  n_tiles: int, out: str = "tile",
+                  partitions: int | None = None) -> DataFrame:
+    """Exact ``ntile(k) OVER (PARTITION BY g ORDER BY ...)`` that stays
+    distributed even when single groups dwarf a partition — the ntile
+    sibling of :func:`grouped_running_sum`.
+
+    A plain keyed window puts each ENTIRE group in one task — fatal when
+    one group is terabytes (per-source quality deciles where a source is
+    half the corpus).  Instead: bucket on (group..., order...) via
+    broadcast value boundaries (groups occupy contiguous bucket runs),
+    per-(bucket, group) row_number in parallel, and a small
+    per-(bucket, group) counts frame computes each group's exclusive
+    prefix offset AND group total with windows partitioned by group over
+    bucket ids.  Group rank = local rank + offset; the standard ntile
+    split (first N mod k tiles take ceil(N/k) rows) is then a pure
+    expression of (rank, group total).  Offsets return via a keyed join
+    (group cardinality may be huge; Spark upgrades to broadcast when
+    stats allow).  Bucket ids are value-derived — identical under any
+    recomputation — so the persist is perf-only (module docstring).
+
+    ``order_by`` must total-order rows WITHIN each group (include a
+    unique tiebreaker).
+    """
+    spark = df.sparkSession
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = _norm_keys([*group_cols, *order_by])
+    okeys = _norm_keys(order_by)
+    base = tracked_persist(df)
+    bounds = _boundaries(base, keys, parts)
+    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
+    local = ranked(bucketed, ["_bkt", *group_cols], _sort_cols(okeys),
+                   kind="row_number", out="_local_rn")
+    counts = bucketed.groupBy("_bkt", *group_cols).agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    w_off = (Window.partitionBy(*group_cols).orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.partitionBy(*group_cols).orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    offsets = counts.select(
+        "_bkt", *group_cols,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    r = F.col("_local_rn") + F.col("_offset")
+    k = F.lit(n_tiles).cast("long")
+    q = F.floor(F.col("_n") / k)
+    rem = F.col("_n") % k
+    cut = rem * (q + 1)
+    tile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1)
+    return (
+        local.join(offsets, ["_bkt", *group_cols])
+        .withColumn(out, tile.cast("int"))
+        .drop("_bkt", "_local_rn", "_offset", "_n")
+    )
+
+
+def exact_quantiles(df: DataFrame, value_col: str, probs: list[float],
+                    out_names: list[str] | None = None,
+                    partitions: int | None = None) -> DataFrame:
+    """EXACT linear-interpolated quantiles (SQL ``percentile_cont`` /
+    DuckDB ``quantile_cont`` semantics) as a 1-row frame — WITHOUT the
+    builtin ``percentile()`` aggregate, whose buffer accumulates every
+    distinct value into a single in-memory map (the final reduce task
+    receives the whole column's value histogram: a silent OOM at 100 TB
+    on high-cardinality columns).
+
+    Two-phase, same machinery as :func:`global_ntile`: value-derived
+    range buckets from broadcast boundaries, per-bucket ``row_number``
+    in parallel, global rank = local rank + exclusive bucket-count
+    prefix.  Each requested quantile's fractional position ``(n-1) * p``
+    picks the two neighboring order statistics with conditional sums
+    (partial-aggregable — the final reduce sees a handful of doubles),
+    interpolated as ``v_lo + (v_hi - v_lo) * frac`` — the same
+    float-op order DuckDB uses, so the twin arithmetic agrees to the
+    last ulp given equal inputs.  NULLs are excluded (percentile_cont
+    semantics).  Returns one row with one column per prob.
+    """
+    spark = df.sparkSession
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    names = out_names or [f"q{str(p).replace('.', '_')}" for p in probs]
+    keys = _norm_keys([value_col])
+    base = tracked_persist(
+        df.select(value_col).filter(F.col(value_col).isNotNull()))
+    bounds = _boundaries(base, keys, parts)
+    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
+    local = ranked(bucketed, ["_bkt"], _sort_cols(keys),
+                   kind="row_number", out="_rn")
+    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    offsets = counts.select(
+        "_bkt",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    r = (F.col("_rn") + F.col("_offset"))
+    v = F.col(value_col).cast("double")
+    aggs = [F.max("_n").alias("_n")]
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1) * F.lit(float(p))
+        lo = F.floor(pos) + 1  # 1-based rank of the lower neighbor
+        aggs.append(F.sum(F.when(r == lo, v).otherwise(0.0)).alias(f"_lo{i}"))
+        aggs.append(F.sum(F.when(r == lo + 1, v).otherwise(0.0)).alias(f"_hi{i}"))
+    one = local.join(F.broadcast(offsets), "_bkt").agg(*aggs)
+    outs = []
+    for i, (p, name) in enumerate(zip(probs, names)):
+        pos = (F.col("_n") - 1) * F.lit(float(p))
+        frac = pos - F.floor(pos)
+        outs.append((F.col(f"_lo{i}")
+                     + (F.col(f"_hi{i}") - F.col(f"_lo{i}")) * frac)
+                    .alias(name))
+    return one.select(*outs)

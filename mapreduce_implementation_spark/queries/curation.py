@@ -39,17 +39,22 @@ from ..sources.tables import load_table
     doc="Robust location statistics (the outlier-resistant aggregates a "
         "quality-scoring pipeline needs): 10%-two-sided TRIMMED mean "
         "(drop the tails) and WINSORIZED mean (clamp to the decile "
-        "bounds) of l_extendedprice.  The exact interpolated deciles "
-        "come from one tiny aggregate broadcast back as a 1-row frame "
-        "(Spark percentile() == DuckDB quantile_cont, both linear "
-        "interpolation between closest ranks), so the whole query is "
-        "two scans and zero wide shuffles at any scale.",
+        "bounds) of l_extendedprice.  The exact interpolated decile "
+        "bounds come from operators/windows.exact_quantiles — the "
+        "two-phase distributed order-statistic operator — NOT the "
+        "builtin percentile() aggregate, whose buffer ships every "
+        "distinct value to one reduce task (the agg_percentiles_exact "
+        "query keeps that builtin as a labeled surface-parity check; "
+        "this query is the 100 TB path).  quantile_cont interpolation "
+        "(v_lo + (v_hi - v_lo) * frac) matches DuckDB op-for-op; the "
+        "1-row bounds frame broadcasts onto the second scan.",
 )
 def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import exact_quantiles
+
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    p = li.agg(
-        F.expr("percentile(l_extendedprice, 0.1)").alias("_p10"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("_p90"))
+    p = exact_quantiles(li, "l_extendedprice", [0.1, 0.9],
+                        out_names=["_p10", "_p90"])
     x = F.col("l_extendedprice")
     inside = (x >= F.col("_p10")) & (x <= F.col("_p90"))
     return (
@@ -219,3 +224,150 @@ def q_text_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+
+
+from .textanalysis import _DUCK_QUALITY_Z  # noqa: E402  (shared CTE twin)
+
+
+@register(
+    "corpus_quality_deciles_by_source",
+    oracle="WITH" + _DUCK_QUALITY_Z + """
+    , p AS (
+      SELECT z.doc_id, d.source, round(1.0 / (1.0 + exp(-z.z)), 6) AS p
+      FROM z JOIN documents d ON d.doc_id = z.doc_id
+    ),
+    t AS (
+      SELECT source, doc_id, p,
+             ntile(10) OVER (PARTITION BY source
+                             ORDER BY p DESC, doc_id) AS decile
+      FROM p
+    )
+    SELECT source, CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_p_micro,
+           round(min(p), 6) AS min_p,
+           round(max(p), 6) AS max_p
+    FROM t GROUP BY source, decile
+    """,
+    doc="Per-source quality deciles — the slice a curator reads before "
+        "setting per-source keep thresholds: logistic quality "
+        "probability (the text_quality_classifier features), then an "
+        "EXACT ntile(10) PARTITION BY source via the distributed "
+        "two-phase grouped ntile (operators/windows.grouped_ntile).  A "
+        "plain keyed window would put each entire source in one task — "
+        "at 100 TB a single source can be terabytes, so the operator "
+        "buckets on broadcast (source, p, doc_id) value boundaries and "
+        "a huge source spans many buckets; per-(bucket, source) "
+        "row_numbers run in parallel and group offsets/totals come from "
+        "the small counts frame.  Sort key is the ROUNDED probability "
+        "(+ doc_id tiebreak) so tile assignment is engine-independent.",
+)
+def q_corpus_quality_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_ntile
+    from .textanalysis import quality_prob_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        F.round(quality_prob_column(), 6).alias("p"))
+    tiled = grouped_ntile(scored, ["source"], [("p", "desc"), "doc_id"],
+                          n_tiles=10, out="decile")
+    return (
+        tiled.groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             # integer micro-units, not round(avg(p), 6): averaging
+             # 6-decimal-rounded inputs lands EXACTLY on .5 rounding
+             # boundaries (2-doc deciles guarantee it), where Spark and
+             # DuckDB round the ulp-different doubles apart
+             F.sum(F.round(F.col("p") * 1000000).cast("long"))
+             .alias("sum_p_micro"),
+             F.round(F.min("p"), 6).alias("min_p"),
+             F.round(F.max("p"), 6).alias("max_p"))
+    )
+
+
+@register(
+    "pipeline_budget_resample",
+    oracle="""
+    WITH perdoc AS (
+      SELECT doc_id, source,
+             len(list_filter(
+                 string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+                 t -> t <> '')) AS ntok
+      FROM documents
+    ),
+    tok AS (
+      SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens
+      FROM perdoc GROUP BY source
+    ),
+    tgt AS (
+      SELECT source, tokens,
+             1.0 / (1 + CAST(substring(source, 4) AS INTEGER)) AS raw_w
+      FROM tok
+    ),
+    norm AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens, sum(raw_w) AS sum_w
+      FROM tgt
+    ),
+    rates AS (
+      SELECT t.source,
+             CAST(floor(least(1.0, (t.raw_w / n.sum_w)
+                              * (0.5 * n.total_tokens) / t.tokens)
+                        * 10000) AS BIGINT) AS sample_bps
+      FROM tgt t CROSS JOIN norm n
+    ),
+    kept AS (
+      SELECT p.source, r.sample_bps, p.ntok
+      FROM perdoc p JOIN rates r USING (source)
+      WHERE ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 6))::BIGINT
+            % 10000 < r.sample_bps
+    )
+    SELECT source, sample_bps,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(ntok) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source, sample_bps
+    """,
+    doc="The mixture-weights math APPLIED: source_mixing_weights computes "
+        "per-source sampling rates against a 50%-of-corpus token budget; "
+        "this pipeline materializes the resampled corpus membership with "
+        "a DETERMINISTIC md5 bucket test (doc kept iff its hash bucket "
+        "of 10000 falls below floor(rate*10000)) and reports achieved "
+        "docs/tokens per source — rate math and selection in ONE lazy "
+        "plan.  Hash-based sampling is the production idiom (rerunnable, "
+        "no RNG state, stable under retries — the same property the "
+        "train/valid split query pins); the per-doc token counts frame "
+        "is persisted because both the totals aggregate and the keep "
+        "decision consume it, and the 20-row rates frame broadcasts "
+        "back onto the scan.  At 100 TB: two passes over (doc_id, "
+        "source, ntok) — never the text — and one 20-group aggregate.",
+)
+def q_pipeline_budget_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import tokens_array
+    from ..operators.caching import tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(tokens_array(F.col("text")), lambda t: t != ""))
+    perdoc = tracked_persist(
+        docs.select("doc_id", "source", ntok.alias("ntok")))
+    tok = perdoc.groupBy("source").agg(F.sum("ntok").alias("tokens"))
+    tgt = tok.withColumn(
+        "raw_w", F.lit(1.0) / (F.lit(1) + F.substring("source", 4, 10)
+                               .cast("int")))
+    norm = tgt.agg(F.sum("tokens").alias("total_tokens"),
+                   F.sum("raw_w").alias("sum_w"))
+    rate = F.least(F.lit(1.0),
+                   (F.col("raw_w") / F.col("sum_w"))
+                   * (F.lit(0.5) * F.col("total_tokens")) / F.col("tokens"))
+    rates = (tgt.crossJoin(F.broadcast(norm))
+             .select("source",
+                     F.floor(rate * 10000).cast("long").alias("sample_bps")))
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                     16, 10).cast("long") % 10000)
+    kept = (perdoc.join(F.broadcast(rates), "source")
+            .filter(bucket < F.col("sample_bps")))
+    return (
+        kept.groupBy("source", "sample_bps")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("ntok").alias("tokens_kept"))
+    )

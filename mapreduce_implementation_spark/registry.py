@@ -77,6 +77,8 @@ _SAMPLE_FIRST = (
     # --- round-5 additions (no driver row yet) ---
     "agg_trimmed_mean", "corpus_source_topp", "agg_skew_kurtosis",
     "text_dedup_exact_normalized",
+    "text_keyphrase_rake", "multimodal_video_framesample",
+    "corpus_quality_deciles_by_source", "pipeline_budget_resample",
     # --- implementation changed this round: re-verify ---
     "window_global_ntile", "rfm_segments", "text_perplexity_buckets",
     "text_zipf_alpha", "agg_weighted_median", "agg_weighted_median_by_flag",

@@ -58,6 +58,9 @@ PIPELINES = [
     # map-only video frame-sampling leg
     "text_keyphrase_rake",
     "multimodal_video_framesample",
+    # round-5 wave 4: grouped two-phase ntile, budget resample
+    "corpus_quality_deciles_by_source",
+    "pipeline_budget_resample",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -505,3 +505,56 @@ def test_rake_reuses_persisted_word_stream(spark):
         assert plan.count("InMemoryTableScan") >= 4, plan
     finally:
         release_persisted()
+
+
+def test_quality_deciles_uses_value_buckets_no_per_source_window(spark):
+    """Per-source deciles ride the grouped two-phase ntile: rows shuffle
+    on the value-derived (_bkt, source) key — never one task per source
+    — and no spark_partition_id anywhere."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    try:
+        df = SPECS["corpus_quality_deciles_by_source"].fn(spark, SF_DIR_01)
+        plan = plan_string(df)
+        assert "hashpartitioning(_bkt" in plan, plan
+        assert "SPARK_PARTITION_ID" not in plan.upper(), plan
+    finally:
+        release_persisted()
+
+
+def test_trimmed_mean_avoids_percentile_buffer(spark):
+    """The decile bounds come from the two-phase exact_quantiles
+    operator — the plan must contain NO percentile() aggregate (whose
+    buffer ships every distinct value to one reduce task) and still
+    broadcast the 1-row bounds frame onto the scan."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    try:
+        df = SPECS["agg_trimmed_mean"].fn(spark, SF_DIR_01)
+        plan = plan_string(df)
+        assert "percentile" not in plan.lower(), plan
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    finally:
+        release_persisted()
+
+
+def test_budget_resample_broadcasts_rates_onto_scan(spark):
+    """The 20-row per-source rates frame broadcasts back onto the
+    per-doc frame (never a shuffle join against the corpus), and the
+    per-doc token-count frame is persisted for its two consumers."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    try:
+        df = SPECS["pipeline_budget_resample"].fn(spark, SF_DIR_01)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        release_persisted()
+

@@ -220,3 +220,59 @@ def test_grouped_running_sum_matches_window_model(spark, rows):
             == {(r["g"], r["k"], r["cum"]) for r in want.collect()}
     finally:
         release_persisted()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),      # group
+                          st.integers(min_value=-20, max_value=20),   # key
+                          st.integers(min_value=0, max_value=10**6)), # tiebreak
+                min_size=1, max_size=60, unique_by=lambda t: t[2]),
+       st.sampled_from([2, 3, 7]))
+def test_grouped_ntile_matches_keyed_window_model(spark, rows, k):
+    """grouped_ntile == ntile(k) OVER (PARTITION BY g ORDER BY key, tb)
+    on arbitrary group sizes (including groups smaller than k) across a
+    bucket count that forces groups to span many range buckets."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import grouped_ntile
+
+    df = spark.createDataFrame(rows, "g long, key long, tb long")
+    got = grouped_ntile(df, ["g"], ["key", "tb"], n_tiles=k, out="tile",
+                        partitions=7)
+    w = Window.partitionBy("g").orderBy(F.col("key").asc(), F.col("tb").asc())
+    want = df.withColumn("tile", F.ntile(k).over(w))
+    try:
+        assert {(r["g"], r["tb"], r["tile"]) for r in got.collect()} \
+            == {(r["g"], r["tb"], r["tile"]) for r in want.collect()}
+    finally:
+        release_persisted()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=-1000, max_value=1000,
+                          allow_nan=False, width=32),
+                min_size=1, max_size=80),
+       st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]))
+def test_exact_quantiles_matches_percentile_builtin(spark, vals, p):
+    """exact_quantiles (two-phase distributed order statistics) ==
+    the builtin percentile() aggregate (percentile_cont semantics) on
+    arbitrary float data including duplicates and the p=0/p=1 edges."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    try:
+        got = exact_quantiles(df, "v", [p], out_names=["q"],
+                              partitions=5).collect()[0]["q"]
+        want = df.agg(F.expr(f"percentile(v, {p})").alias("q")
+                      ).collect()[0]["q"]
+        assert got is not None and abs(got - want) < 1e-9, (got, want)
+    finally:
+        release_persisted()
