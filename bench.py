@@ -81,6 +81,9 @@ HEADLINE = [
     # round 5 wave 4: grouped two-phase ntile, budget resample pipeline
     "corpus_quality_deciles_by_source",
     "pipeline_budget_resample",
+    # round 5 waves 5-6: weighted Bellman-Ford, interval-overlap self-join
+    "graph_sssp_weighted",
+    "sessions_interval_overlap",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -310,3 +310,50 @@ def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
                                 F.col("_m")).cast("int").alias("d"))
         )
     return dist.withColumnRenamed("d", "dist")
+
+
+def sssp_weighted(edges: DataFrame, nodes: DataFrame, source,
+                  rounds: int, max_edge_w: int) -> DataFrame:
+    """Single-source shortest WEIGHTED path distances (Bellman-Ford):
+    ``(v, dist)`` with NULL dist for nodes not reached within
+    ``rounds`` relaxation rounds.  Generalizes :func:`bfs_distances`
+    from hop counting to integer edge weights — each round relaxes
+    every edge once with ``min(dist[src] + w)`` instead of
+    ``min(dist) + 1``.
+
+    ``max_edge_w`` must upper-bound every edge weight; the infinity
+    sentinel is derived as ``rounds * max_edge_w + 1`` (no reachable
+    distance can collide — the magic-constant lesson from the BFS
+    sentinel).  Integer weights keep the min-plus algebra exact in any
+    engine; callers with float costs should scale to integers first.
+
+    Scale shape: the distance vector is O(nodes) and joins by key (no
+    broadcast requirement); each round is one edge equi-join + one
+    (dst) min-aggregate + one keyed merge — the Pregel superstep,
+    declaratively, unrolled a fixed count so the whole computation is
+    one lazy plan and oracle-able.  At true web scale wrap the same
+    step in a convergence loop with ``localCheckpoint`` per round like
+    ``connected_components``.
+    """
+    if max_edge_w < 1:
+        raise ValueError("max_edge_w must be >= 1")
+    inf = rounds * max_edge_w + 1
+    e = edges.select("src", "dst", "w")
+    n1 = nodes.select(F.col("v")).distinct()
+    dist = n1.select(
+        "v", F.when(F.col("v") == source, 0).cast("long").alias("d"))
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist.filter(F.col("d").isNotNull()),
+                   F.col("src") == F.col("v"))
+            .groupBy("dst").agg(F.min(F.col("d") + F.col("w")).alias("_nd"))
+        )
+        dist = (
+            dist.join(relaxed, dist.v == relaxed.dst, "left")
+            .select(dist.v,
+                    F.least(F.coalesce(F.col("d"), F.lit(inf)),
+                            F.coalesce(F.col("_nd"), F.lit(inf))).alias("_m"))
+            .select("v", F.when(F.col("_m") < inf,
+                                F.col("_m")).cast("long").alias("d"))
+        )
+    return dist.withColumnRenamed("d", "dist")

@@ -26,7 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["join_tables", "semi_join", "anti_join", "asof_join", "range_join_bucketed"]
+__all__ = ["join_tables", "semi_join", "anti_join", "asof_join",
+           "range_join_bucketed", "interval_overlap_join"]
 
 
 def join_tables(left: DataFrame, right: DataFrame, on, how: str = "inner",
@@ -118,5 +119,46 @@ def range_join_bucketed(
         l.alias("l")
         .join(r.alias("r"), on=[F.col("l._bkt") == F.col("r._bkt"), F.col(f"l.{key}") == F.col(f"r.{key}")])
         .where((rcol > lcol) & (rcol <= lcol + F.expr(f"INTERVAL {window_seconds} SECONDS")))
+        .drop("_bkt")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """All pairs whose closed intervals ``[l_start, l_end]`` and
+    ``[r_start, r_end]`` OVERLAP — without a BroadcastNestedLoopJoin.
+
+    Both sides explode each interval into the time buckets it covers
+    (``sequence`` over ``floor(unix_ts / bucket_seconds)``), equi-join
+    on the bucket, apply the residual overlap predicate, and keep each
+    pair exactly ONCE by requiring the joined bucket to be the FIRST
+    bucket both intervals are live in (``greatest`` of the two start
+    buckets — overlap guarantees that bucket is common).  Shuffle volume
+    is O(sum of interval lengths / bucket) instead of |L| x |R|; pick
+    ``bucket_seconds`` near the typical interval length so each interval
+    explodes to a handful of buckets.  Column names on the two sides
+    must be disjoint (rename before calling — the join returns both
+    sides' columns).  Timestamps compare exactly; touching endpoints
+    (l_end == r_start) count as overlap, matching SQL's
+    ``a.s <= b.e AND b.s <= a.e``.
+    """
+    def bkt(c: str):
+        return F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
+
+    l = left.withColumn("_bkt", F.explode(F.sequence(bkt(l_start), bkt(l_end))))
+    r = right.withColumn("_bkt", F.explode(F.sequence(bkt(r_start), bkt(r_end))))
+    first_common = F.greatest(bkt(l_start), bkt(r_start))
+    return (
+        l.join(r, "_bkt")
+        .where((F.col(l_start) <= F.col(r_end))
+               & (F.col(r_start) <= F.col(l_end))
+               & (F.col("_bkt") == first_common))
         .drop("_bkt")
     )

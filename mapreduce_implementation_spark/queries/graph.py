@@ -307,3 +307,97 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = bfs_distances(edges, nodes, source=0, max_hops=_BFS_HOPS)
     return d.select(F.col("v").cast("int").alias("nationkey"),
                     F.col("dist").cast("int").alias("dist"))
+
+
+# --- weighted SSSP (Bellman-Ford) over the full trade graph -----------------
+# cost(a, b) = greatest(1, 1000000 div lineitem_count): heavy trade lanes
+# are cheap to route through, rare lanes expensive — all-integer min-plus
+# algebra, exact in any engine.  Edge count caps the weight at 1_000_000.
+_SSSP_ROUNDS = 6
+_SSSP_MAX_W = 1_000_000
+
+
+def _sssp_oracle() -> str:
+    sql = """
+    WITH raw AS (
+      SELECT c_nationkey AS a, s_nationkey AS b,
+             greatest(1, 1000000 // count(*)) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT a AS src, b AS dst, CAST(min(w) AS BIGINT) AS w FROM (
+        SELECT a, b, w FROM raw UNION ALL SELECT b, a, w FROM raw
+      ) GROUP BY 1, 2
+    ),
+    n1 AS (SELECT n_nationkey AS v FROM nation),
+    d0 AS (SELECT v, CASE WHEN v = 0 THEN CAST(0 AS BIGINT) END AS d FROM n1)
+    """
+    inf = _SSSP_ROUNDS * _SSSP_MAX_W + 1
+    prev = "d0"
+    for i in range(1, _SSSP_ROUNDS + 1):
+        sql += f""",
+    d{i} AS (
+      SELECT n1.v,
+             CASE WHEN least(coalesce(p.d, {inf}), coalesce(m.nd, {inf}))
+                       = {inf}
+                  THEN NULL
+                  ELSE least(coalesce(p.d, {inf}), coalesce(m.nd, {inf}))
+             END AS d
+      FROM n1 LEFT JOIN {prev} p ON p.v = n1.v
+      LEFT JOIN (SELECT e.dst AS v, min(p2.d + e.w) AS nd
+                 FROM e JOIN {prev} p2 ON p2.v = e.src AND p2.d IS NOT NULL
+                 GROUP BY e.dst) m ON m.v = n1.v
+    )"""
+        prev = f"d{i}"
+    sql += f"""
+    SELECT CAST(v AS INTEGER) AS nationkey, CAST(d AS BIGINT) AS dist
+    FROM {prev}
+    """
+    return sql
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=_sssp_oracle(),
+    doc=f"Single-source shortest WEIGHTED paths ({_SSSP_ROUNDS} unrolled "
+        "Bellman-Ford rounds from nation 0) over the trade graph with "
+        "integer routing costs greatest(1, 1000000 div lane_count) — "
+        "heavy trade lanes cheap, rare lanes expensive, so the optimum "
+        "routinely takes MORE hops than BFS would (the property that "
+        "distinguishes weighted relaxation from hop counting; the "
+        "operators/graph.sssp_weighted docstring records the derived "
+        "infinity sentinel rule).  Each round is one edge equi-join + "
+        "dst min-aggregate over dist+w + keyed merge; the distance "
+        "vector joins by key, never broadcast-bound.  All-integer "
+        "min-plus algebra: the oracle unrolls the identical relaxation "
+        "as chained CTEs and the hash comparison is exact.",
+)
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import sssp_weighted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("a"),
+                 F.col("s_nationkey").alias("b"))
+        .agg(F.greatest(F.lit(1), F.expr("1000000 div count(1)")).alias("w"))
+    )
+    both = raw.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w") \
+              .unionByName(raw.select(F.col("b").alias("src"),
+                                      F.col("a").alias("dst"), "w"))
+    edges = both.groupBy("src", "dst").agg(F.min("w").cast("long").alias("w"))
+    nodes = n.select(F.col("n_nationkey").alias("v"))
+    d = sssp_weighted(edges, nodes, source=0, rounds=_SSSP_ROUNDS,
+                      max_edge_w=_SSSP_MAX_W)
+    return d.select(F.col("v").cast("int").alias("nationkey"),
+                    F.col("dist").cast("long").alias("dist"))

@@ -429,3 +429,88 @@ def q_multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("mean_luma", 6).alias("mean_luma"),
         "n_frames", "fps",
     )
+
+
+@register(
+    "sessions_interval_overlap",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             min(ts) AS s, max(ts) AS e
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT a.user_id, a.session_id,
+           CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+    FROM sess a LEFT JOIN sess b
+      ON a.s <= b.e AND b.s <= a.e
+     AND NOT (a.user_id = b.user_id AND a.session_id = b.session_id)
+    GROUP BY a.user_id, a.session_id
+    """,
+    doc="Session concurrency via the bucketized INTERVAL-OVERLAP self-"
+        "join (operators/joins.interval_overlap_join): for every "
+        "gap-based session, how many other sessions were live at any "
+        "overlapping moment — the load-profile / abuse-correlation "
+        "query.  A naive inequality self-join is a "
+        "BroadcastNestedLoopJoin (|S|^2 at scale); here each session "
+        "explodes into its covered 1-hour buckets (fixture sessions "
+        "span <= 2), pairs equi-join on the bucket, the residual "
+        "overlap predicate filters, and the greatest-start-bucket rule "
+        "keeps each pair exactly once.  The oracle runs the plain "
+        "theta self-join — same pairs, different plan class.  The "
+        "session frame is persisted (three consumers: both join sides "
+        "and the zero-preserving rejoin).",
+)
+def q_sessions_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.caching import tracked_persist
+    from ..operators.joins import interval_overlap_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull() |
+        ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    sess = tracked_persist(
+        e.withColumn("_ns", new_s)
+        .withColumn("session_id", F.sum("_ns").over(wc).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    a = sess.select(F.col("user_id").alias("user_a"),
+                    F.col("session_id").alias("sid_a"),
+                    F.col("s").alias("s_a"), F.col("e").alias("e_a"))
+    b = sess.select(F.col("user_id").alias("user_b"),
+                    F.col("session_id").alias("sid_b"),
+                    F.col("s").alias("s_b"), F.col("e").alias("e_b"))
+    pairs = (
+        interval_overlap_join(a, b, "s_a", "e_a", "s_b", "e_b",
+                              bucket_seconds=3600)
+        .where(~((F.col("user_a") == F.col("user_b"))
+                 & (F.col("sid_a") == F.col("sid_b"))))
+    )
+    cnt = pairs.groupBy("user_a", "sid_a").agg(
+        F.count(F.lit(1)).alias("_n"))
+    return (
+        sess.join(cnt, (sess.user_id == cnt.user_a)
+                  & (sess.session_id == cnt.sid_a), "left")
+        .select(sess.user_id, sess.session_id,
+                F.coalesce(F.col("_n"), F.lit(0)).alias("n_concurrent"))
+    )

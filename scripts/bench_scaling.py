@@ -61,6 +61,10 @@ PIPELINES = [
     # round-5 wave 4: grouped two-phase ntile, budget resample
     "corpus_quality_deciles_by_source",
     "pipeline_budget_resample",
+    # round-5 waves 5-6: weighted SSSP (graph-sized iteration), interval
+    # overlap (true pair count grows with session density — honest shape)
+    "graph_sssp_weighted",
+    "sessions_interval_overlap",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -262,3 +262,24 @@ def test_sequence_packing_invariants(spark):
         .alias("n")).agg(F.max("n")).head()[0])
     for r in rows.values():
         assert r["n_tokens"] <= 2048 + max_doc, r
+
+
+def test_sssp_weighted_prefers_cheap_multihop_path(spark):
+    """Weighted relaxation must take the cheap 2-hop route over the
+    expensive direct edge (the property separating Bellman-Ford from
+    BFS hop counting), and derive the unreachable NULL correctly."""
+    from mapreduce_implementation_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 1), (1, 3, 2)],
+        "src long, dst long, w long")
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (3,), (9,)], "v long")
+    d = {r["v"]: r["dist"]
+         for r in sssp_weighted(edges, nodes, source=0, rounds=4,
+                                max_edge_w=10).collect()}
+    assert d == {0: 0, 1: 2, 2: 1, 3: 4, 9: None}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sssp_weighted(edges, nodes, source=0, rounds=4, max_edge_w=0)

@@ -558,3 +558,21 @@ def test_budget_resample_broadcasts_rates_onto_scan(spark):
     finally:
         release_persisted()
 
+
+def test_interval_overlap_join_avoids_nested_loop(spark):
+    """The interval x interval self-join must be a bucketed equi-join —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan
+    (the |S|^2 plan class a naive theta join produces)."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    try:
+        df = SPECS["sessions_interval_overlap"].fn(spark, SF_DIR_01)
+        plan = plan_string(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan, plan
+    finally:
+        release_persisted()
