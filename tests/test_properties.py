@@ -276,3 +276,73 @@ def test_exact_quantiles_matches_percentile_builtin(spark, vals, p):
         assert got is not None and abs(got - want) < 1e-9, (got, want)
     finally:
         release_persisted()
+
+
+# --- interval-overlap join vs the brute-force model -------------------------
+
+_iv = st.tuples(st.integers(min_value=0, max_value=500),   # start offset (s)
+                st.integers(min_value=0, max_value=400))   # length (s)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_iv, min_size=1, max_size=14),
+       st.lists(_iv, min_size=1, max_size=14),
+       st.sampled_from([60, 128, 300]))
+def test_interval_overlap_join_matches_bruteforce(spark, lraw, rraw, bucket):
+    """interval_overlap_join == the naive all-pairs overlap check, for
+    arbitrary interval sets (touching endpoints, containment, duplicates,
+    zero-length) and bucket sizes smaller AND larger than the spans —
+    pinning the explode/residual/first-common-bucket dedup exactly."""
+    import datetime as dt
+
+    from mapreduce_implementation_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda off: base + dt.timedelta(seconds=off)  # noqa: E731
+    lrows = [(i, mk(s), mk(s + ln)) for i, (s, ln) in enumerate(lraw)]
+    rrows = [(j, mk(s), mk(s + ln)) for j, (s, ln) in enumerate(rraw)]
+    l = spark.createDataFrame(lrows, "lid long, ls timestamp, le timestamp")
+    r = spark.createDataFrame(rrows, "rid long, rs timestamp, re timestamp")
+    got = {(row["lid"], row["rid"])
+           for row in interval_overlap_join(l, r, "ls", "le", "rs", "re",
+                                            bucket_seconds=bucket)
+           .select("lid", "rid").collect()}
+    want = {(i, j)
+            for i, (s1, n1) in enumerate(lraw) for j, (s2, n2) in enumerate(rraw)
+            if s1 <= s2 + n2 and s2 <= s1 + n1}
+    assert got == want
+
+
+# --- weighted SSSP vs a pure-Python Bellman-Ford model ----------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=7),   # src
+                          st.integers(min_value=0, max_value=7),   # dst
+                          st.integers(min_value=1, max_value=9)),  # w
+                min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=5))
+def test_sssp_weighted_matches_python_bellman_ford(spark, eraw, rounds):
+    """sssp_weighted == a sequential Bellman-Ford run for the SAME round
+    count, on arbitrary small digraphs (self-loops, parallel edges,
+    unreachable nodes) — including the not-yet-converged intermediate
+    states, which is exactly what the unrolled oracle compares."""
+    from mapreduce_implementation_spark.operators.graph import sssp_weighted
+
+    nodes = list(range(8))
+    edges = spark.createDataFrame(eraw, "src long, dst long, w long")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "v long")
+    got = {r["v"]: r["dist"]
+           for r in sssp_weighted(edges, ndf, source=0, rounds=rounds,
+                                  max_edge_w=9).collect()}
+    dist = {v: (0 if v == 0 else None) for v in nodes}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in eraw:
+            if dist[s] is not None:
+                cand = dist[s] + w
+                if nxt[d] is None or cand < nxt[d]:
+                    nxt[d] = cand
+        dist = nxt
+    assert got == dist
