@@ -32,7 +32,7 @@ from .caching import tracked_persist
 
 __all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group",
            "global_ntile", "global_running_sum", "grouped_running_sum",
-           "grouped_ntile", "exact_quantiles"]
+           "grouped_ntile", "exact_quantiles", "grouped_exact_quantiles"]
 
 
 def _spec(partition_by: list[str], order_by: list[Column]) -> WindowSpec:
@@ -486,6 +486,79 @@ def exact_quantiles(df: DataFrame, value_col: str, probs: list[float],
     for i, (p, name) in enumerate(zip(probs, names)):
         pos = (F.col("_n") - 1) * F.lit(float(p))
         frac = pos - F.floor(pos)
+        outs.append((F.col(f"_lo{i}")
+                     + (F.col(f"_hi{i}") - F.col(f"_lo{i}")) * frac)
+                    .alias(name))
+    return one.select(*outs)
+
+
+def grouped_exact_quantiles(df: DataFrame, value_col: str,
+                            group_cols: list[str], probs: list[float],
+                            out_names: list[str] | None = None,
+                            partitions: int | None = None) -> DataFrame:
+    """EXACT per-group interpolated quantiles (``percentile_cont(p)
+    WITHIN GROUP`` / ``... OVER (PARTITION BY g)`` semantics, one row
+    per group) WITHOUT the builtin ``percentile()`` aggregate — the
+    grouped sibling of :func:`exact_quantiles`.
+
+    The builtin's buffer holds every distinct value OF THE GROUP in one
+    task: fine for many small groups, a silent OOM when one group is
+    terabytes (per-source percentiles where a source is half the
+    corpus).  Here the group never lands in one task: bucket on
+    (group..., value) via broadcast value boundaries (groups occupy
+    contiguous bucket runs, a huge group spans MANY buckets), rank
+    per-(bucket, group) in parallel, recover each row's in-group rank
+    by adding the group's exclusive bucket-count prefix, then each
+    requested quantile picks its two neighboring order statistics with
+    conditional sums aggregated BY GROUP (partial-aggregable — the
+    reduce sees #groups * #probs doubles).  Interpolation is
+    ``v_lo + (v_hi - v_lo) * frac``, the same float-op order as DuckDB
+    ``quantile_cont`` and Spark ``percentile()``, so all three agree to
+    the ulp on equal inputs.  NULL values are excluded per
+    percentile_cont; groups whose values are all NULL vanish (matching
+    SQL GROUP BY over the null-filtered input).  Offsets return via a
+    keyed join, not broadcast — group cardinality may itself be huge.
+    """
+    spark = df.sparkSession
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    names = out_names or [f"q{str(p).replace('.', '_')}" for p in probs]
+    keys = _norm_keys([*group_cols, value_col])
+    okeys = _norm_keys([value_col])
+    base = tracked_persist(
+        df.select(*group_cols, value_col)
+        .filter(F.col(value_col).isNotNull()))
+    bounds = _boundaries(base, keys, parts)
+    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
+    local = ranked(bucketed, ["_bkt", *group_cols], _sort_cols(okeys),
+                   kind="row_number", out="_rn")
+    counts = bucketed.groupBy("_bkt", *group_cols).agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    w_off = (Window.partitionBy(*group_cols).orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.partitionBy(*group_cols).orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    offsets = counts.select(
+        "_bkt", *group_cols,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    joined = local.join(offsets, ["_bkt", *group_cols])
+    r = F.col("_rn") + F.col("_offset")
+    v = F.col(value_col).cast("double")
+    aggs = [F.max("_n").alias("_n")]
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1) * F.lit(float(p))  # per-row: _n is the group's n
+        lo = F.floor(pos) + 1
+        aggs.append(F.sum(F.when(r == lo, v).otherwise(0.0)).alias(f"_lo{i}"))
+        aggs.append(F.sum(F.when(r == lo + 1, v).otherwise(0.0)).alias(f"_hi{i}"))
+    one = joined.groupBy(*group_cols).agg(*aggs)
+    outs = [F.col(c) for c in group_cols]
+    for i, (p, name) in enumerate(zip(probs, names)):
+        pos = (F.col("_n") - 1) * F.lit(float(p))
+        frac = pos - F.floor(pos)
+        # the last row of the group has no hi neighbor (frac == 0 there,
+        # so the hi term contributes nothing; _hi holds 0.0 from the sum)
         outs.append((F.col(f"_lo{i}")
                      + (F.col(f"_hi{i}") - F.col(f"_lo{i}")) * frac)
                     .alias(name))

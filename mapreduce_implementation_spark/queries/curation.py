@@ -371,3 +371,51 @@ def q_pipeline_budget_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"),
              F.sum("ntok").alias("tokens_kept"))
     )
+
+
+@register(
+    "corpus_length_quantiles_by_source",
+    oracle="""
+    SELECT source,
+           round(quantile_cont(n_chars, 0.25), 2) AS p25,
+           round(quantile_cont(n_chars, 0.50), 2) AS p50,
+           round(quantile_cont(n_chars, 0.75), 2) AS p75,
+           round(quantile_cont(n_chars, 0.95), 2) AS p95,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source document-length quantiles through "
+        "operators/windows.grouped_exact_quantiles — the DISTRIBUTED "
+        "per-group percentile_cont.  agg_percentiles_exact keeps the "
+        "builtin percentile() as a surface-parity check, but that "
+        "aggregate buffers every distinct value of a group in one task "
+        "— a silent OOM when one source is half the corpus.  Here a "
+        "group NEVER lands in one task: rows bucket on (source, "
+        "n_chars) via broadcast value boundaries, rank per-(bucket, "
+        "group) in parallel, add the group's exclusive bucket-count "
+        "prefix, and each quantile picks its two order statistics with "
+        "by-group conditional sums (partial-aggregable; the reduce "
+        "sees #groups * #probs doubles).  Interpolation float-op order "
+        "matches DuckDB quantile_cont exactly.  The companion n_docs "
+        "count joins from a plain aggregate over the same persisted "
+        "scan.",
+)
+def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_exact_quantiles
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    q = grouped_exact_quantiles(docs, "n_chars", ["source"],
+                                [0.25, 0.50, 0.75, 0.95],
+                                out_names=["_p25", "_p50", "_p75", "_p95"])
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        q.join(n, "source")
+        .select(
+            "source",
+            F.round("_p25", 2).alias("p25"),
+            F.round("_p50", 2).alias("p50"),
+            F.round("_p75", 2).alias("p75"),
+            F.round("_p95", 2).alias("p95"),
+            "n_docs",
+        )
+    )

@@ -80,6 +80,7 @@ _SAMPLE_FIRST = (
     "text_keyphrase_rake", "multimodal_video_framesample",
     "corpus_quality_deciles_by_source", "pipeline_budget_resample",
     "graph_sssp_weighted", "sessions_interval_overlap",
+    "corpus_length_quantiles_by_source",
     # --- implementation changed this round: re-verify ---
     "window_global_ntile", "rfm_segments", "text_perplexity_buckets",
     "text_zipf_alpha", "agg_weighted_median", "agg_weighted_median_by_flag",

@@ -278,6 +278,37 @@ def test_exact_quantiles_matches_percentile_builtin(spark, vals, p):
         release_persisted()
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                          st.floats(min_value=-1000, max_value=1000,
+                                    allow_nan=False, width=32)),
+                min_size=1, max_size=60),
+       st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]))
+def test_grouped_exact_quantiles_matches_builtin(spark, rows, p):
+    """grouped_exact_quantiles == percentile(v, p) GROUP BY g (both
+    percentile_cont interpolation) on arbitrary grouped float data —
+    including single-row groups and the p=0/p=1 edges."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(f"g{g}", float(v)) for g, v in rows],
+                               "g string, v double")
+    try:
+        got = {r["g"]: r["q"] for r in grouped_exact_quantiles(
+            df, "v", ["g"], [p], out_names=["q"], partitions=5).collect()}
+        want = {r["g"]: r["q"] for r in df.groupBy("g").agg(
+            F.expr(f"percentile(v, {p})").alias("q")).collect()}
+        assert set(got) == set(want)
+        for g in want:
+            assert abs(got[g] - want[g]) < 1e-9, (g, got[g], want[g])
+    finally:
+        release_persisted()
+
+
 # --- interval-overlap join vs the brute-force model -------------------------
 
 _iv = st.tuples(st.integers(min_value=0, max_value=500),   # start offset (s)

@@ -79,6 +79,7 @@ _REPRESENTATIVES = [
     "corpus_source_topp",        # grouped prefix-sum cut over zero sources
     "agg_skew_kurtosis",         # moment arithmetic over zero groups
     "text_dedup_exact_normalized",  # normalized-hash groups of nothing
+    "corpus_length_quantiles_by_source",  # grouped order stats of nothing
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
