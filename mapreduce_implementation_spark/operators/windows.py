@@ -32,7 +32,8 @@ from .caching import tracked_persist
 
 __all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group",
            "global_ntile", "global_running_sum", "grouped_running_sum",
-           "grouped_ntile", "exact_quantiles", "grouped_exact_quantiles"]
+           "grouped_ntile", "exact_quantiles", "grouped_exact_quantiles",
+           "global_order_stats"]
 
 
 def _spec(partition_by: list[str], order_by: list[Column]) -> WindowSpec:
@@ -563,3 +564,77 @@ def grouped_exact_quantiles(df: DataFrame, value_col: str,
                      + (F.col(f"_hi{i}") - F.col(f"_lo{i}")) * frac)
                     .alias(name))
     return one.select(*outs)
+
+
+def global_order_stats(df: DataFrame, order_by,
+                       partitions: int | None = None,
+                       rank_col: str = "rnk", dense_col: str = "drnk",
+                       pct_col: str = "pct_rank",
+                       cume_col: str = "cume_dist") -> DataFrame:
+    """Exact ``rank() / dense_rank() / percent_rank() / cume_dist()
+    OVER (ORDER BY keys)`` for EVERY row — tie-correct — without a
+    single-partition global window, completing the two-phase family.
+
+    The tie insight makes this cheap: all four statistics are pure
+    functions of (key's cumulative row count, key's row count, key's
+    ordinal, total rows), so phase 0 collapses the input to DISTINCT
+    keys + counts (one partial-aggregating shuffle, tiny under ties),
+    the value-bucketed two-phase pass runs over the keyed frame
+    computing BOTH cumulative row count and key ordinal in one local
+    window, and per-key stats join back to the rows by key (null-safe:
+    SQL window functions rank NULL keys too).  rank = cum - cnt + 1;
+    dense_rank = key ordinal; percent_rank = (rank-1)/(n-1) (0.0 when
+    n == 1 per SQL); cume_dist = cum / n.  The join back is the only
+    full-width shuffle, an equi-join on the order keys.
+
+    ``order_by``: sort-key list (module docstring).  Unlike the other
+    two-phase operators no tiebreaker is needed — ties are the point.
+    """
+    spark = df.sparkSession
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = _norm_keys(order_by)
+    names = [k[0] for k in keys]
+    keyed = tracked_persist(
+        df.groupBy(*names).agg(F.count(F.lit(1)).alias("_cnt")))
+    bounds = _boundaries(keyed, keys, parts)
+    bucketed = keyed.withColumn("_bkt", _bucket_expr(keyed, keys, bounds))
+    w_loc = (Window.partitionBy("_bkt").orderBy(*_sort_cols(keys))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = (bucketed
+             .withColumn("_lc", F.sum("_cnt").over(w_loc))
+             .withColumn("_lk", F.row_number().over(
+                 Window.partitionBy("_bkt").orderBy(*_sort_cols(keys)))))
+    totals = bucketed.groupBy("_bkt").agg(
+        F.sum("_cnt").alias("_tc"), F.count(F.lit(1)).alias("_tk"))
+    w_off = (Window.orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_tc").over(w_off), F.lit(0)).alias("_oc"),
+        F.coalesce(F.sum("_tk").over(w_off), F.lit(0)).alias("_ok"),
+        F.sum("_tc").over(w_all).alias("_n"))
+    cum = F.col("_lc") + F.col("_oc")
+    # stats keys renamed _k0.., so the join back to df (whose lineage
+    # stats shares) is never an ambiguous self-join reference
+    stats = (
+        local.join(F.broadcast(offsets), "_bkt")
+        .select(
+            *[F.col(n).alias(f"_k{i}") for i, n in enumerate(names)],
+            (cum - F.col("_cnt") + 1).alias(rank_col),
+            (F.col("_lk") + F.col("_ok")).alias(dense_col),
+            F.when(F.col("_n") > 1,
+                   (cum - F.col("_cnt")).cast("double")
+                   / (F.col("_n") - 1).cast("double"))
+            .otherwise(F.lit(0.0)).alias(pct_col),
+            (cum.cast("double") / F.col("_n").cast("double"))
+            .alias(cume_col))
+    )
+    cond = None
+    for i, n in enumerate(names):
+        c = F.col(n).eqNullSafe(F.col(f"_k{i}"))
+        cond = c if cond is None else (cond & c)
+    return (df.join(stats, cond)
+            .drop(*[f"_k{i}" for i in range(len(names))]))

@@ -419,3 +419,47 @@ def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle="""
+    WITH cum AS (
+      SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS w_cum
+      FROM documents),
+    tot AS (SELECT CAST(sum(n_chars) AS BIGINT) // 50 AS step FROM documents)
+    SELECT doc_id, source, n_chars,
+           CAST(w_cum // step AS BIGINT) AS sel_idx
+    FROM cum, tot
+    WHERE w_cum // step > (w_cum - n_chars) // step
+    """,
+    doc="Systematic probability-proportional-to-size sampling: order "
+        "docs by doc_id, running-sum their token weights (n_chars), and "
+        "select every doc whose cumulative weight crosses a multiple of "
+        "step = total_weight div k — each doc's selection probability "
+        "is proportional to its weight, with k=50 picks, ZERO floats "
+        "(integer div on both engines; no float-ranked knife edge) and "
+        "full determinism.  This is the weighted corpus-sampling "
+        "primitive (sample big-docs-proportionally for a token budget). "
+        " The running sum is operators/windows.global_running_sum — the "
+        "two-phase value-bucketed prefix sum — so no single-partition "
+        "global window exists anywhere in the plan; the oracle uses the "
+        "plain SQL window.  The step scalar joins as a broadcast 1-row "
+        "frame.",
+)
+def q_sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    cum = global_running_sum(docs, "n_chars", ["doc_id"], out="w_cum")
+    step = docs.agg(
+        F.expr("CAST(sum(n_chars) AS BIGINT) DIV 50").alias("_step"))
+    return (
+        cum.crossJoin(F.broadcast(step))
+        .where(F.expr("w_cum DIV _step > (w_cum - n_chars) DIV _step"))
+        .select("doc_id", "source", "n_chars",
+                F.expr("CAST(w_cum DIV _step AS BIGINT)").alias("sel_idx"))
+    )

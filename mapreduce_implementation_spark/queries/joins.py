@@ -679,3 +679,45 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
             / F.sum(vol), 4).alias("promo_revenue"))
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                          AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY p_brand
+    """,
+    doc="Bloom-filter semi-join reduction (operators/joins."
+        "bloom_prefilter): the filtered part subset ('widget' parts) is "
+        "compressed to a 64-Kbit bitmap built by a tiny aggregate and "
+        "broadcast as ONE map row; lineitem rows probe it map-side "
+        "(xxhash64 + shift/mask, whole-stage codegen) BEFORE the join's "
+        "exchange, so at 100 TB the fact shuffle carries matching rows "
+        "plus a ~1% false-positive trickle instead of the full table — "
+        "the classic semi-join reduction for dim subsets too large to "
+        "broadcast-join but whose bitmap is still kilobytes.  Bloom "
+        "filters have no false negatives and the real join removes "
+        "false positives, so the result is EXACTLY the plain join "
+        "(which is the oracle).",
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    p = (load_table(spark, sf_dir, "part")
+         .where(F.col("p_name").like("%widget%"))
+         .select("p_partkey", "p_brand"))
+    pre = bloom_prefilter(li, p, "l_partkey", "p_partkey")
+    return (
+        pre.join(p, pre.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1) - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )

@@ -192,3 +192,47 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_global_rank_stats",
+    oracle="""
+    WITH r AS (
+      SELECT l_quantity,
+             rank()         OVER (ORDER BY l_quantity) AS rnk,
+             dense_rank()   OVER (ORDER BY l_quantity) AS drnk,
+             percent_rank() OVER (ORDER BY l_quantity) AS pct,
+             cume_dist()    OVER (ORDER BY l_quantity) AS cd
+      FROM lineitem)
+    SELECT l_quantity,
+           CAST(rnk AS BIGINT)      AS rnk,
+           CAST(drnk AS BIGINT)     AS drnk,
+           round(pct, 6)            AS pct_rank,
+           round(cd, 6)             AS cume_dist,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc="Global tie-correct rank family — rank, dense_rank, "
+        "percent_rank, cume_dist OVER (ORDER BY l_quantity) — via "
+        "operators/windows.global_order_stats, the two-phase operator "
+        "that collapses the input to DISTINCT keys + counts before the "
+        "prefix pass (50 quantity values regardless of fact size), so "
+        "no single-partition window and no full-width sort exist in "
+        "the plan; the only full shuffle is the equi-join of per-key "
+        "stats back to rows.  The oracle runs DuckDB's OWN window "
+        "functions over all rows — ground truth, not a formula twin.  "
+        "The group-by on the joined per-row frame verifies join-back "
+        "multiplicity (n_rows per key must match the fact table).",
+)
+def q_window_global_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_order_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    s = global_order_stats(li, ["l_quantity"])
+    return (
+        s.select("l_quantity", "rnk", "drnk",
+                 F.round("pct_rank", 6).alias("pct_rank"),
+                 F.round("cume_dist", 6).alias("cume_dist"))
+        .groupBy("l_quantity", "rnk", "drnk", "pct_rank", "cume_dist")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

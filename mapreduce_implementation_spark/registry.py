@@ -81,6 +81,7 @@ _SAMPLE_FIRST = (
     "corpus_quality_deciles_by_source", "pipeline_budget_resample",
     "graph_sssp_weighted", "sessions_interval_overlap",
     "corpus_length_quantiles_by_source",
+    "join_bloom_prefilter", "sample_weighted_systematic",
     # --- implementation changed this round: re-verify ---
     "window_global_ntile", "rfm_segments", "text_perplexity_buckets",
     "text_zipf_alpha", "agg_weighted_median", "agg_weighted_median_by_flag",

@@ -65,6 +65,11 @@ PIPELINES = [
     # overlap (true pair count grows with session density — honest shape)
     "graph_sssp_weighted",
     "sessions_interval_overlap",
+    # round-5 waves 7-8: distributed per-group order statistics, bloom
+    # semi-join reduction over the fact table, integer systematic PPS
+    "corpus_length_quantiles_by_source",
+    "join_bloom_prefilter",
+    "sample_weighted_systematic",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]
@@ -162,6 +167,11 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--runs"):
             runs = int(a.split("=", 1)[1])
+        if a.startswith("--only="):
+            sel = a.split("=", 1)[1].split(",")
+            unknown = [n for n in sel if n not in PIPELINES]
+            assert not unknown, f"not in PIPELINES: {unknown}"
+            PIPELINES[:] = sel
 
     from mapreduce_implementation_spark.registry import all_specs
     from mapreduce_implementation_spark.session import get_spark

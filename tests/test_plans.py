@@ -576,3 +576,24 @@ def test_interval_overlap_join_avoids_nested_loop(spark):
             or "BroadcastHashJoin" in plan, plan
     finally:
         release_persisted()
+
+
+def test_bloom_prefilter_probe_is_mapside_jvm(spark):
+    """The bloom probe must be a pure JVM expression filter applied to
+    the fact scan BEFORE any exchange of the fact table: no Python
+    evaluation anywhere, and the only exchanges in the prefilter plan
+    are the tiny bloom-build aggregates (whose output collapses to one
+    broadcast row) — the fact side reaches the filter exchange-free."""
+    from mapreduce_implementation_spark.operators.joins import bloom_prefilter
+
+    li = load_table(spark, SF_DIR_01, "lineitem").select("l_partkey")
+    p = (load_table(spark, SF_DIR_01, "part")
+         .where(F.col("p_name").like("%widget%")).select("p_partkey"))
+    plan = plan_string(bloom_prefilter(li, p, "l_partkey", "p_partkey"))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "xxhash64" in plan, plan
+    # fact side: scan -> project/filter -> broadcast join, no exchange.
+    # The bloom-build side owns every Exchange; it ends in a single-row
+    # aggregate, so each exchange moves <= num_bits/64 tiny rows.
+    assert "BroadcastExchange" in plan, plan

@@ -377,3 +377,100 @@ def test_sssp_weighted_matches_python_bellman_ford(spark, eraw, rounds):
                     nxt[d] = cand
         dist = nxt
     assert got == dist
+
+
+# --- bloom prefilter: transparency (never drops a true match) ---------------
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=-10_000, max_value=10_000),
+                min_size=1, max_size=80),
+       st.lists(st.integers(min_value=-10_000, max_value=10_000),
+                min_size=0, max_size=40))
+def test_bloom_prefilter_never_drops_true_matches(spark, fact_keys, dim_keys):
+    """prefiltered set is sandwiched: (fact semi-join dim) <= prefiltered
+    <= fact.  No false negatives ever (the transparency guarantee the
+    oracle relies on); false positives allowed but the kept set can
+    never exceed the input."""
+    from mapreduce_implementation_spark.operators.joins import bloom_prefilter
+
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "k bigint")
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "d bigint")
+    kept = {r["k"] for r in bloom_prefilter(fact, dim, "k", "d",
+                                            num_bits=1 << 10).collect()}
+    true = {k for k in fact_keys if k in set(dim_keys)}
+    assert true <= kept <= set(fact_keys)
+
+
+# --- systematic PPS sampling vs a pure-Python model --------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=500),
+                min_size=5, max_size=60),
+       st.integers(min_value=1, max_value=10))
+def test_systematic_pps_matches_python_model(spark, weights, k):
+    """The integer systematic-PPS selection rule (w_cum DIV step crosses)
+    computed distributed (global_running_sum two-phase) equals the
+    sequential Python model; zero-weight rows are never selected and
+    every selected index is distinct."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    total = sum(weights)
+    if total < k:   # step would be 0 -> division by zero; not a valid config
+        return
+    step = total // k
+    cum, want = 0, set()
+    for i, w in enumerate(weights):
+        prev = cum
+        cum += w
+        if cum // step > prev // step:
+            want.add(i)
+    df = spark.createDataFrame(list(enumerate(weights)), "i bigint, w bigint")
+    try:
+        c = global_running_sum(df, "w", ["i"], out="wc", partitions=4)
+        got = {r["i"] for r in c.where(
+            F.expr(f"wc DIV {step} > (wc - w) DIV {step}")).collect()}
+        assert got == want
+        assert all(weights[i] > 0 for i in got)
+    finally:
+        release_persisted()
+
+
+# --- global order stats vs the builtin window functions ----------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(min_value=0, max_value=6)),
+                min_size=1, max_size=50))
+def test_global_order_stats_matches_builtin_windows(spark, ks):
+    """global_order_stats == rank/dense_rank/percent_rank/cume_dist
+    OVER (ORDER BY k) computed by Spark's own (single-partition) window,
+    on tie-heavy data including NULL keys and the n==1 edge."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import (
+        global_order_stats,
+    )
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(ks)],
+                               "i bigint, k bigint")
+    w = Window.orderBy(F.col("k").asc_nulls_first())
+    want = {r["i"]: (r["r"], r["d"], round(r["p"], 9), round(r["c"], 9))
+            for r in df.select(
+                "i", F.rank().over(w).alias("r"),
+                F.dense_rank().over(w).alias("d"),
+                F.percent_rank().over(w).alias("p"),
+                F.cume_dist().over(w).alias("c")).collect()}
+    try:
+        got = {r["i"]: (r["rnk"], r["drnk"], round(r["pct_rank"], 9),
+                        round(r["cume_dist"], 9))
+               for r in global_order_stats(df, ["k"], partitions=4).collect()}
+        assert got == want
+    finally:
+        release_persisted()

@@ -80,6 +80,8 @@ _REPRESENTATIVES = [
     "agg_skew_kurtosis",         # moment arithmetic over zero groups
     "text_dedup_exact_normalized",  # normalized-hash groups of nothing
     "corpus_length_quantiles_by_source",  # grouped order stats of nothing
+    "join_bloom_prefilter",        # bloom built from zero keys
+    "sample_weighted_systematic",  # step scalar of an empty corpus
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
