@@ -190,9 +190,29 @@ def bloom_prefilter(fact: DataFrame, keys: DataFrame, fact_key: str,
     Size ``num_bits ~ -n * ln(p) / ln(2)^2`` for n keys at target FPR p
     (default 64 Kbit ~ 6k keys at 1%); the map never exceeds
     ``num_bits / 64`` entries regardless of key count.
+
+    Key typing: xxhash64 is type-sensitive, so mixed-width key columns
+    (int fact key vs bigint dim key) would hash differently on the two
+    sides and silently DROP true matches that a plain equi-join's
+    implicit coercion would keep.  Integral pairs are therefore both
+    canonicalized to BIGINT before hashing (coercion-equivalent, no
+    false negatives); any other type combination must match exactly.
     """
     m, k = int(num_bits), int(num_hashes)
-    pos = [F.pmod(F.xxhash64(F.col(dim_key), F.lit(j)), F.lit(m))
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    ftype = dict(fact.dtypes)[fact_key]
+    dtype = dict(keys.dtypes)[dim_key]
+    if ftype in integral and dtype in integral:
+        fact_col = F.col(fact_key).cast("bigint")
+        dim_col = F.col(dim_key).cast("bigint")
+    elif ftype == dtype:
+        fact_col, dim_col = F.col(fact_key), F.col(dim_key)
+    else:
+        raise TypeError(
+            f"bloom_prefilter key types must match (or both be integral): "
+            f"fact.{fact_key} is {ftype}, keys.{dim_key} is {dtype} — "
+            "xxhash64 over mismatched types silently loses matches")
+    pos = [F.pmod(F.xxhash64(dim_col, F.lit(j)), F.lit(m))
            for j in range(k)]
     bloom = (
         keys.select(F.explode(F.array(*pos)).alias("_pos"))
@@ -211,6 +231,6 @@ def bloom_prefilter(fact: DataFrame, keys: DataFrame, fact_key: str,
     out = fact.crossJoin(F.broadcast(bloom))
     for j in range(k):
         out = out.withColumn(
-            f"_p{j}", F.pmod(F.xxhash64(F.col(fact_key), F.lit(j)), F.lit(m)))
+            f"_p{j}", F.pmod(F.xxhash64(fact_col, F.lit(j)), F.lit(m)))
     return (out.where(F.expr(probes))
             .drop("_bloom", *[f"_p{j}" for j in range(k)]))

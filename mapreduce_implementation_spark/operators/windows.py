@@ -214,13 +214,20 @@ def _bucket_expr(df: DataFrame, keys: list[tuple[str, bool, bool]],
                 # nulls sort first; nothing when nulls sort last
                 after = f"({c} IS NOT NULL)" if nf else "FALSE"
             else:
-                lit = _sql_lit(bv)
+                # dtype gate BEFORE literal rendering so an unsupported
+                # key type reports itself, not _sql_lit's TypeError
                 if not dtypes[name].startswith(("bigint", "int", "smallint",
                                                 "tinyint", "double", "float",
                                                 "string", "date", "timestamp",
                                                 "boolean", "decimal")):
                     raise TypeError(
                         f"unsupported sort-key type {dtypes[name]} for {name}")
+                if dtypes[name].startswith("decimal"):
+                    # decimal.Decimal boundary: exact digits via str(),
+                    # cast to the column's own DECIMAL(p,s)
+                    lit = f"CAST('{bv}' AS {dtypes[name].upper()})"
+                else:
+                    lit = _sql_lit(bv)
                 eq = f"({c} <=> {lit})"
                 op = ">" if asc else "<"
                 after = (f"(({c} IS NULL AND {'FALSE' if nf else 'TRUE'}) OR "

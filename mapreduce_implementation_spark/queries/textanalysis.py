@@ -890,7 +890,12 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok
     ),
     binned AS (
-      SELECT doc_id, n_tok, (cum - n_tok) // 2048 AS seq_id FROM cum
+      -- CAST kills the registry's one HUGEINT output column: DuckDB widens
+      -- the windowed sum(BIGINT) to HUGEINT, `//` keeps it wide, and the
+      -- driver's pandas fetch renders HUGEINT as float64 ("0.0" vs Spark's
+      -- "0") — rows/schema match, value-hash doesn't (red r03-r05).
+      SELECT doc_id, n_tok,
+             CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id FROM cum
     )
     SELECT seq_id,
            count(*) AS n_docs,

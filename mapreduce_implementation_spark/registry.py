@@ -64,58 +64,39 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Driver-sample rotation: the driver records ~50 queries per round in
-# registry iteration order.  Round-5 policy (VERDICT r04 items 1, 2, 4):
-# `pipeline_sequence_packing` stays FIRST (red r03+r04 rows — the
-# value-derived-bucket rewrite needs its green driver row), then the
-# round-5 additions (first-ever driver rows), then every query whose
-# IMPLEMENTATION changed this round (the two-phase window rewrite and
-# the ANN oracle graduations — driver re-confirmation of changed code),
-# then the queries whose latest driver row dates from r01/r02 (stalest
-# first); the r03/r04-green remainder keeps import order at the back.
+# registry iteration order.  Round-6 policy (VERDICT r05 items 1, 4, 5):
+# `pipeline_sequence_packing` stays FIRST (its 3-round red row was the
+# oracle's uncast HUGEINT seq_id, fixed this round — needs the green
+# driver row), then `window_global_rank_stats` (registered after the r5
+# driver run; the only never-sampled query), then the round-6 additions
+# (first-ever driver rows), then the 53 queries whose latest driver row
+# dates from r01/r02 — r01 block first (oldest), then r02.  Whatever
+# overflows the ~50-slot window rolls to the r7 head.
 _SAMPLE_FIRST = (
     "pipeline_sequence_packing",
-    # --- round-5 additions (no driver row yet) ---
-    "agg_trimmed_mean", "corpus_source_topp", "agg_skew_kurtosis",
-    "text_dedup_exact_normalized",
-    "text_keyphrase_rake", "multimodal_video_framesample",
-    "corpus_quality_deciles_by_source", "pipeline_budget_resample",
-    "graph_sssp_weighted", "sessions_interval_overlap",
-    "corpus_length_quantiles_by_source",
-    "join_bloom_prefilter", "sample_weighted_systematic",
-    # --- implementation changed this round: re-verify ---
-    "window_global_ntile", "rfm_segments", "text_perplexity_buckets",
-    "text_zipf_alpha", "agg_weighted_median", "agg_weighted_median_by_flag",
-    "sort_nulls_ordering",
-    "similarity_ann_lsh", "similarity_ann_ivf", "dedup_embedding_lsh",
-    # --- stale: latest driver row is r01/r02, stalest first ---
-    "pipeline_fingerprint_dedup", "text_bm25_top10",
-    "text_pmi_pairs", "text_bigram_logprob", "text_contamination_4gram",
-    "text_repetition_gopher", "window_rank", "window_row_number_topk",
-    "window_lag_lead", "window_running_sum", "window_moving_avg",
-    "window_range_frame", "window_percent_rank_cume",
-    "udtf_order_years", "pandas_udf_charge", "pandas_udaf_rms_spend",
-    "subq_exists_late_ship", "subq_custdist", "subq_in_large_orders",
-    "subq_scalar_anti_q22", "graph_pagerank_trade", "funnel_conversion",
-    "cohort_retention", "timeseries_gap_fill", "scd2_intervals",
-    "agg_regression_price_qty", "stats_chi2_event_dow",
-    "anomaly_daily_zscore", "tokenize", "word_count", "distributed_sort",
-    "distributed_sort_desc", "partitioned_scan_events_week", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_clusters",
-    "dedup_ngram_jaccard_prefix", "dedup_tfidf_cosine",
-    "dedup_cluster_representatives", "agg_percentiles",
-    "agg_conditional_filter", "null_handling", "date_arithmetic",
-    "array_functions", "grouping_sets_sql", "join_full_outer",
-    "sql_correlated_subquery", "union_all_counts", "window_first_last",
-    "join_broadcast_dims", "join_shuffle_facts", "join_semi", "join_anti",
-    "join_left_outer", "join_tpch_q5_shape", "asof_join_latest_order",
-    "range_join_sessions", "agg_tpch_q1", "agg_minmax_multi_key",
-    "scalar_string_math", "scalar_date_functions", "top_k",
-    "set_union_distinct", "set_intersect", "set_except", "distinct_rows",
-    "rollup_agg", "cube_agg", "pivot_linestatus", "similarity_cosine_topk",
-    "window_tumbling_events",
-    "window_sliding_events", "sessionize_events", "stream_join_attribution",
-    "multimodal_binary_meta", "multimodal_decode_stub",
+    "window_global_rank_stats",
+    # --- round-6 additions (no driver row yet) ---
+    # (appended as they are registered this round)
+    # --- stale, latest driver row r01 ---
+    "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
+    "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",
+    "date_arithmetic", "distinct_rows", "grouping_sets_sql", "join_anti",
+    "join_broadcast_dims", "join_full_outer", "join_left_outer",
+    "join_semi", "join_shuffle_facts", "join_tpch_q5_shape",
+    "multimodal_binary_meta", "multimodal_decode_stub", "null_handling",
+    "pivot_linestatus", "range_join_sessions", "rollup_agg",
+    "scalar_date_functions", "scalar_string_math", "sessionize_events",
+    "set_except", "set_intersect", "set_union_distinct",
+    "similarity_cosine_topk", "sql_correlated_subquery",
+    "stream_join_attribution", "top_k", "union_all_counts",
+    "window_first_last", "window_sliding_events", "window_tumbling_events",
+    # --- stale, latest driver row r02 ---
+    "anomaly_daily_zscore", "dedup_cluster_representatives",
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",
+    "dedup_simhash", "dedup_tfidf_cosine", "distributed_sort",
+    "distributed_sort_desc", "partitioned_scan_events_week",
+    "stats_chi2_event_dow", "tokenize", "word_count",
 )
 
 

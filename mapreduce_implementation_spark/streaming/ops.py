@@ -292,6 +292,13 @@ def cdc_upsert_sink(changes: DataFrame, snapshot_dir: str, keys: list[str],
             "cdc_upsert_sink swaps snapshots with os.rename and supports "
             f"local paths only, got {snapshot_dir!r}; on object stores use "
             "a manifest pointer or a table format's MERGE INTO")
+    if snapshot_dir.startswith("file:"):
+        # os.rename/os.listdir need a plain path; normalize file:/p,
+        # file:///p -> /p (Spark reads the plain path fine either way)
+        rest = snapshot_dir[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        snapshot_dir = rest
 
     snap_path = snapshot_dir.rstrip("/")
 
@@ -312,12 +319,20 @@ def cdc_upsert_sink(changes: DataFrame, snapshot_dir: str, keys: list[str],
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         recover_if_crashed()
+        staging = snap_path + f".staging-{batch_id}"
+        retired = snap_path + f".retired-{batch_id}"
+        # a crash after promote but before the retired-dir cleanup leaves
+        # this batch's '.retired-{id}' behind; on checkpoint replay the
+        # os.rename below would then hit an existing non-empty target and
+        # raise ENOTEMPTY forever.  Clear this batch's stale dirs first
+        # (recover_if_crashed has already consumed any retired dir it
+        # needed, so whatever remains under these exact names is garbage).
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
         snap = spark.read.parquet(snapshot_dir)
         merged = merge_upsert(snap, batch_df, keys,
                               op_col=op_col, seq_col=seq_col)
-        staging = snap_path + f".staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        retired = snap_path + f".retired-{batch_id}"
         os.rename(snap_path, retired)
         os.rename(staging, snap_path)
         shutil.rmtree(retired, ignore_errors=True)

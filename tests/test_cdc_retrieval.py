@@ -82,6 +82,66 @@ def test_cdc_sink_recovers_missing_snapshot_from_retired(spark, tmp_path):
     assert got == {1: 10.0, 2: 25.0}
 
 
+def test_cdc_sink_replay_over_stale_retired_dir(spark, tmp_path):
+    """Crash window the r5 ADVICE found: promote succeeded but the
+    retired-dir cleanup didn't run.  On checkpoint replay of that batch,
+    os.rename(snap, '.retired-{id}') targets an existing non-empty dir
+    (ENOTEMPTY forever, stream dead).  apply_batch must clear the
+    batch's stale retired-/staging- dirs before the swap."""
+    import os
+
+    from mapreduce_implementation_spark.streaming.ops import cdc_upsert_sink
+
+    snap_dir = str(tmp_path / "snap")
+    spark.createDataFrame([(1, 10.0), (2, 25.0)], "k long, v double") \
+        .coalesce(1).write.parquet(snap_dir)
+    # simulate: batch 0 already promoted (snap holds merged data) but
+    # crashed before rmtree — both per-batch dirs linger, non-empty
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double") \
+        .coalesce(1).write.parquet(snap_dir + ".retired-0")
+    spark.createDataFrame([(9, 9.0)], "k long, v double") \
+        .coalesce(1).write.parquet(snap_dir + ".staging-0")
+
+    chg_dir = str(tmp_path / "chg")
+    spark.createDataFrame([(2, 25.0, "U")], "k long, v double, op string") \
+        .coalesce(1).write.parquet(chg_dir)
+    stream = (spark.readStream
+              .schema("k long, v double, op string").parquet(chg_dir))
+    # fresh checkpoint => this run's first batch_id is 0, colliding with
+    # the stale dirs exactly as a replay would
+    q = (cdc_upsert_sink(stream, snap_dir, ["k"])
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r["k"]: r["v"] for r in spark.read.parquet(snap_dir).collect()}
+    assert got == {1: 10.0, 2: 25.0}
+    assert not os.path.exists(snap_dir + ".retired-0")
+
+
+def test_cdc_sink_accepts_file_uri(spark, tmp_path):
+    """'file:' URIs are explicitly permitted by the eager guard, so the
+    os.rename/exists machinery must see a plain path (ADVICE r5: the
+    allowed form crashed on every path op)."""
+    from mapreduce_implementation_spark.streaming.ops import cdc_upsert_sink
+
+    snap_dir = str(tmp_path / "snap")
+    spark.createDataFrame([(1, 10.0)], "k long, v double") \
+        .coalesce(1).write.parquet(snap_dir)
+    chg_dir = str(tmp_path / "chg")
+    spark.createDataFrame([(1, 11.0, "U")], "k long, v double, op string") \
+        .coalesce(1).write.parquet(chg_dir)
+    stream = (spark.readStream
+              .schema("k long, v double, op string").parquet(chg_dir))
+    q = (cdc_upsert_sink(stream, "file://" + snap_dir, ["k"])
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r["k"]: r["v"] for r in spark.read.parquet(snap_dir).collect()}
+    assert got == {1: 11.0}
+
+
 def test_cdc_sink_rejects_object_store_paths(spark):
     import pytest
 

@@ -138,6 +138,42 @@ def test_registry_counts_match_coverage_doc():
     assert (int(m[1]), int(m[2]), int(m[3])) == live, (m.groups(), live)
 
 
+# --- oracle output-type lint (VERDICT r05 item 1) ---
+
+def test_oracle_output_types_no_wide_integers():
+    """DuckDB ``DESCRIBE`` over every registered oracle: no output column
+    may be HUGEINT/UHUGEINT.  The driver fetches oracle results on the
+    pandas path, where HUGEINT lands as float64 — so an integer-equal
+    result canonicalizes as "0.0" vs Spark's "0" and the value hash
+    diverges with rows/schema green.  That exact mechanism kept
+    pipeline_sequence_packing red for three rounds (the windowed
+    sum(BIGINT) widens to HUGEINT and ``//`` keeps it wide).  DECIMAL is
+    allowed only where the Spark side is DECIMAL by design
+    (agg_decimal_exact).  No Spark session needed: DESCRIBE plans without
+    executing."""
+    from mapreduce_implementation_spark.registry import all_specs
+    from tests._oracle import duck_connect
+    from tests.conftest import SF_DIR_001
+
+    con = duck_connect(SF_DIR_001)
+    decimal_ok = {"agg_decimal_exact"}
+    offenders = []
+    for name, spec in all_specs().items():
+        if not spec.oracle:
+            continue
+        for row in con.execute(f"DESCRIBE {spec.oracle}").fetchall():
+            col, dtype = row[0], row[1]
+            t = dtype.upper()
+            if "HUGEINT" in t:
+                offenders.append((name, col, dtype))
+            if "DECIMAL" in t and name not in decimal_ok:
+                offenders.append((name, col, dtype))
+    assert not offenders, (
+        "wide-typed oracle output columns (cast to BIGINT/DOUBLE in the "
+        f"SQL): {offenders}"
+    )
+
+
 # --- CDC merge model test: random change batches vs a dict reference ---
 
 _keys = st.integers(min_value=0, max_value=9)
@@ -247,6 +283,33 @@ def test_grouped_ntile_matches_keyed_window_model(spark, rows, k):
     try:
         assert {(r["g"], r["tb"], r["tile"]) for r in got.collect()} \
             == {(r["g"], r["tb"], r["tile"]) for r in want.collect()}
+    finally:
+        release_persisted()
+
+
+def test_global_ntile_decimal_sort_key(spark):
+    """Decimal sort keys are in _bucket_expr's supported-dtype whitelist,
+    so they must actually plan and run (ADVICE r5: _sql_lit raised
+    TypeError on decimal.Decimal boundaries before the whitelist check
+    fired).  Boundary literals are cast to the column's own
+    DECIMAL(p,s), so the comparison stays exact."""
+    from decimal import Decimal
+
+    from pyspark.sql.window import Window
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import global_ntile
+
+    rows = [(i, Decimal(f"{(i * 37) % 500}.{i % 100:02d}")) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, amt decimal(10,2)")
+    got = global_ntile(df, ["amt", "id"], n_tiles=4, out="tile", partitions=7)
+    w = Window.orderBy(F.col("amt").asc_nulls_first(), F.col("id").asc())
+    want = df.withColumn("tile", F.ntile(4).over(w))
+    try:
+        assert {(r["id"], r["tile"]) for r in got.collect()} \
+            == {(r["id"], r["tile"]) for r in want.collect()}
     finally:
         release_persisted()
 
@@ -399,6 +462,34 @@ def test_bloom_prefilter_never_drops_true_matches(spark, fact_keys, dim_keys):
                                             num_bits=1 << 10).collect()}
     true = {k for k in fact_keys if k in set(dim_keys)}
     assert true <= kept <= set(fact_keys)
+
+
+def test_bloom_prefilter_mixed_integral_widths_keep_matches(spark):
+    """int fact key vs bigint dim key (ADVICE r5): xxhash64 is
+    type-sensitive, so without BIGINT canonicalization the probe hashes
+    diverge from the build hashes and TRUE matches vanish — the silent
+    false-negative the transparency guarantee forbids.  Both integral
+    sides must hash identically after the cast."""
+    from mapreduce_implementation_spark.operators.joins import bloom_prefilter
+
+    fact = spark.createDataFrame([(k,) for k in range(200)], "k int")
+    dim = spark.createDataFrame([(5,), (77,), (199,)], "d bigint")
+    kept = {r["k"] for r in bloom_prefilter(fact, dim, "k", "d",
+                                            num_bits=1 << 10).collect()}
+    assert {5, 77, 199} <= kept
+
+
+def test_bloom_prefilter_rejects_incompatible_key_types(spark):
+    """A string/bigint key pair cannot be canonicalized for hashing —
+    must fail loudly at plan build, never drop rows silently."""
+    import pytest
+
+    from mapreduce_implementation_spark.operators.joins import bloom_prefilter
+
+    fact = spark.createDataFrame([("5",)], "k string")
+    dim = spark.createDataFrame([(5,)], "d bigint")
+    with pytest.raises(TypeError, match="types must match"):
+        bloom_prefilter(fact, dim, "k", "d")
 
 
 # --- systematic PPS sampling vs a pure-Python model --------------------------
