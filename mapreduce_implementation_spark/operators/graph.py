@@ -173,7 +173,7 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
     cnt = n1.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     ranks = n1.crossJoin(F.broadcast(cnt)).select(
         "v", (F.lit(1.0) / F.col("_n")).alias("r"))
-    for _ in range(iters):
+    for _i in range(iters):
         contrib = (
             e.join(outw, "src")
             .join(hint(ranks), F.col("src") == F.col("v"))
@@ -189,6 +189,16 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
                  + damping * F.coalesce(F.col("_s"), F.lit(0.0))).alias("r"),
             )
         )
+        # truncate the per-round lineage (the CC idiom): without this the
+        # plan nests one join tree per iteration and Catalyst re-analyzes
+        # the whole stack each round — measured ~1 s/round locally.  The
+        # rank vector is O(nodes); a cluster deployment caring about
+        # executor loss swaps this for reliable checkpoint().  The LAST
+        # round stays lazy so the returned frame's plan still shows the
+        # iteration shape (plan-pinned by tests) and composes with
+        # downstream pushdown.
+        if _i < iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -254,7 +264,7 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
     n1 = nodes.select(F.col("v")).distinct()
     labels = n1.select("v", F.col("v").alias("label"))
     w_pick = Window.partitionBy("dst").orderBy(F.desc("_s"), F.asc("label"))
-    for _ in range(iters):
+    for _i in range(iters):
         scores = (
             e.join(labels, F.col("src") == F.col("v"))
             .groupBy("dst", "label").agg(F.sum("w").alias("_s"))
@@ -268,6 +278,11 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
             n1.join(picked, F.col("v") == F.col("dst"), "left")
             .select("v", F.coalesce("_new", F.col("v")).alias("label"))
         )
+        # lineage truncation per round (see pagerank; last round stays
+        # lazy for plan inspection): label vector is O(nodes), and
+        # without it plan analysis grows per iteration
+        if _i < iters - 1:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -282,20 +297,21 @@ def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
     key-joined merge with the previous vector: the Pregel superstep
     expressed declaratively.  The distance vector is O(nodes) and joins
     by key (no broadcast requirement — same web-scale posture as the
-    shuffled-rank PageRank mode); rounds are a fixed unrolled count so
-    the whole computation is one lazy plan and oracle-able.  At true
-    web diameter, wrap the same step in a convergence loop with
-    ``localCheckpoint`` per round like ``connected_components``.
+    shuffled-rank PageRank mode); rounds run a fixed count with
+    ``localCheckpoint`` lineage truncation per round (the CC idiom) —
+    deterministic, so still oracle-able.  At true web diameter, swap
+    the fixed count for the convergence test ``connected_components``
+    uses.
     """
     # infinity sentinel derived from max_hops (a reachable distance is
     # <= max_hops, so max_hops + 1 can never collide with a real value);
     # a magic constant here silently mis-NULLed distances >= it
     inf = max_hops + 1
-    e = edges.select("src", "dst")
+    e = tracked_persist(edges.select("src", "dst"))
     n1 = nodes.select(F.col("v")).distinct()
     dist = n1.select(
         "v", F.when(F.col("v") == source, 0).cast("int").alias("d"))
-    for _ in range(max_hops):
+    for _i in range(max_hops):
         relaxed = (
             e.join(dist.filter(F.col("d").isNotNull()),
                    F.col("src") == F.col("v"))
@@ -309,6 +325,13 @@ def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
             .select("v", F.when(F.col("_m") < inf,
                                 F.col("_m")).cast("int").alias("d"))
         )
+        # lineage truncation per round (see pagerank; last round stays
+        # lazy for plan inspection): the nested join-per-hop plan costs
+        # ~1 s/round of pure analysis otherwise; the distance vector is
+        # O(nodes) and the edge list is persisted, so each round's job
+        # is one cached-edge join + tiny aggregate
+        if _i < max_hops - 1:
+            dist = dist.localCheckpoint(eager=True)
     return dist.withColumnRenamed("d", "dist")
 
 
@@ -330,19 +353,19 @@ def sssp_weighted(edges: DataFrame, nodes: DataFrame, source,
     Scale shape: the distance vector is O(nodes) and joins by key (no
     broadcast requirement); each round is one edge equi-join + one
     (dst) min-aggregate + one keyed merge — the Pregel superstep,
-    declaratively, unrolled a fixed count so the whole computation is
-    one lazy plan and oracle-able.  At true web scale wrap the same
-    step in a convergence loop with ``localCheckpoint`` per round like
-    ``connected_components``.
+    declaratively, a fixed round count with ``localCheckpoint``
+    lineage truncation per round (deterministic, so still oracle-able).
+    At true web scale swap the fixed count for the convergence test
+    ``connected_components`` uses.
     """
     if max_edge_w < 1:
         raise ValueError("max_edge_w must be >= 1")
     inf = rounds * max_edge_w + 1
-    e = edges.select("src", "dst", "w")
+    e = tracked_persist(edges.select("src", "dst", "w"))
     n1 = nodes.select(F.col("v")).distinct()
     dist = n1.select(
         "v", F.when(F.col("v") == source, 0).cast("long").alias("d"))
-    for _ in range(rounds):
+    for _i in range(rounds):
         relaxed = (
             e.join(dist.filter(F.col("d").isNotNull()),
                    F.col("src") == F.col("v"))
@@ -356,4 +379,9 @@ def sssp_weighted(edges: DataFrame, nodes: DataFrame, source,
             .select("v", F.when(F.col("_m") < inf,
                                 F.col("_m")).cast("long").alias("d"))
         )
+        # lineage truncation per round (see bfs_distances; last round
+        # stays lazy): flattens the nested Bellman-Ford plan from
+        # O(rounds^2) analysis to O(rounds)
+        if _i < rounds - 1:
+            dist = dist.localCheckpoint(eager=True)
     return dist.withColumnRenamed("d", "dist")

@@ -33,7 +33,7 @@ from .caching import tracked_persist
 __all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group",
            "global_ntile", "global_running_sum", "grouped_running_sum",
            "grouped_ntile", "exact_quantiles", "grouped_exact_quantiles",
-           "global_order_stats"]
+           "global_order_stats", "shared_boundaries"]
 
 
 def _spec(partition_by: list[str], order_by: list[Column]) -> WindowSpec:
@@ -116,24 +116,13 @@ def _sort_cols(keys: list[tuple[str, bool, bool]]) -> list[Column]:
     return out
 
 
-def _boundaries(df: DataFrame, keys: list[tuple[str, bool, bool]],
-                n_buckets: int, sample_per_bucket: int = 24) -> list[tuple]:
-    """B-1 boundary key tuples — a deterministic function of the DATA.
-
-    Selection: the ``S = n_buckets * sample_per_bucket`` rows with the
-    smallest ``xxhash64(keys)`` (a fixed-seed uniform sample; TakeOrdered
-    over a total order, so the same rows come back on every evaluation),
-    sorted driver-side in the operator's sort order, boundaries picked at
-    the S/B quantile positions.  Unlike RangePartitioner's per-partition
-    reservoir sample this depends only on row VALUES — never on input
-    partitioning, task scheduling, or cache state.  Boundary placement
-    affects only bucket BALANCE; the two-phase prefix math is exact for
-    any boundary set, so an imperfect sample can never change results.
-    Cost: one column-pruned pass collecting ~S tiny tuples.
-    """
-    names = [k[0] for k in keys]
-    S = max(n_buckets * sample_per_bucket, 96)
-    rows = (
+def _sample_rows(df: DataFrame, names: list[str], S: int) -> list:
+    """The ``S`` rows of ``df`` with the smallest ``xxhash64(names)``
+    (a fixed-seed uniform sample; TakeOrdered over a total order, so the
+    same rows come back on every evaluation).  Depends only on row
+    VALUES — never on input partitioning, task scheduling, or cache
+    state.  Cost: one column-pruned pass collecting S tiny tuples."""
+    return (
         df.select(*names)
         .withColumn("_tag", F.xxhash64(*names))
         .orderBy(F.col("_tag").asc(),
@@ -141,7 +130,13 @@ def _boundaries(df: DataFrame, keys: list[tuple[str, bool, bool]],
         .limit(S)
         .collect()
     )
-    vals = [tuple(r[n] for n in names) for r in rows]
+
+
+def _derive_bounds(vals: list[tuple], keys: list[tuple[str, bool, bool]],
+                   n_buckets: int) -> list[tuple]:
+    """Boundary tuples from sampled key tuples: sort driver-side in the
+    operator's sort order, pick the S/B quantile positions, dedupe."""
+    vals = list(vals)
     # stable multi-key sort in the operator's sort order, last key first
     for i in reversed(range(len(keys))):
         _, asc, nf = keys[i]
@@ -158,6 +153,56 @@ def _boundaries(df: DataFrame, keys: list[tuple[str, bool, bool]],
         if b is not None and (not bounds or b != bounds[-1]):
             bounds.append(b)
     return bounds
+
+
+def _boundaries(df: DataFrame, keys: list[tuple[str, bool, bool]],
+                n_buckets: int, sample_per_bucket: int = 24) -> list[tuple]:
+    """B-1 boundary key tuples — a deterministic function of the DATA.
+
+    :func:`_sample_rows` + :func:`_derive_bounds`.  Boundary placement
+    affects only bucket BALANCE; the two-phase prefix math is exact for
+    any boundary set, so an imperfect sample can never change results.
+    """
+    names = [k[0] for k in keys]
+    S = max(n_buckets * sample_per_bucket, 96)
+    rows = _sample_rows(df, names, S)
+    return _derive_bounds([tuple(r[n] for n in names) for r in rows],
+                          keys, n_buckets)
+
+
+def shared_boundaries(df: DataFrame, key_sets: list, n_buckets: int | None = None,
+                      sample_per_bucket: int = 24) -> list[list[tuple]]:
+    """Boundary lists for SEVERAL two-phase window calls over the same
+    frame from ONE sample pass — the chained-pipeline optimization
+    (e.g. RFM's three ntiles over one per-user aggregate: one
+    boundary-collect job instead of three scans of the base).
+
+    Sampling tags rows by ``xxhash64`` over the union of all key
+    columns, so every key set derives its boundaries from the same
+    collected rows; per-set boundaries are then the usual sort-order
+    quantile picks.  Still a pure function of row values (deterministic
+    under recomputation/retry/AQE); sharing one sample across key sets
+    changes only bucket BALANCE, never results — the two-phase math is
+    exact for any boundary set.  Pass each returned element as the
+    matching operator's ``bounds=``.
+    """
+    spark = df.sparkSession
+    parts = n_buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = [_norm_keys(ks) for ks in key_sets]
+    all_names: list[str] = []
+    for keys in keyed:
+        for name, _, _ in keys:
+            if name not in all_names:
+                all_names.append(name)
+    S = max(parts * sample_per_bucket, 96)
+    rows = _sample_rows(df, all_names, S)
+    out = []
+    for keys in keyed:
+        names = [k[0] for k in keys]
+        out.append(_derive_bounds([tuple(r[n] for n in names) for r in rows],
+                                  keys, parts))
+    return out
 
 
 def _sql_lit(v) -> str:
@@ -238,7 +283,8 @@ def _bucket_expr(df: DataFrame, keys: list[tuple[str, bool, bool]],
 
 
 def global_ntile(df: DataFrame, order_by, n_tiles: int,
-                 out: str = "tile", partitions: int | None = None) -> DataFrame:
+                 out: str = "tile", partitions: int | None = None,
+                 bounds: list[tuple] | None = None) -> DataFrame:
     """Exact SQL ``ntile(k) OVER (ORDER BY ...)`` WITHOUT the
     single-partition global window (the classic distributed two-phase
     global ranking).
@@ -265,7 +311,8 @@ def global_ntile(df: DataFrame, order_by, n_tiles: int,
     # and both consumer branches read the cache.  The _bkt expression is
     # recomputed per branch — cheap, and recompute-stable by design.
     base = tracked_persist(df)
-    bounds = _boundaries(base, keys, parts)
+    if bounds is None:
+        bounds = _boundaries(base, keys, parts)
     bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
     local = ranked(bucketed, ["_bkt"], _sort_cols(keys),
                    kind="row_number", out="_local_rn")
@@ -294,7 +341,8 @@ def global_ntile(df: DataFrame, order_by, n_tiles: int,
 
 def global_running_sum(df: DataFrame, value_col: str,
                        order_by, out: str = "cum",
-                       partitions: int | None = None) -> DataFrame:
+                       partitions: int | None = None,
+                       bounds: list[tuple] | None = None) -> DataFrame:
     """Exact ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
     WITHOUT a single-partition window — the prefix-sum sibling of
     :func:`global_ntile`, same two-phase shape.
@@ -315,7 +363,8 @@ def global_running_sum(df: DataFrame, value_col: str,
     # materializes the upstream lineage once; _bkt recomputes per
     # branch, cheap and recompute-stable.
     base = tracked_persist(df)
-    bounds = _boundaries(base, keys, parts)
+    if bounds is None:
+        bounds = _boundaries(base, keys, parts)
     bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
     local = bucketed.withColumn(
         "_local_cum",
@@ -335,7 +384,8 @@ def global_running_sum(df: DataFrame, value_col: str,
 
 def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
                         order_by, out: str = "cum",
-                        partitions: int | None = None) -> DataFrame:
+                        partitions: int | None = None,
+                        bounds: list[tuple] | None = None) -> DataFrame:
     """Exact ``sum(v) OVER (PARTITION BY g ORDER BY ...)`` that stays
     distributed even when single groups dwarf a partition — the grouped
     sibling of :func:`global_running_sum`.
@@ -361,7 +411,8 @@ def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
     okeys = _norm_keys(order_by)
     # persist the BASE frame (see global_ntile)
     base = tracked_persist(df)
-    bounds = _boundaries(base, keys, parts)
+    if bounds is None:
+        bounds = _boundaries(base, keys, parts)
     bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
     local = bucketed.withColumn(
         "_local_cum",
@@ -384,7 +435,8 @@ def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
 
 def grouped_ntile(df: DataFrame, group_cols: list[str], order_by,
                   n_tiles: int, out: str = "tile",
-                  partitions: int | None = None) -> DataFrame:
+                  partitions: int | None = None,
+                  bounds: list[tuple] | None = None) -> DataFrame:
     """Exact ``ntile(k) OVER (PARTITION BY g ORDER BY ...)`` that stays
     distributed even when single groups dwarf a partition — the ntile
     sibling of :func:`grouped_running_sum`.
@@ -411,7 +463,8 @@ def grouped_ntile(df: DataFrame, group_cols: list[str], order_by,
     keys = _norm_keys([*group_cols, *order_by])
     okeys = _norm_keys(order_by)
     base = tracked_persist(df)
-    bounds = _boundaries(base, keys, parts)
+    if bounds is None:
+        bounds = _boundaries(base, keys, parts)
     bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
     local = ranked(bucketed, ["_bkt", *group_cols], _sort_cols(okeys),
                    kind="row_number", out="_local_rn")
@@ -443,7 +496,8 @@ def grouped_ntile(df: DataFrame, group_cols: list[str], order_by,
 
 def exact_quantiles(df: DataFrame, value_col: str, probs: list[float],
                     out_names: list[str] | None = None,
-                    partitions: int | None = None) -> DataFrame:
+                    partitions: int | None = None,
+                    bounds: list[tuple] | None = None) -> DataFrame:
     """EXACT linear-interpolated quantiles (SQL ``percentile_cont`` /
     DuckDB ``quantile_cont`` semantics) as a 1-row frame — WITHOUT the
     builtin ``percentile()`` aggregate, whose buffer accumulates every
@@ -468,7 +522,8 @@ def exact_quantiles(df: DataFrame, value_col: str, probs: list[float],
     keys = _norm_keys([value_col])
     base = tracked_persist(
         df.select(value_col).filter(F.col(value_col).isNotNull()))
-    bounds = _boundaries(base, keys, parts)
+    if bounds is None:
+        bounds = _boundaries(base, keys, parts)
     bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
     local = ranked(bucketed, ["_bkt"], _sort_cols(keys),
                    kind="row_number", out="_rn")
@@ -503,7 +558,8 @@ def exact_quantiles(df: DataFrame, value_col: str, probs: list[float],
 def grouped_exact_quantiles(df: DataFrame, value_col: str,
                             group_cols: list[str], probs: list[float],
                             out_names: list[str] | None = None,
-                            partitions: int | None = None) -> DataFrame:
+                            partitions: int | None = None,
+                            bounds: list[tuple] | None = None) -> DataFrame:
     """EXACT per-group interpolated quantiles (``percentile_cont(p)
     WITHIN GROUP`` / ``... OVER (PARTITION BY g)`` semantics, one row
     per group) WITHOUT the builtin ``percentile()`` aggregate — the
@@ -535,7 +591,8 @@ def grouped_exact_quantiles(df: DataFrame, value_col: str,
     base = tracked_persist(
         df.select(*group_cols, value_col)
         .filter(F.col(value_col).isNotNull()))
-    bounds = _boundaries(base, keys, parts)
+    if bounds is None:
+        bounds = _boundaries(base, keys, parts)
     bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
     local = ranked(bucketed, ["_bkt", *group_cols], _sort_cols(okeys),
                    kind="row_number", out="_rn")
@@ -575,6 +632,7 @@ def grouped_exact_quantiles(df: DataFrame, value_col: str,
 
 def global_order_stats(df: DataFrame, order_by,
                        partitions: int | None = None,
+                       bounds: list[tuple] | None = None,
                        rank_col: str = "rnk", dense_col: str = "drnk",
                        pct_col: str = "pct_rank",
                        cume_col: str = "cume_dist") -> DataFrame:
@@ -603,7 +661,8 @@ def global_order_stats(df: DataFrame, order_by,
     names = [k[0] for k in keys]
     keyed = tracked_persist(
         df.groupBy(*names).agg(F.count(F.lit(1)).alias("_cnt")))
-    bounds = _boundaries(keyed, keys, parts)
+    if bounds is None:
+        bounds = _boundaries(keyed, keys, parts)
     bucketed = keyed.withColumn("_bkt", _bucket_expr(keyed, keys, bounds))
     w_loc = (Window.partitionBy("_bkt").orderBy(*_sort_cols(keys))
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))

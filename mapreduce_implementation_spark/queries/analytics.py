@@ -451,7 +451,7 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.caching import tracked_persist
-    from ..operators.windows import global_ntile
+    from ..operators.windows import global_ntile, shared_boundaries
 
     e = load_table(spark, sf_dir, "events")
     # persisted: the per-user aggregate is the only full event-log scan;
@@ -462,10 +462,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum("value"), 2).alias("monetary"),
     ))
-    r = global_ntile(base, ["last_ts", "user_id"],
-                     4, out="r_q").select("user_id", "freq", "monetary", "r_q")
-    f = global_ntile(r, ["freq", "user_id"], 4, out="f_q")
-    m = global_ntile(f, ["monetary", "user_id"], 4, out="m_q")
+    # ONE boundary-sample pass serves all three ntiles (each ntile would
+    # otherwise run its own collect over base — 3 scans for 3 boundary
+    # lists that one sample derives just as well)
+    rb, fb, mb = shared_boundaries(
+        base, [["last_ts", "user_id"], ["freq", "user_id"],
+               ["monetary", "user_id"]])
+    r = global_ntile(base, ["last_ts", "user_id"], 4, out="r_q",
+                     bounds=rb).select("user_id", "freq", "monetary", "r_q")
+    f = global_ntile(r, ["freq", "user_id"], 4, out="f_q", bounds=fb)
+    m = global_ntile(f, ["monetary", "user_id"], 4, out="m_q", bounds=mb)
     return m.select(
         "user_id",
         F.col("r_q").cast("int").alias("r_q"),
