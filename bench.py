@@ -84,6 +84,10 @@ HEADLINE = [
     # round 5 waves 5-6: weighted Bellman-Ford, interval-overlap self-join
     "graph_sssp_weighted",
     "sessions_interval_overlap",
+    # round 6: k-core peeling (iterative semi-join family), staleness-
+    # budget as-of join (Arrow cogroup path)
+    "graph_kcore",
+    "asof_join_tolerance",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

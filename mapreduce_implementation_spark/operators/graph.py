@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from .caching import tracked_persist
 
 __all__ = ["connected_components", "pagerank", "label_propagation",
-           "triangle_count", "bfs_distances"]
+           "triangle_count", "bfs_distances", "kcore"]
 
 # Rounds are O(log n); 25 covers any graph that fits on a real cluster
 # (2^25 nodes of *diameter* after contraction).  Hitting the cap raises —
@@ -200,6 +200,49 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
         if _i < iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def kcore(edges: DataFrame, a_col: str, b_col: str, k: int,
+          rounds: int) -> DataFrame:
+    """k-core decomposition by synchronous iterative peeling: repeatedly
+    drop every node of degree < ``k`` (with the cascade — removing a
+    node lowers its neighbors' degrees, which may push THEM under k)
+    until a fixed point.  Returns ``(node, core_deg)`` for the nodes of
+    the ``rounds``-round peel, with their degree inside the surviving
+    subgraph.  The k-core is the standard dense-subgraph primitive
+    (Seidman 1983, "Network structure and minimum degree"); in a dedup
+    pipeline it separates tight near-duplicate communities from
+    stragglers that LSH banding happened to pair once.
+
+    Each round is one symmetrized degree aggregate (map-side
+    combinable) + two semi joins restricting the edge list to surviving
+    endpoints — all keyed operations, nothing driver-side, and the edge
+    list only ever SHRINKS, so the 100 TB posture is the
+    connected_components one: iteration cost tracks the (contracting)
+    edge list.  The fixed unrolled ``rounds`` keeps the computation
+    oracle-able (the DuckDB twin unrolls identical CTE rounds, so both
+    sides agree even mid-cascade); production at unknown diameter swaps
+    the fixed count for connected_components' signature-convergence
+    loop.  Lineage truncates per round (see pagerank; last round stays
+    lazy).
+    """
+    e = tracked_persist(
+        edges.select(F.least(F.col(a_col), F.col(b_col)).alias("u"),
+                     F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct())
+    for _i in range(rounds):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        keep = (sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") >= k).select("u"))
+        e = (e.join(keep, "u", "left_semi")
+             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+             .select("u", "v"))
+        if _i < rounds - 1:
+            e = e.localCheckpoint(eager=True)
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_deg"))
+            .select(F.col("u").alias("node"), "core_deg"))
 
 
 def triangle_count(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:

@@ -56,14 +56,23 @@ def asof_join(
     right_by: str,
     right_values: list[str],
     direction: Literal["backward", "forward"] = "backward",
+    tolerance: str | None = None,
+    how: Literal["inner", "left"] = "inner",
 ) -> DataFrame:
     """For each left row, the single right row with the greatest
     ``right_on`` <= ``left_on`` (backward) within the same ``by`` key.
 
     Cogroup both sides on the by-key (one shuffle each), then
     ``pd.merge_asof`` per key group — sorted-merge, O(n log n) per group,
-    Arrow-batched.  Inner semantics: left rows with no match are dropped
-    (mirrors DuckDB ASOF JOIN, the oracle).
+    Arrow-batched.  Default inner semantics: left rows with no match are
+    dropped (mirrors DuckDB ASOF JOIN, the oracle); ``how="left"`` keeps
+    them with NULL right values (ASOF LEFT JOIN).
+
+    ``tolerance`` (a pandas Timedelta string, e.g. ``"30D"``) bounds how
+    stale a match may be: a right row farther than the tolerance from
+    the left timestamp is no match at all — the financial-data as-of
+    idiom (a quote older than the staleness budget must not price a
+    trade).  Requires datetime/numeric ``on`` keys, like merge_asof.
     """
     left_cols = left.columns
     out_schema = ", ".join(
@@ -71,11 +80,17 @@ def asof_join(
         + [f"{f.name} {f.dataType.simpleString()}" for f in right.schema.fields
            if f.name in right_values]
     )
+    tol = pd.Timedelta(tolerance) if tolerance is not None else None
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if len(lpdf) == 0:
             return pd.DataFrame(columns=left_cols + right_values)
         if len(rpdf) == 0:
+            if how == "left":
+                out = lpdf.copy()
+                for c in right_values:
+                    out[c] = None
+                return out[left_cols + right_values]
             return pd.DataFrame(columns=left_cols + right_values).iloc[:0]
         lpdf = lpdf.sort_values(left_on)
         rpdf = rpdf[[right_on] + [c for c in right_values if c != right_on]]
@@ -86,13 +101,82 @@ def asof_join(
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_on, right_on=right_on,
             direction=direction, suffixes=("", "_r"),
+            tolerance=tol,
         )
-        merged = merged[merged["_matched"].notna()]
+        if how == "inner":
+            merged = merged[merged["_matched"].notna()]
         return merged[left_cols + right_values]
 
     return left.groupBy(left_by).cogroup(right.groupBy(right_by)).applyInPandas(
         merge, schema=out_schema
     )
+
+
+def asof_join_windowed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    right_values: list[str],
+    tolerance_expr: str | None = None,
+) -> DataFrame:
+    """Backward as-of join as PURE DataFrame ops — the declarative
+    scale path beside :func:`asof_join`'s pandas cogroup: union both
+    sides with a sort tag, then ``last(value, ignorenulls=True)`` over
+    a window partitioned by the by-key and ordered by (time, tag), so
+    each left row sees the latest right row at-or-before it.  One hash
+    shuffle + one in-partition sort, all JVM/codegen — no per-group
+    Python call (the cogroup route pays one pandas invocation PER KEY:
+    measured ~39 s for ~40k users at sf0.1 where this runs in ~2 s).
+
+    LEFT semantics: every left row survives; no match (or a match
+    older than ``tolerance_expr``, an INTERVAL SQL string like
+    ``"INTERVAL 30 DAYS"``) yields NULL right values.  Right rows tag
+    0 and left rows tag 1, so a right row AT the left timestamp
+    matches (backward-inclusive).  Ties among right rows on the
+    timestamp resolve by the ``right_values`` themselves (add a unique
+    right column to make arbitrary payloads deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    rv = [c for c in right_values]
+    if tolerance_expr is not None and right_on not in rv:
+        raise ValueError(
+            "tolerance_expr needs the matched timestamp: include "
+            f"{right_on!r} in right_values")
+    l_tag = left.select(
+        F.col(left_by).alias("_by"), F.col(left_on).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}")
+          for c in rv],
+    )
+    r_tag = right.select(
+        F.col(right_by).alias("_by"), F.col(right_on).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left.columns],
+        *[F.col(c).alias(f"_rv_{c}") for c in rv],
+    )
+    w = (Window.partitionBy("_by")
+         .orderBy(F.col("_t").asc(), F.col("_side").asc(),
+                  *[F.col(f"_rv_{c}").asc() for c in rv])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = l_tag.unionByName(r_tag).select(
+        "*",
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+          for c in rv],
+    ).where(F.col("_side") == 1)
+    keep = F.lit(True)
+    if tolerance_expr is not None:
+        keep = (F.col(f"_m_{right_on}").isNotNull()
+                & (F.col("_t") - F.col(f"_m_{right_on}")
+                   <= F.expr(tolerance_expr)))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.when(keep, F.col(f"_m_{c}")).alias(c) for c in rv]
+    return matched.select(*out_cols)
 
 
 def range_join_bucketed(

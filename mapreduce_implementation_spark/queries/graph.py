@@ -401,3 +401,89 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
                       max_edge_w=_SSSP_MAX_W)
     return d.select(F.col("v").cast("int").alias("nationkey"),
                     F.col("dist").cast("long").alias("dist"))
+
+
+_KCORE_K = 5
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    # every unrolled CTE is MATERIALIZED: e{i} is referenced 3x per
+    # round, so DuckDB's default inlining would expand the scan tree
+    # 3^rounds times (observed: fd exhaustion from thousands of
+    # duplicate parquet opens); materialization keeps it linear
+    sql = f"""
+    WITH lanes AS MATERIALIZED (
+      SELECT c_nationkey AS a, s_nationkey AS b, count(*) AS cnt
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    stats AS (SELECT count(*) AS n, sum(cnt) AS tot FROM lanes),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM lanes, stats
+      WHERE 2 * cnt * n > 3 * tot AND a <> b
+    )"""
+    for i in range(_KCORE_ROUNDS):
+        sql += f""",
+    d{i} AS MATERIALIZED (SELECT u, count(*) AS c
+             FROM (SELECT u FROM e{i} UNION ALL SELECT v FROM e{i}) t(u)
+             GROUP BY u),
+    k{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE c >= {_KCORE_K}),
+    e{i + 1} AS MATERIALIZED (SELECT e{i}.u, e{i}.v FROM e{i}
+                 JOIN k{i} x ON e{i}.u = x.u
+                 JOIN k{i} y ON e{i}.v = y.u)"""
+    sql += f"""
+    SELECT CAST(u AS INTEGER) AS nationkey, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (SELECT u FROM e{_KCORE_ROUNDS}
+          UNION ALL SELECT v FROM e{_KCORE_ROUNDS}) t(u)
+    GROUP BY u
+    """
+    return sql
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    doc=f"k-core decomposition (k={_KCORE_K}, {_KCORE_ROUNDS} unrolled "
+        "peel rounds) of the above-average-volume trade graph: lanes "
+        "kept when 2*cnt*n_lanes > 3*sum(cnt) — the all-integer form of "
+        "'volume > 1.5x the mean lane', no float knife edge — then "
+        "iterative peeling drops every nation of core degree < k with "
+        "the cascade (at sf0.01 the peel genuinely cascades: fixpoint "
+        "on round 3 of 5).  Each round is one symmetrized degree "
+        "aggregate + two semi joins; the edge list only shrinks.  The "
+        "oracle unrolls identical CTE rounds, so both engines agree "
+        "even mid-cascade (operators/graph.kcore).",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
+    from ..operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    # persisted: the fact-scale 4-way join feeds BOTH the threshold
+    # scalar and the edge filter — without the cache the lanes build
+    # runs twice (it dwarfs everything else at 100 TB)
+    lanes = tracked_persist(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("a"),
+                 F.col("s_nationkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = lanes.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("cnt").alias("tot"))
+    heavy = (lanes.crossJoin(F.broadcast(stats))
+             .where((F.lit(2) * F.col("cnt") * F.col("n")
+                     > F.lit(3) * F.col("tot"))
+                    & (F.col("a") != F.col("b"))))
+    core = kcore(heavy, "a", "b", k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return core.select(F.col("node").cast("int").alias("nationkey"),
+                       F.col("core_deg").cast("long").alias("core_deg"))

@@ -7,7 +7,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.joins import (
-    anti_join, asof_join, join_tables, range_join_bucketed, semi_join,
+    anti_join, asof_join, asof_join_windowed, join_tables,
+    range_join_bucketed, semi_join,
 )
 from ..registry import register
 from ..sources.tables import load_table
@@ -181,6 +182,47 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.select(
         "event_id",
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("asof_orderdate"),
+    )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT e.event_id,
+           CASE WHEN o.o_orderdate IS NOT NULL
+                 AND e.ts - CAST(o.o_orderdate AS TIMESTAMP)
+                     <= INTERVAL 30 DAY
+                THEN strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S')
+           END AS asof_orderdate
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+    doc="As-of join with a staleness tolerance (the financial-data "
+        "idiom: a quote older than the staleness budget must not price "
+        "a trade): latest order at-or-before each event per user, but "
+        "only within 30 days — older matches become NULL, and every "
+        "event survives (LEFT semantics).  Implemented as the "
+        "DECLARATIVE as-of (operators/joins.asof_join_windowed: union "
+        "+ last(ignorenulls) over a keyed window — one shuffle, all "
+        "JVM; the pandas-cogroup asof_join also supports tolerance= "
+        "but pays one Python call per user).  The oracle emulates "
+        "tolerance by NULLing the unconditional ASOF LEFT match beyond "
+        "the budget, which is equivalent because any other candidate "
+        "is older still.",
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp").alias("o_ts"))
+    matched = asof_join_windowed(
+        e, o, left_on="ts", right_on="o_ts",
+        left_by="user_id", right_by="o_custkey",
+        right_values=["o_ts"], tolerance_expr="INTERVAL 30 DAYS",
+    )
+    return matched.select(
+        "event_id",
+        F.date_format("o_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_orderdate"),
     )
 
 

@@ -76,7 +76,7 @@ _SAMPLE_FIRST = (
     "pipeline_sequence_packing",
     "window_global_rank_stats",
     # --- round-6 additions (no driver row yet) ---
-    # (appended as they are registered this round)
+    "graph_kcore", "asof_join_tolerance",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

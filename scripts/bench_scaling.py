@@ -70,6 +70,11 @@ PIPELINES = [
     "corpus_length_quantiles_by_source",
     "join_bloom_prefilter",
     "sample_weighted_systematic",
+    # round-6: global rank stats (the join-back is its one full-width
+    # shuffle — VERDICT r05 item 7), k-core peeling, tolerance as-of
+    "window_global_rank_stats",
+    "graph_kcore",
+    "asof_join_tolerance",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -597,3 +597,30 @@ def test_bloom_prefilter_probe_is_mapside_jvm(spark):
     # The bloom-build side owns every Exchange; it ends in a single-row
     # aggregate, so each exchange moves <= num_bits/64 tiny rows.
     assert "BroadcastExchange" in plan, plan
+
+
+def test_asof_tolerance_windowed_single_shuffle_no_python(spark):
+    """The declarative as-of (union + keyed-window last) must stay
+    entirely JVM-side — one hash exchange on the by-key, one Window,
+    no Python evaluation, no nested-loop join (the pandas-cogroup
+    route pays one Python call per user; this plan is why the
+    registered query doesn't use it)."""
+    df = SPECS["asof_join_tolerance"].fn(spark, SF_DIR_01)
+    plan = plan_string(df, "simple")
+    assert "Python" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead"), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kcore_peels_with_semi_joins_no_python(spark):
+    """k-core rounds restrict the edge list with LeftSemi hash joins —
+    never a cartesian/BNLJ — and nothing Python-side; earlier rounds
+    are lineage-truncated, so the visible plan is the last round +
+    final degree aggregate."""
+    df = SPECS["graph_kcore"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan

@@ -442,6 +442,113 @@ def test_sssp_weighted_matches_python_bellman_ford(spark, eraw, rounds):
     assert got == dist
 
 
+# --- k-core peeling vs a pure-Python model ----------------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=7),
+                          st.integers(min_value=0, max_value=7)),
+                min_size=1, max_size=20),
+       st.integers(min_value=2, max_value=4),
+       st.integers(min_value=1, max_value=4))
+def test_kcore_matches_python_peeling(spark, eraw, k, rounds):
+    """kcore == sequential synchronous peeling for the SAME round count,
+    on arbitrary small graphs (self-loops dropped, parallel edges
+    deduped) — including not-yet-converged intermediate states, exactly
+    what the unrolled oracle compares."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(eraw, "a long, b long")
+    try:
+        got = {(r["node"], r["core_deg"])
+               for r in kcore(edges, "a", "b", k=k, rounds=rounds).collect()}
+    finally:
+        release_persisted()
+
+    e = {(min(a, b), max(a, b)) for a, b in eraw if a != b}
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for u, v in e:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {x for x, d in deg.items() if d >= k}
+        e = {(u, v) for u, v in e if u in keep and v in keep}
+    deg = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert got == set(deg.items())
+
+
+# --- as-of tolerance semantics on a hand-built frame ------------------------
+
+def test_asof_join_tolerance_and_left_semantics(spark):
+    """tolerance: a match staler than the budget is NO match (NULL, not
+    the stale value); how='left' keeps every left row including users
+    with no orders at all; an in-budget match still picks the LATEST
+    at-or-before."""
+    from mapreduce_implementation_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-03-10 00:00:00"),   # match at 03-08 (2d old): keep
+         (2, 10, "2024-06-01 00:00:00"),   # latest is 03-08 (85d old): NULL
+         (3, 20, "2024-03-10 00:00:00"),   # user 20 has no orders: NULL row kept
+         ], "id long, user long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-03-01 00:00:00"), (10, "2024-03-08 00:00:00")],
+        "user long, ots string",
+    ).withColumn("ots", F.to_timestamp("ots"))
+    out = asof_join(left, right, left_on="ts", right_on="ots",
+                    left_by="user", right_by="user",
+                    right_values=["ots"], tolerance="30D", how="left")
+    got = {r["id"]: (str(r["ots"]) if r["ots"] is not None else None)
+           for r in out.collect()}
+    assert got == {1: "2024-03-08 00:00:00", 2: None, 3: None}
+
+
+# --- windowed as-of == pandas-cogroup as-of ---------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),    # user
+                          st.integers(min_value=0, max_value=500)),  # ts sec
+                min_size=1, max_size=25, unique=True),
+       st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                          st.integers(min_value=0, max_value=500)),
+                min_size=0, max_size=25, unique=True))
+def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords):
+    """asof_join_windowed (declarative union + keyed-window last) ==
+    asof_join (pd.merge_asof cogroup) with how='left' on arbitrary
+    interleavings, including equal timestamps (backward-inclusive),
+    users with no right rows, and a 100-second staleness budget."""
+    from mapreduce_implementation_spark.operators.joins import (
+        asof_join, asof_join_windowed,
+    )
+
+    base = "2024-01-01 00:00:00"
+    left = spark.createDataFrame(
+        [(i, u, s) for i, (u, s) in enumerate(levts)],
+        "id long, user long, off long",
+    ).select("id", "user", F.expr(f"timestamp'{base}' + make_interval(0,0,0,0,0,0,off)").alias("ts"))
+    right = spark.createDataFrame(
+        [(u, s) for (u, s) in rords] or [(99, 0)],
+        "user long, off long",
+    ).select("user", F.expr(f"timestamp'{base}' + make_interval(0,0,0,0,0,0,off)").alias("ots"))
+
+    win = asof_join_windowed(left, right, left_on="ts", right_on="ots",
+                             left_by="user", right_by="user",
+                             right_values=["ots"],
+                             tolerance_expr="INTERVAL 100 SECONDS")
+    pdc = asof_join(left, right, left_on="ts", right_on="ots",
+                    left_by="user", right_by="user",
+                    right_values=["ots"], tolerance="100s", how="left")
+    a = {(r["id"], str(r["ots"])) for r in win.collect()}
+    b = {(r["id"], str(r["ots"])) for r in pdc.collect()}
+    assert a == b
+
+
 # --- bloom prefilter: transparency (never drops a true match) ---------------
 
 @settings(max_examples=10, deadline=None)
