@@ -85,9 +85,12 @@ HEADLINE = [
     "graph_sssp_weighted",
     "sessions_interval_overlap",
     # round 6: k-core peeling (iterative semi-join family), staleness-
-    # budget as-of join (Arrow cogroup path)
+    # budget as-of join (declarative windowed path), salted-top-k
+    # hard-negative mining, BPE pair induction
     "graph_kcore",
     "asof_join_tolerance",
+    "retrieval_hard_negatives",
+    "text_bpe_first_merges",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from .caching import tracked_persist
 
 __all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group",
+           "top_k_per_group_salted",
            "global_ntile", "global_running_sum", "grouped_running_sum",
            "grouped_ntile", "exact_quantiles", "grouped_exact_quantiles",
            "global_order_stats", "shared_boundaries"]
@@ -70,6 +71,37 @@ def top_k_per_group(df: DataFrame, partition_by: list[str],
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def top_k_per_group_salted(df: DataFrame, partition_by: list[str],
+                           order_by: list[Column], k: int,
+                           salt_col: Column, buckets: int = 64,
+                           out_rank: str | None = None) -> DataFrame:
+    """Per-group top-k that survives GIANT groups: a plain keyed window
+    sorts each entire group in one task — fatal when one group is the
+    whole corpus (e.g. top-k neighbors per probe vector, where each of
+    a handful of probes scores every row).  Two-phase instead: local
+    top-k per (group, salt) — the salt spreads a group over ``buckets``
+    tasks — then global top-k over the <= buckets*k survivors per
+    group.  Exact for any salt assignment (an element's global rank is
+    never better than its local rank, so the global top-k is contained
+    in the union of local top-ks); ``salt_col`` is hashed
+    (``xxhash64 % buckets``) so the bucket id is a pure row-value
+    function — deterministic under recompute/retry/AQE, same discipline
+    as the two-phase window family.  ``out_rank`` optionally emits the
+    final 1-based rank.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_col), F.lit(buckets)))
+    local = (salted.withColumn(
+        "_rn", F.row_number().over(_spec([*partition_by, "_salt"], order_by)))
+        .filter(F.col("_rn") <= k))
+    final = (local.withColumn(
+        "_grn", F.row_number().over(_spec(partition_by, order_by)))
+        .filter(F.col("_grn") <= k))
+    if out_rank is not None:
+        final = final.withColumn(out_rank, F.col("_grn").cast("int"))
+    return final.drop("_salt", "_rn", "_grn")
 
 
 # --------------------------------------------------------------------------

@@ -367,3 +367,63 @@ def q_similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
            .orderBy(F.desc("maxsim"), F.asc("vec_id")).limit(10))
     w = Window.orderBy(F.desc("maxsim"), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register(
+    "retrieval_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.qid, b.vec_id,
+             round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   6) AS cos
+      FROM q JOIN embeddings b ON b.label <> q.ql
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS neg_id,
+           cos, CAST(rn AS INTEGER) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+    doc="Hard-negative mining for contrastive retrieval training (the "
+        "embedding-model data-curation step: the most confusable "
+        "OTHER-class examples make the strongest negatives): for each "
+        "of 8 probe vectors, the top-5 by cosine among vectors with a "
+        "DIFFERENT label.  Probes broadcast (8 rows), scoring is the "
+        "JVM cosine HOF over one corpus scan, and per-probe top-5 runs "
+        "through operators/windows.top_k_per_group_salted — the "
+        "two-phase top-k whose local phase spreads each probe's "
+        "corpus-sized candidate group over 64 salt buckets, so no "
+        "task ever sorts a whole group (a plain PARTITION BY qid "
+        "window would put each probe's ENTIRE corpus scan in one "
+        "task).  Ranking on the round-6 score keeps tie order "
+        "engine-independent.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectorfn import cosine
+    from ..operators.windows import top_k_per_group_salted
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (emb.where(F.col("vec_id") < 8)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").alias("qe"),
+                      F.col("label").alias("ql")))
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .where(F.col("label") != F.col("ql"))
+        .select("qid", "vec_id",
+                F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+                .alias("cos"))
+    )
+    top = top_k_per_group_salted(
+        scored, ["qid"], [F.desc("cos"), F.asc("vec_id")], k=5,
+        salt_col=F.col("vec_id"), out_rank="rank")
+    return top.select("qid", F.col("vec_id").alias("neg_id"), "cos", "rank")

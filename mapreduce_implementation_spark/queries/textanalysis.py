@@ -1338,3 +1338,45 @@ def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("plen").alias("n_words"),
                  F.round(F.max("pscore"), 4).alias("rake_score"))
             .filter(F.col("n_occ") >= 3))
+
+
+@register(
+    "text_bpe_first_merges",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(regexp_replace(
+                 text, '[^A-Za-z ]', '', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT w FROM tok WHERE len(w) >= 2),
+    pairs AS (
+      SELECT substr(w, CAST(u AS INTEGER), 2) AS pair
+      FROM (SELECT w, unnest(range(1, len(w))) AS u FROM w2)
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 10
+    """,
+    doc="The first round of BPE vocabulary induction (Sennrich et al. "
+        "2016, 'Neural Machine Translation of Rare Words with Subword "
+        "Units'): count every adjacent character pair inside every "
+        "token of the corpus and take the 10 most frequent — the pair "
+        "a BPE trainer would merge first.  Tokens come from the "
+        "canonical line-level normalize (no regex downstream of the "
+        "explode — the documented JIT-stall shape); positions explode "
+        "via sequence() and the pair is a substr, so the whole "
+        "pipeline is scan -> project -> two explodes -> partial-agg "
+        "count -> TakeOrdered: one shuffle of vocabulary-pair-sized "
+        "partial counts (<= 26^2 keys), nothing driver-side.  "
+        "Deterministic tie order (count desc, pair asc).",
+)
+def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import tokens_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (docs.select(F.explode(tokens_array(F.col("text"))).alias("w"))
+         .filter(F.length("w") >= 2))
+    pairs = (w.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w")
+        .select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair")))
+    return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(10))

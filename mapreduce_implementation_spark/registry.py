@@ -77,6 +77,7 @@ _SAMPLE_FIRST = (
     "window_global_rank_stats",
     # --- round-6 additions (no driver row yet) ---
     "graph_kcore", "asof_join_tolerance",
+    "retrieval_hard_negatives", "text_bpe_first_merges",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

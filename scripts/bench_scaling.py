@@ -71,10 +71,13 @@ PIPELINES = [
     "join_bloom_prefilter",
     "sample_weighted_systematic",
     # round-6: global rank stats (the join-back is its one full-width
-    # shuffle — VERDICT r05 item 7), k-core peeling, tolerance as-of
+    # shuffle — VERDICT r05 item 7), k-core peeling, tolerance as-of,
+    # salted-top-k hard negatives, BPE pair induction
     "window_global_rank_stats",
     "graph_kcore",
     "asof_join_tolerance",
+    "retrieval_hard_negatives",
+    "text_bpe_first_merges",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -509,6 +509,35 @@ def test_asof_join_tolerance_and_left_semantics(spark):
     assert got == {1: "2024-03-08 00:00:00", 2: None, 3: None}
 
 
+# --- salted two-phase top-k == plain keyed-window top-k ---------------------
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),      # group
+                          st.integers(min_value=-50, max_value=50),   # score
+                          st.integers(min_value=0, max_value=10**6)), # id
+                min_size=1, max_size=60, unique_by=lambda t: t[2]),
+       st.sampled_from([1, 3, 5]),
+       st.sampled_from([2, 7, 64]))
+def test_salted_topk_matches_plain_window_topk(spark, rows, k, buckets):
+    """top_k_per_group_salted == the plain PARTITION BY window top-k for
+    ANY salt bucket count (exactness does not depend on the salt: the
+    global top-k is contained in the union of per-salt local top-ks),
+    including ties on score (id tiebreaker) and groups smaller than k."""
+    from mapreduce_implementation_spark.operators.windows import (
+        top_k_per_group, top_k_per_group_salted,
+    )
+
+    df = spark.createDataFrame(rows, "g long, s long, id long")
+    order = [F.desc("s"), F.asc("id")]
+    got = {(r["g"], r["id"])
+           for r in top_k_per_group_salted(
+               df, ["g"], order, k, salt_col=F.col("id"),
+               buckets=buckets).collect()}
+    want = {(r["g"], r["id"])
+            for r in top_k_per_group(df, ["g"], order, k).collect()}
+    assert got == want
+
+
 # --- windowed as-of == pandas-cogroup as-of ---------------------------------
 
 @settings(max_examples=10, deadline=None)
