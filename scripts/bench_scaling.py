@@ -8,7 +8,9 @@ problem that would sink a 100 TB run).
 
 The sf1 corpus is derived from the driver's sf0.1 fixtures (never
 hand-synthesized distributions): 10 replicas with shifted ids, where
-replica k>0 prefixes every token with ``q{k}`` (documents) or applies a
+replica k>0 prefixes every token with a letters-only tag ``q[a-j]``
+(documents — letters because the dedup normalizers strip non-letters,
+which would erase a digit tag and collapse the replicas) or applies a
 k-dependent sign-flip pattern (embeddings).  This keeps per-doc length /
 vocabulary shape / vector norms identical while making replicas
 *disjoint* for dedup purposes — otherwise every doc would gain 9
@@ -127,8 +129,15 @@ def build_sf1(spark) -> None:
     for k in range(REPLICAS):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 100_000_000))
         if k:
+            # LETTERS-ONLY replica tag: dedup normalizers strip
+            # [^A-Za-z ], so a digit tag (the old q{k}) vanished and all
+            # replicas collapsed onto the same normalized vocabulary —
+            # every doc gained 9 near-duplicates and the r6 ngram run
+            # measured the fixture's duplication blow-up (256 ->
+            # 200,992 output pairs), not the engine's scaling.
+            tag = "q" + "abcdefghij"[k]
             d = d.withColumn(
-                "text", F.regexp_replace("text", "([A-Za-z]+)", f"q{k}$1"))
+                "text", F.regexp_replace("text", "([A-Za-z]+)", f"{tag}$1"))
         parts.append(d)
     out = parts[0]
     for d in parts[1:]:
