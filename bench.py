@@ -91,6 +91,12 @@ HEADLINE = [
     "asof_join_tolerance",
     "retrieval_hard_negatives",
     "text_bpe_first_merges",
+    # round 6 wave 5: ExactSubstr span dedup, dim-stats audit, novelty
+    "dedup_substring_spans",
+    "embedding_dim_stats",
+    "text_ngram_novelty",
+    # round 6 wave 6: full-events lead-window path mining
+    "events_top_paths",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

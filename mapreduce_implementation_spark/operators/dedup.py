@@ -718,3 +718,63 @@ def sign_lsh_params(n_vectors: int, min_cosine: float,
     while (1.0 - (1.0 - p_bits) ** tables) < target_recall and tables < max_tables:
         tables += 1
     return bits, tables
+
+
+def duplicate_substring_spans(df: DataFrame, id_col: str, text_col: str,
+                              width: int = 20, stride: int = 5,
+                              hash_key: bool = False) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): fixed-``width``
+    character windows at every ``stride`` offset of the normalized text;
+    a window that occurs verbatim in >= 2 distinct documents is a
+    duplication hit, and per-document hits merging (overlapping or
+    adjacent windows coalesce) yields the duplicated SPANS a substring
+    dedup pass would cut.  Returns (id, span_start, span_end), 1-based
+    inclusive char offsets into the normalized text.
+
+    Suffix-automaton exactness is traded for windowed exactness: a
+    duplicated substring of length >= width + stride - 1 is always
+    caught (it must contain an aligned full window); shorter ones may be
+    missed — the same trade the MinHash family makes, but with exact
+    span offsets out.
+
+    Scale: one explode (n_chars/stride rows), one groupBy on the window
+    key, one semi-join back, one per-doc window pass over hit positions
+    (hits per doc are bounded by doc length, never corpus size).  With
+    ``hash_key=True`` the shuffle key is xxhash64(window) — 8 bytes
+    instead of ``width`` chars — the 100 TB setting (collisions only
+    ever ADD a candidate window, and only if two different 20-char
+    strings collide in the same 64-bit bucket); the default keys on the
+    string itself so results are exactly reproducible by the oracle.
+    """
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z ]", ""))
+    base = (df.select(F.col(id_col), norm.alias("_t"))
+            .where(F.length("_t") >= width))
+    wins = (
+        base.select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("_t") - (width - 1),
+                                 F.lit(stride))).alias("pos"),
+            "_t")
+        .select(id_col, "pos",
+                F.expr(f"substring(_t, pos, {width})").alias("w"))
+    )
+    key = F.xxhash64("w").alias("k") if hash_key else F.col("w").alias("k")
+    wins = wins.select(id_col, "pos", key)
+    dup = (wins.groupBy("k")
+           .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+           .where(F.col("_nd") >= 2)
+           .select("k"))
+    hits = wins.join(dup, "k").select(id_col, "pos").distinct()
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w_doc) <= width,
+                 F.lit(0)).otherwise(F.lit(1))
+    grouped = (hits.withColumn("_brk", brk)
+               .withColumn("_grp", F.sum("_brk").over(
+                   w_doc.rowsBetween(Window.unboundedPreceding, 0))))
+    return (grouped.groupBy(id_col, "_grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(width - 1)).alias("span_end"))
+            .drop("_grp"))

@@ -757,3 +757,92 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
                 "version", "state_value")
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type,1) OVER w AS e2, lead(event_type,2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
+    """,
+    doc="Most-frequent 3-step event paths across all user sessions (the "
+        "behavioral n-gram mining dual of the Markov transition matrix): "
+        "per-user lead window -> path-keyed count -> deterministic "
+        "TakeOrdered top-10.  The shuffle carries one row per event and "
+        "the reduce side is path-vocabulary-sized (|event_types|^3); "
+        "ties broken by (second-formatted ts, event_id), the "
+        "engine-portable total order.",
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.where(F.col("e3").isNotNull())
+            .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("path")).limit(10))
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Incremental aggregate maintenance: the engine maintains a "
+        "daily rollup as ALGEBRAIC partials (count/sum/min/max -- each "
+        "mergeable), so a new delta batch re-aggregates base partials "
+        "UNION delta partials instead of rescanning history; avg is "
+        "derived from merged sum/count at read time (avg itself is not "
+        "mergeable).  The oracle recomputes from the full table -- "
+        "equality IS the correctness statement of incremental "
+        "maintenance.  At 100 TB the base rollup is days x types rows "
+        "while a rescan is the whole fact table.",
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type", "value",
+        (F.col("ts") < F.lit("2024-01-16")).alias("_is_base"))
+
+    def partials(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"))
+
+    base = partials(ev.where(F.col("_is_base")))
+    delta = partials(ev.where(~F.col("_is_base")))
+    merged = (base.unionByName(delta)
+              .groupBy("day", "event_type")
+              .agg(F.sum("n").alias("n"),
+                   F.sum("s").alias("s"),
+                   F.min("mn").alias("mn"),
+                   F.max("mx").alias("mx")))
+    return merged.select(
+        "day", "event_type", F.col("n").cast("long").alias("n"),
+        F.round("s", 2).alias("sum_value"),
+        F.round("mn", 2).alias("min_value"),
+        F.round("mx", 2).alias("max_value"),
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_value"))

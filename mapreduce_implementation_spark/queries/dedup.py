@@ -922,3 +922,50 @@ def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("_cos", 6).alias("cos_exact"),
                 (F.abs(est - F.col("_cos")) <= 0.35).alias("est_within_bound"))
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH norm AS (SELECT doc_id,
+                         lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS t
+                  FROM documents),
+    wins AS (
+      SELECT doc_id, pos, substr(t, pos, 20) AS w
+      FROM norm, LATERAL unnest(generate_series(1, length(t) - 19, 5)) AS u(pos)
+    ),
+    dup AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT DISTINCT doc_id, pos FROM wins
+             WHERE w IN (SELECT w FROM dup)),
+    brk AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+                 THEN 0 ELSE 1 END AS b FROM hits),
+    grp AS (SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+              FROM grp GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+    FROM spans GROUP BY doc_id
+    """,
+    doc="Exact duplicated-substring spans (Lee et al. 2022 substring "
+        "dedup, the ExactSubstr complement to the MinHash family): "
+        "20-char windows at stride 5 over normalized text; windows "
+        "verbatim-shared across >= 2 docs merge into per-doc duplicated "
+        "spans; output is each doc's span count and duplicated-char "
+        "total.  One explode + one window-key groupBy + one semi-join + "
+        "a per-doc (doc-length-bounded) merge window — no all-pairs "
+        "stage anywhere, so corpus size only ever scales the two "
+        "shuffles linearly.",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_substring_spans(docs, "doc_id", "text",
+                                      width=20, stride=5)
+    return (spans.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                 F.sum(F.col("span_end") - F.col("span_start") + 1)
+                  .alias("dup_chars")))

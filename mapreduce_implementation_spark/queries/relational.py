@@ -827,3 +827,65 @@ def q_anomaly_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v").alias("revenue"),
                 F.round(z, 4).alias("robust_z"))
     )
+
+
+def _zorder_expr(a: str, b: str, bits: int) -> str:
+    """Morton bit-interleave of two already-masked integer expressions as
+    one fully-parenthesized SQL string (valid in both Spark SQL and
+    DuckDB -- `+` binds tighter than `<<` in DuckDB, so every term is
+    wrapped)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZDUCK = _zorder_expr(
+    "(o_custkey & 4095)",
+    "(datediff('day', DATE '1992-01-01', o_orderdate) & 4095)", 12)
+
+
+@register(
+    "layout_zorder_key",
+    oracle=f"""
+    WITH z AS (
+      SELECT o_custkey,
+             datediff('day', DATE '1992-01-01', o_orderdate) AS dday,
+             CAST({_ZDUCK} AS BIGINT) AS zkey
+      FROM orders
+    )
+    SELECT CAST(zkey >> 14 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_custkey) AS BIGINT) AS cust_lo,
+           CAST(max(o_custkey) AS BIGINT) AS cust_hi,
+           CAST(min(dday) AS BIGINT) AS day_lo,
+           CAST(max(dday) AS BIGINT) AS day_hi
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering-key assignment over (customer, "
+        "order-day) -- the multi-dimensional data-layout primitive "
+        "behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the two "
+        "dimensions' bits makes each fixed-size key range a bounded "
+        "RECTANGLE in (cust, day) space, so a scan filtered on EITHER "
+        "dimension can skip most buckets by min/max stats alone.  "
+        "Output audits exactly that: per-bucket row count plus "
+        "per-dimension lo/hi bounds.  Pure codegen bit arithmetic (one "
+        "expression, no UDF) + one bucket-keyed groupBy; "
+        "`repartitionByRange(zkey)` would materialize the clustered "
+        "layout at 100 TB.",
+)
+def q_layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dday = "datediff(o_orderdate, DATE '1992-01-01')"
+    z = orders.select(
+        "o_custkey",
+        F.expr(dday).alias("dday"),
+        F.expr(_zorder_expr("(o_custkey & 4095)", f"(({dday}) & 4095)", 12))
+         .cast("long").alias("zkey"))
+    return (z.groupBy(F.shiftright("zkey", 14).cast("long").alias("zbucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_custkey").cast("long").alias("cust_lo"),
+                 F.max("o_custkey").cast("long").alias("cust_hi"),
+                 F.min("dday").cast("long").alias("day_lo"),
+                 F.max("dday").cast("long").alias("day_hi")))

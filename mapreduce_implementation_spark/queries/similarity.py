@@ -427,3 +427,40 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["qid"], [F.desc("cos"), F.asc("vec_id")], k=5,
         salt_col=F.col("vec_id"), out_rank="rank")
     return top.select("qid", F.col("vec_id").alias("neg_id"), "cos", "rank")
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(v), 6) AS mean_v,
+           round(var_samp(v), 6) AS var_v,
+           round(min(v), 6) AS min_v,
+           round(max(v), 6) AS max_v
+    FROM e GROUP BY dim
+    """,
+    doc="Per-dimension embedding statistics (the feature-health audit "
+        "run before training a quantizer or whitening transform): "
+        "posexplode -> one partial-aggregable groupBy over 64 dims.  "
+        "The reduce side sees 64 rows regardless of corpus size; at "
+        "100 TB this is a pure map-side-combine pipeline, and the "
+        "per-dim variance feeds directly into the SQ8 quantizer ranges "
+        "used by similarity_quantized_topk.",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    v = F.col("v").cast("double")
+    return (ex.select("dim", v.alias("v"))
+            .groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("v"), 6).alias("mean_v"),
+                 F.round(F.var_samp("v"), 6).alias("var_v"),
+                 F.round(F.min("v"), 6).alias("min_v"),
+                 F.round(F.max("v"), 6).alias("max_v")))

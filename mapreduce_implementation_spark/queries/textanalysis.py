@@ -1380,3 +1380,50 @@ def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair")))
     return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("pair")).limit(10))
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=_DUCK_POSTOKS + """,
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w) AS g,
+               lead(tok,2) OVER w AS _l2
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE _l2 IS NOT NULL
+    ),
+    shared AS (SELECT g FROM grams GROUP BY g
+               HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE s.g IS NULL) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (WHERE s.g IS NULL) * 1.0 / count(*), 6)
+               AS novelty_frac
+    FROM grams LEFT JOIN shared s ON grams.g = s.g
+    GROUP BY doc_id
+    """,
+    doc="Per-document n-gram novelty (the diversity / memorization-risk "
+        "score used when weighting corpus sources): fraction of a doc's "
+        "distinct trigrams appearing in NO other document.  One distinct "
+        "per (doc, gram), one gram-keyed counting aggregate, one "
+        "gram-keyed join back — the exact inverted-index shape of the "
+        "contamination check, so it shares its linear-scaling argument.",
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    g2 = (word_ngrams(docs, "doc_id", "text", n=3)
+          .select("doc_id", "ngram").distinct())
+    shared = (g2.groupBy("ngram")
+              .agg(F.count_distinct("doc_id").alias("_nd"))
+              .where(F.col("_nd") >= 2)
+              .select("ngram", F.lit(1).alias("_shared")))
+    novel = F.when(F.col("_shared").isNull(), 1).otherwise(0)
+    return (g2.join(shared, "ngram", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(novel).alias("n_novel"),
+                 F.round(F.sum(novel) / F.count(F.lit(1)), 6)
+                  .alias("novelty_frac")))

@@ -80,6 +80,12 @@ PIPELINES = [
     "asof_join_tolerance",
     "retrieval_hard_negatives",
     "text_bpe_first_merges",
+    # round-6 wave 5: ExactSubstr span dedup (window-key shuffle +
+    # per-doc merge — the new heavy text op), novelty inverted index
+    "dedup_substring_spans",
+    "text_ngram_novelty",
+    # round-6 wave 6: per-user lead window + path-vocab reduce
+    "events_top_paths",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -419,3 +419,53 @@ def test_sign_lsh_params_policy(spark):
     assert approx <= exact  # verify step is exact — no false positives
     assert exact, "fixture should contain near-dup pairs"
     assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_substring_spans_planted_duplicate(spark):
+    """A substring of length >= width + stride - 1 shared verbatim by two
+    docs must be caught (the windowed-exactness guarantee), spans must
+    cover it, and per-doc spans never overlap after the merge."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 49 chars
+    rows = [
+        (1, "aaaa bbbb cccc " + shared + " dddd eeee"),
+        (2, "xxxx yyyy " + shared + " zzzz wwww qqqq rrrr"),
+        (3, "totally unrelated text with no duplicate content at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicate_substring_spans(df, "doc_id", "text",
+                                      width=20, stride=5).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    assert 3 not in by_doc
+    assert 1 in by_doc and 2 in by_doc
+    # spans within a doc are disjoint and non-adjacent after the merge
+    for doc, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1 + 1, (doc, ss)
+    # doc 1's normalized text places `shared` at 1-based offset 16;
+    # some span must cover the whole planted region
+    s, e = sorted(by_doc[1])[0], sorted(by_doc[1])[-1]
+    assert s[0] <= 16 and e[1] >= 16 + len(shared) - 1
+
+
+def test_substring_spans_hash_key_equivalent(spark):
+    """hash_key=True (the 8-byte 100 TB shuffle key) must produce the
+    same spans as string keys on the fixture corpus."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = load_table(spark, SF_DIR_01, "documents").limit(200)
+    plain = duplicate_substring_spans(docs, "doc_id", "text").collect()
+    hashed = duplicate_substring_spans(docs, "doc_id", "text",
+                                       hash_key=True).collect()
+    canon = lambda rs: sorted((r["doc_id"], r["span_start"], r["span_end"])
+                              for r in rs)
+    assert canon(plain) == canon(hashed)

