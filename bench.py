@@ -97,6 +97,8 @@ HEADLINE = [
     "text_ngram_novelty",
     # round 6 wave 6: full-events lead-window path mining
     "events_top_paths",
+    # round 6 wave 7: BLAS covariance partials + power iteration
+    "embedding_pca_power",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -115,3 +115,39 @@ def merge_upsert(snapshot: DataFrame, changes: DataFrame, keys: list[str],
     kept = snapshot.join(ch.select(*keys), keys, "left_anti")
     applied = ch.filter(F.col(op_col) != "D").select(*data_cols)
     return kept.unionByName(applied)
+
+
+def skyline_2d_min(df: DataFrame, x_col: str, y_col: str,
+                   group_cols: tuple = (), extra_aggs: dict = None) -> DataFrame:
+    """Pareto frontier (skyline) minimizing (x, y), optionally per
+    group: keep rows where no other row has x' <= x AND y' <= y with at
+    least one strict.  Input may contain duplicate x values; they are
+    first collapsed to the per-x minimum y (anything above it is
+    strictly dominated), which also bounds the window input at
+    |distinct x| rows per group.
+
+    The naive skyline is an all-pairs NOT EXISTS; for 2 dimensions it is
+    a linear scan — after collapsing, a point is on the frontier iff its
+    y is strictly below every y at smaller x, i.e. y < min(y) over the
+    strictly-preceding window.  One groupBy + one running-min window per
+    group partition; no group's window task ever sees more rows than
+    there are distinct x values.
+
+    ``extra_aggs`` ({name: aggregate Column}) rides along on the
+    collapsing groupBy (e.g. a row count per x) so callers don't need a
+    second scan to annotate frontier points.
+    """
+    from pyspark.sql import Window
+
+    gc = list(group_cols)
+    extras = extra_aggs or {}
+    pts = (df.groupBy(*gc, F.col(x_col).alias("_x"))
+           .agg(F.min(y_col).alias("_y"),
+                *[c.alias(n) for n, c in extras.items()]))
+    w = (Window.partitionBy(*gc).orderBy("_x")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sky = pts.withColumn("_prev_min", F.min("_y").over(w))
+    return (sky.where(F.col("_prev_min").isNull()
+                      | (F.col("_y") < F.col("_prev_min")))
+            .select(*gc, F.col("_x").alias(x_col), F.col("_y").alias(y_col),
+                    *extras.keys()))

@@ -210,3 +210,78 @@ def quantized_cosine_topk(df: DataFrame, id_col: str, vec_col: str,
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int):
+    """Population covariance of a vector column as a dense numpy
+    (dim x dim) matrix, plus (n, mean vector).
+
+    The data pass is one ``mapInPandas`` stage that accumulates BLAS
+    outer-product partials per Arrow batch — X^T X, column sums, and a
+    row count as dim^2 + dim + 1 long-form rows per task — followed by a
+    (i, j)-keyed sum.  State and shuffle are O(dim^2) regardless of row
+    count (64-dim -> 4161 rows/task), the canonical way to do covariance
+    at 100 TB; exploding pairs would push n*dim^2 rows through the
+    shuffle instead.  Only the merged O(dim^2) frame reaches the driver
+    (the k x dim centroid precedent in ivf.py).
+
+    C = S/n - mean mean^T (covar_pop identity).  Returns (n, mean, C);
+    n == 0 yields zero matrices — callers decide the empty semantics.
+    """
+    import pandas as pd
+
+    def run(batches):
+        S = np.zeros((dim, dim))
+        m = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            S += X.T @ X
+            m += X.sum(axis=0)
+            n += len(X)
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.concat([
+            pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "s": S.ravel()}),
+            pd.DataFrame({"i": np.arange(dim), "j": -1, "s": m}),
+            pd.DataFrame({"i": [-1], "j": [-1], "s": [float(n)]}),
+        ])
+
+    merged = (df.select(vec_col)
+              .mapInPandas(run, schema="i INT, j INT, s DOUBLE")
+              .groupBy("i", "j").agg(F.sum("s").alias("s"))
+              .collect())
+    S = np.zeros((dim, dim))
+    mean = np.zeros(dim)
+    n = 0
+    for r in merged:
+        if r["i"] == -1:
+            n = int(r["s"])
+        elif r["j"] == -1:
+            mean[r["i"]] = r["s"]
+        else:
+            S[r["i"], r["j"]] = r["s"]
+    if n == 0:
+        return 0, mean, S
+    mean /= n
+    return n, mean, S / n - np.outer(mean, mean)
+
+
+def power_iteration_top(C, iters: int = 5):
+    """Leading eigenpair of a small symmetric matrix by fixed-count
+    power iteration from the deterministic all-0.125 start vector
+    (no RNG, so every engine/run produces the same digits).  Returns
+    (eigenvalue, unit eigenvector); the eigenvalue is ||C v_{k-1}||,
+    i.e. the induced norm of the LAST un-normalized iterate — exactly
+    what an oracle unrolling the same k matvec+normalize rounds as
+    chained CTEs computes."""
+    x = np.full(C.shape[0], 0.125)
+    nrm = 0.0
+    for _ in range(iters):
+        y = C @ x
+        nrm = float(np.sqrt((y * y).sum()))
+        if nrm == 0.0:
+            return 0.0, x
+        x = y / nrm
+    return nrm, x

@@ -846,3 +846,48 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mn", 2).alias("min_value"),
         F.round("mx", 2).alias("max_value"),
         F.round(F.col("s") / F.col("n"), 6).alias("avg_value"))
+
+
+@register(
+    "skyline_pareto_orders",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority,
+             datediff('day', DATE '1992-01-01', o_orderdate) AS dday,
+             min(o_totalprice) AS y, CAST(count(*) AS BIGINT) AS n_orders_day
+      FROM orders GROUP BY 1, 2
+    ),
+    sky AS (
+      SELECT *, min(y) OVER (PARTITION BY o_orderpriority ORDER BY dday
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+      FROM pts
+    )
+    SELECT o_orderpriority, CAST(dday AS BIGINT) AS dday,
+           round(y, 2) AS min_price, n_orders_day
+    FROM sky WHERE prev_min IS NULL OR y < prev_min
+    """,
+    doc="Per-priority skyline (Pareto frontier) of orders minimizing "
+        "(order day, price): an order day is on the frontier iff no "
+        "earlier-or-equal day has an equal-or-cheaper order.  The naive "
+        "skyline is an all-pairs NOT EXISTS dominance test; this plan is "
+        "linear — one groupBy collapses the data to (priority, day) "
+        "minima, then ONE running-min window per priority partition "
+        "keeps exactly the strictly-descending minima.  No per-group "
+        "task ever sees more than |days| rows, and the dominance pass "
+        "never shuffles the fact table twice.",
+)
+def q_skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import skyline_2d_min
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderpriority",
+                    F.expr("datediff(o_orderdate, DATE '1992-01-01')")
+                     .alias("dday"),
+                    "o_totalprice")
+    sky = skyline_2d_min(
+        base, "dday", "o_totalprice", group_cols=("o_orderpriority",),
+        extra_aggs={"n_orders_day": F.count(F.lit(1))})
+    return sky.select("o_orderpriority",
+                      F.col("dday").cast("long").alias("dday"),
+                      F.round("o_totalprice", 2).alias("min_price"),
+                      F.col("n_orders_day").cast("long").alias("n_orders_day"))

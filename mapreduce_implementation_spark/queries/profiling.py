@@ -250,3 +250,65 @@ def q_dq_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                | (F.col("value") < 0), 1)).cast("long"))
     return (pk.unionByName(fk).unionByName(bal)
             .unionByName(li_rules).unionByName(ev))
+
+
+@register(
+    "sketch_quantile_histogram",
+    oracle="""
+    WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    mm AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
+    b AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+            least(CAST(floor((x - lo) / ((hi - lo) / 256.0)) AS BIGINT), 255)
+          END AS bin FROM v, mm),
+    h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+    cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cc FROM h),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)),
+    est AS (SELECT q, min(bin) AS qbin
+            FROM qs, cum, mm WHERE cc >= q * n GROUP BY q),
+    ex AS (SELECT quantile_disc(x, 0.25) AS e1, quantile_disc(x, 0.5) AS e2,
+                  quantile_disc(x, 0.75) AS e3, quantile_disc(x, 0.9) AS e4,
+                  quantile_disc(x, 0.99) AS e5 FROM v),
+    exl AS (SELECT 0.25 AS q, e1 AS ev FROM ex UNION ALL
+            SELECT 0.5, e2 FROM ex UNION ALL SELECT 0.75, e3 FROM ex
+            UNION ALL SELECT 0.9, e4 FROM ex UNION ALL SELECT 0.99, e5 FROM ex)
+    SELECT est.q,
+           round(lo + (qbin + 1) * ((hi - lo) / 256.0), 6) AS est_value,
+           round(ev, 6) AS exact_value,
+           (abs(lo + (qbin + 1) * ((hi - lo) / 256.0) - ev)
+              <= (hi - lo) / 256.0) AS within_bound
+    FROM est JOIN exl USING (q), mm
+    """,
+    doc="Mergeable equi-width-histogram quantile sketch over "
+        "l_extendedprice (the fixed-state member of the t-digest/KLL "
+        "family, joining the registered count-min and HLL sketches): "
+        "pass 1 = (min, max, n) scalar frame; pass 2 = 256-bin counted "
+        "histogram whose partials merge map-side, so the shuffle is "
+        "<= 256 rows at any data size.  The estimate (first bin edge "
+        "whose cumulative count reaches q*n) is deterministic double "
+        "arithmetic, reproduced bit-for-bit by the oracle; the exact "
+        "DISCRETE quantile (the rank-ceil(q*n) order statistic, Spark "
+        "percentile_disc == DuckDB quantile_disc) rides along, and "
+        "`within_bound` pins the provable |est - exact| <= (max-min)/256 "
+        "in-query (no bound exists vs the interpolated quantile, which "
+        "can straddle empty bins on sparse data).",
+)
+def q_sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import histogram_quantile_estimates
+
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    li = load_table(spark, sf_dir, "lineitem")
+    est = histogram_quantile_estimates(li, "l_extendedprice", bins=256, qs=qs)
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    disc = ", ".join(
+        f"percentile_disc({q}) WITHIN GROUP "
+        "(ORDER BY CAST(l_extendedprice AS DOUBLE))" for q in qs)
+    exl = (li.selectExpr(f"array({disc}) AS ev")
+           .select(F.posexplode("ev").alias("i", "exact_v"))
+           .select(F.element_at(qarr, F.col("i") + 1).alias("q"), "exact_v"))
+    return (est.join(exl, "q")
+            .select("q", F.round("est_value", 6).alias("est_value"),
+                    F.round("exact_v", 6).alias("exact_value"),
+                    (F.abs(F.col("est_value") - F.col("exact_v"))
+                     <= F.col("err_bound")).alias("within_bound")))

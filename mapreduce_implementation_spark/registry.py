@@ -80,6 +80,8 @@ _SAMPLE_FIRST = (
     "retrieval_hard_negatives", "text_bpe_first_merges",
     "dedup_substring_spans", "embedding_dim_stats", "text_ngram_novelty",
     "events_top_paths", "incremental_agg_merge", "layout_zorder_key",
+    "sketch_quantile_histogram", "skyline_pareto_orders",
+    "embedding_pca_power",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

@@ -86,6 +86,9 @@ PIPELINES = [
     "text_ngram_novelty",
     # round-6 wave 6: per-user lead window + path-vocab reduce
     "events_top_paths",
+    # round-6 wave 7: covariance partial pass + 256-bin histogram sketch
+    "embedding_pca_power",
+    "sketch_quantile_histogram",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

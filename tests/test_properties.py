@@ -727,3 +727,82 @@ def test_zorder_expr_matches_python_morton(spark, pts):
          .cast("long").alias("z")).collect()}
     for x, y in pts:
         assert got[(x, y)] == morton(x, y)
+
+
+@given(st.lists(st.tuples(st.integers(0, 30),
+                          st.integers(-1000, 1000)),
+                min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None)
+def test_skyline_matches_bruteforce_dominance(spark, pts):
+    """skyline_2d_min must equal the all-pairs dominance definition:
+    keep (x, y) iff no point has x' <= x and y' <= y with one strict."""
+    from mapreduce_implementation_spark.operators.relational import (
+        skyline_2d_min,
+    )
+
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = sorted((r["x"], r["y"]) for r in
+                 skyline_2d_min(df, "x", "y").collect())
+    collapsed = {}
+    for x, y in pts:
+        collapsed[x] = min(collapsed.get(x, y), y)
+    cand = sorted(collapsed.items())
+    want = sorted(
+        (x, y) for x, y in cand
+        if not any((bx <= x and by <= y and (bx < x or by < y))
+                   for bx, by in cand))
+    assert got == want
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=300))
+@settings(max_examples=10, deadline=None)
+def test_histogram_quantile_within_bound(spark, xs):
+    """The equi-width histogram estimate must sit within its err_bound
+    (one bin width) of the DISCRETE quantile — the rank-ceil(q*n) order
+    statistic, numpy's inverted_cdf — for ANY input, including
+    single-valued (zero-width) columns.  (No bound exists against the
+    interpolated quantile: on {0.0, 1.0} at q=0.1 the interpolation
+    crosses 6 empty bins.)"""
+    import numpy as np
+
+    from mapreduce_implementation_spark.operators.sketch import (
+        histogram_quantile_estimates,
+    )
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    rows = histogram_quantile_estimates(df, "v", bins=64,
+                                        qs=(0.1, 0.5, 0.9)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        exact = float(np.quantile(np.array(xs), r["q"],
+                                  method="inverted_cdf"))
+        assert abs(r["est_value"] - exact) <= r["err_bound"] + 1e-9, (
+            r["q"], r["est_value"], exact, r["err_bound"])
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    """covariance_matrix's BLAS-partial mapInPandas pass must equal
+    numpy's population covariance, and power_iteration_top's Rayleigh
+    estimate must be dominated by (and near) the true top eigenvalue."""
+    import numpy as np
+
+    from mapreduce_implementation_spark.operators.similarity import (
+        covariance_matrix, power_iteration_top,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 8)) @ np.diag([3, 2, 1, 1, 1, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id bigint, embedding array<double>")
+    n, mean, C = covariance_matrix(df, "embedding", dim=8)
+    assert n == len(X)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(C, np.cov(X, rowvar=False, bias=True), atol=1e-9)
+    lam, vec = power_iteration_top(C, iters=5)
+    true = float(np.linalg.eigvalsh(C)[-1])
+    assert abs(np.linalg.norm(vec) - 1.0) < 1e-9
+    assert lam <= true + 1e-9
+    assert lam >= 0.9 * true  # eigengap 9:4 converges fast from 5 iters

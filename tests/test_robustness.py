@@ -93,6 +93,9 @@ _REPRESENTATIVES = [
     "events_top_paths",            # lead window over zero events
     "incremental_agg_merge",       # base/delta partial merge of nothing
     "layout_zorder_key",           # bit interleave over zero orders
+    "sketch_quantile_histogram",   # histogram sketch of zero values
+    "skyline_pareto_orders",       # dominance frontier of zero points
+    "embedding_pca_power",         # covariance of an empty corpus
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
