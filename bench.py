@@ -99,6 +99,9 @@ HEADLINE = [
     "events_top_paths",
     # round 6 wave 7: BLAS covariance partials + power iteration
     "embedding_pca_power",
+    # round 6 wave 8: unrolled HITS rounds, decile-checkpoint vocab curve
+    "graph_hits_trade",
+    "text_heaps_law",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

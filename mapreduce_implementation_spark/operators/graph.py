@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from .caching import tracked_persist
 
 __all__ = ["connected_components", "pagerank", "label_propagation",
-           "triangle_count", "bfs_distances", "kcore"]
+           "triangle_count", "bfs_distances", "kcore", "hits"]
 
 # Rounds are O(log n); 25 covers any graph that fits on a real cluster
 # (2^25 nodes of *diameter* after contraction).  Hitting the cap raises —
@@ -428,3 +428,51 @@ def sssp_weighted(edges: DataFrame, nodes: DataFrame, source,
         if _i < rounds - 1:
             dist = dist.localCheckpoint(eager=True)
     return dist.withColumnRenamed("d", "dist")
+
+
+def hits(edges: DataFrame, nodes: DataFrame, iters: int = 2,
+         broadcast_vecs: bool | None = None,
+         broadcast_node_limit: int = 1_000_000) -> DataFrame:
+    """Weighted HITS (Kleinberg, "Authoritative sources in a hyperlinked
+    environment", JACM 1999): alternating hub/authority power iteration
+    with L2 normalization after every half-step.  Same execution shape
+    as pagerank(): the edge list is persisted and reused across rounds;
+    each half-step is one join of the O(nodes) score vector onto the
+    edges + one partial-aggregable sum keyed on the opposite endpoint;
+    the L2 normalizer enters the plan as a broadcast 1-row aggregate,
+    never a Python scalar.  The score vector broadcasts for
+    dimension-sized graphs and falls back to a shuffled hash join past
+    ``broadcast_node_limit`` nodes — pagerank's 100 TB honesty knob.
+
+    Returns (v, hub, authority) after ``iters`` full authority-then-hub
+    rounds from the all-ones hub start (deterministic, RNG-free, so an
+    oracle can unroll the identical rounds as chained CTEs).
+    """
+    e = tracked_persist(
+        edges.select("src", "dst", F.col("w").cast("double").alias("w")))
+    n1 = nodes.select("v").distinct()
+    if broadcast_vecs is None:
+        broadcast_vecs = (
+            n1.limit(broadcast_node_limit + 1).count() <= broadcast_node_limit)
+    hint = F.broadcast if broadcast_vecs else (lambda df: df)
+
+    def norm(scored: DataFrame, key: str) -> DataFrame:
+        """Left-join partial sums back onto all nodes (missing = 0) and
+        L2-normalize via a broadcast 1-row aggregate."""
+        full = (n1.join(scored, F.col("v") == F.col(key), "left")
+                .select("v", F.coalesce("s", F.lit(0.0)).alias("s")))
+        nrm = full.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_nrm"))
+        return full.crossJoin(F.broadcast(nrm)).select(
+            "v", (F.col("s") / F.col("_nrm")).alias("x"))
+
+    h = n1.select("v", F.lit(1.0).alias("x"))
+    a = h
+    for _ in range(iters):
+        ar = (e.join(hint(h), F.col("src") == F.col("v"))
+              .groupBy("dst").agg(F.sum(F.col("w") * F.col("x")).alias("s")))
+        a = norm(ar, "dst")
+        hr = (e.join(hint(a), F.col("dst") == F.col("v"))
+              .groupBy("src").agg(F.sum(F.col("w") * F.col("x")).alias("s")))
+        h = norm(hr, "src")
+    return (h.select("v", F.col("x").alias("hub"))
+            .join(a.select("v", F.col("x").alias("authority")), "v"))

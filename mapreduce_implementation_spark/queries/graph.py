@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import pagerank
+from ..operators.graph import hits, pagerank
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -487,3 +487,65 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = kcore(heavy, "a", "b", k=_KCORE_K, rounds=_KCORE_ROUNDS)
     return core.select(F.col("node").cast("int").alias("nationkey"),
                        F.col("core_deg").cast("long").alias("core_deg"))
+
+
+@register(
+    "graph_hits_trade",
+    oracle="""
+    WITH edges AS MATERIALIZED (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT n_nationkey AS v FROM nation),
+    h0 AS (SELECT v, 1.0 AS h FROM nodes),
+    a1r AS (SELECT dst AS v, sum(w * h.h) AS s FROM edges JOIN h0 h ON src = h.v GROUP BY 1),
+    a1 AS (SELECT nodes.v, coalesce(s, 0) / sqrt((SELECT sum(coalesce(s,0)*coalesce(s,0)) FROM nodes LEFT JOIN a1r ON nodes.v = a1r.v)) AS a
+           FROM nodes LEFT JOIN a1r ON nodes.v = a1r.v),
+    h1r AS (SELECT src AS v, sum(w * a.a) AS s FROM edges JOIN a1 a ON dst = a.v GROUP BY 1),
+    h1 AS (SELECT nodes.v, coalesce(s, 0) / sqrt((SELECT sum(coalesce(s,0)*coalesce(s,0)) FROM nodes LEFT JOIN h1r ON nodes.v = h1r.v)) AS h
+           FROM nodes LEFT JOIN h1r ON nodes.v = h1r.v),
+    a2r AS (SELECT dst AS v, sum(w * h.h) AS s FROM edges JOIN h1 h ON src = h.v GROUP BY 1),
+    a2 AS (SELECT nodes.v, coalesce(s, 0) / sqrt((SELECT sum(coalesce(s,0)*coalesce(s,0)) FROM nodes LEFT JOIN a2r ON nodes.v = a2r.v)) AS a
+           FROM nodes LEFT JOIN a2r ON nodes.v = a2r.v),
+    h2r AS (SELECT src AS v, sum(w * a.a) AS s FROM edges JOIN a2 a ON dst = a.v GROUP BY 1),
+    h2 AS (SELECT nodes.v, coalesce(s, 0) / sqrt((SELECT sum(coalesce(s,0)*coalesce(s,0)) FROM nodes LEFT JOIN h2r ON nodes.v = h2r.v)) AS h
+           FROM nodes LEFT JOIN h2r ON nodes.v = h2r.v)
+    SELECT CAST(h2.v AS INTEGER) AS nationkey,
+           round(h2.h, 6) AS hub, round(a2.a, 6) AS authority
+    FROM h2 JOIN a2 ON h2.v = a2.v
+    """,
+    doc="Weighted HITS hub/authority scores (Kleinberg 1999) over the "
+        "customer-nation -> supplier-nation trade graph: 2 unrolled "
+        "authority-then-hub rounds, L2-normalized per half-step, from "
+        "the all-ones hub start.  Hub = nations whose customers buy from "
+        "authoritative suppliers; authority = nations whose suppliers "
+        "serve hub buyers — the asymmetric dual PageRank collapses.  "
+        "Edge build = 3 fact joins + one aggregation, persisted once; "
+        "each half-step is one broadcast of the O(nodes) vector + one "
+        "partial-aggregable sum on the opposite endpoint.  Oracle "
+        "unrolls the identical rounds as chained CTEs.",
+)
+def q_graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"),
+                 F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("v"))
+    scores = hits(edges, nodes, iters=2)
+    return scores.select(F.col("v").cast("int").alias("nationkey"),
+                         F.round("hub", 6).alias("hub"),
+                         F.round("authority", 6).alias("authority"))

@@ -524,3 +524,114 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("dim", F.round("loading", 4).alias("loading"),
                       F.round("eigenvalue", 6).alias("eigenvalue"),
                       F.round("var_explained", 6).alias("var_explained"))
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+    WITH k AS (
+      SELECT greatest(1, least(50, CAST(3000 // greatest(count(*), 1) AS BIGINT))) AS kk
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INTEGER) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings, k
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 100 < kk
+    ),
+    proj AS MATERIALIZED (
+      SELECT vec_id, j,
+             sum(v * (CASE WHEN ('0x' || substr(md5(d || '_' || j), 1, 4))::BIGINT % 2 = 0
+                           THEN 1.0 ELSE -1.0 END)) / sqrt(16.0) AS y
+      FROM e, (SELECT unnest(generate_series(0, 15)) AS j) js
+      GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             sqrt(sum((a.v - b.v) * (a.v - b.v))) AS orig_dist
+      FROM e a JOIN e b ON a.d = b.d AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    pdist AS (
+      SELECT p.a, p.b, sqrt(sum((x.y - y.y) * (x.y - y.y))) AS proj_dist
+      FROM pairs p
+      JOIN proj x ON x.vec_id = p.a
+      JOIN proj y ON y.vec_id = p.b AND x.j = y.j
+      GROUP BY 1, 2
+    ),
+    audit AS (
+      SELECT a, b, orig_dist, proj_dist,
+             (proj_dist / orig_dist) * (proj_dist / orig_dist) AS sq_ratio
+      FROM pairs JOIN pdist USING (a, b) WHERE orig_dist > 0
+    ),
+    stats AS (SELECT avg(sq_ratio) AS msr FROM audit)
+    SELECT a, b, round(orig_dist, 6) AS orig_dist,
+           round(proj_dist, 6) AS proj_dist,
+           round(sq_ratio, 6) AS sq_ratio,
+           round(msr, 6) AS mean_sq_ratio,
+           (msr BETWEEN 0.7 AND 1.4) AS jl_mean_ok
+    FROM audit, stats
+    """,
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims with a "
+        "DETERMINISTIC hash-derived sign matrix (Achlioptas 2003: "
+        "+-1/sqrt(k) entries preserve distances in expectation; the sign "
+        "of R[d][j] is the parity of md5(d_j), so every engine and every "
+        "run builds the same matrix with no RNG state).  Output audits "
+        "the JL guarantee itself on the adaptive md5-bucket vector "
+        "subset (K = clamp(3000//n, 1, 50) of 100 buckets -- the O(1) "
+        "audit-cost idiom from dedup_embedding_lsh): per-pair original "
+        "vs projected distance and squared ratio, plus the subset mean "
+        "of the squared ratio, whose expectation is exactly 1 "
+        "(jl_mean_ok pins it to [0.7, 1.4]; measured ~1.01).  The "
+        "projection is one posexplode + a 16-way partial-aggregable "
+        "sum -- n x dim x 16 codegen rows into an n x 16 shuffle, no "
+        "Python; at 100 TB it is the cheap preprocessing that makes "
+        "downstream ANN 4x narrower.",
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    kk = max(1, min(50, 3000 // max(n, 1)))
+    bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4),
+                     16, 10).cast("long") % 100)
+    e = (emb.where(bucket < kk)
+         .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+         .select("vec_id", "d", F.col("v").cast("double").alias("v")))
+    e = tracked_persist(e)
+    js = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat_ws("_", F.col("d"), F.col("j"))),
+                           1, 4), 16, 10).cast("long") % 2 == 0,
+        F.lit(1.0)).otherwise(F.lit(-1.0))
+    proj = (e.crossJoin(F.broadcast(js))
+            .groupBy("vec_id", "j")
+            .agg((F.sum(F.col("v") * sign) / F.lit(4.0)).alias("y")))
+    ea, eb = e.alias("ea"), e.alias("eb")
+    pairs = (ea.join(eb, (F.col("ea.d") == F.col("eb.d"))
+                     & (F.col("ea.vec_id") < F.col("eb.vec_id")))
+             .groupBy(F.col("ea.vec_id").alias("a"),
+                      F.col("eb.vec_id").alias("b"))
+             .agg(F.sqrt(F.sum((F.col("ea.v") - F.col("eb.v"))
+                               * (F.col("ea.v") - F.col("eb.v"))))
+                  .alias("orig_dist")))
+    px, py = proj.alias("px"), proj.alias("py")
+    pdist = (px.join(py, (F.col("px.j") == F.col("py.j"))
+                     & (F.col("px.vec_id") < F.col("py.vec_id")))
+             .groupBy(F.col("px.vec_id").alias("a"),
+                      F.col("py.vec_id").alias("b"))
+             .agg(F.sqrt(F.sum((F.col("px.y") - F.col("py.y"))
+                               * (F.col("px.y") - F.col("py.y"))))
+                  .alias("proj_dist")))
+    sq = (F.col("proj_dist") / F.col("orig_dist")) * (F.col("proj_dist") / F.col("orig_dist"))
+    audit = (pairs.join(pdist, ["a", "b"])
+             .where(F.col("orig_dist") > 0)
+             .withColumn("sq_ratio", sq))
+    stats = audit.agg(F.avg("sq_ratio").alias("msr"))
+    return (audit.crossJoin(F.broadcast(stats))
+            .select("a", "b", F.round("orig_dist", 6).alias("orig_dist"),
+                    F.round("proj_dist", 6).alias("proj_dist"),
+                    F.round("sq_ratio", 6).alias("sq_ratio"),
+                    F.round("msr", 6).alias("mean_sq_ratio"),
+                    F.col("msr").between(0.7, 1.4).alias("jl_mean_ok")))

@@ -1427,3 +1427,83 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(novel).alias("n_novel"),
                  F.round(F.sum(novel) / F.count(F.lit(1)), 6)
                   .alias("novelty_frac")))
+
+
+_HEAPS_DISC = ", ".join(
+    f"quantile_disc(doc_id, {k / 10:.1f}) AS b{k}" for k in range(1, 11))
+_HEAPS_UNION = " UNION ALL ".join(
+    f"SELECT {k} AS k, b{k} AS b FROM bs" for k in range(1, 11))
+
+
+@register(
+    "text_heaps_law",
+    oracle=_DUCK_POSTOKS + f""",
+    grams AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id,
+               concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w) AS g,
+               lead(tok,2) OVER w AS _l2
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE _l2 IS NOT NULL
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS ntok FROM grams GROUP BY doc_id),
+    first_doc AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY g),
+    bs AS (SELECT {_HEAPS_DISC} FROM per_doc),
+    bounds AS ({_HEAPS_UNION}),
+    toks_k AS (SELECT k, b, CAST(sum(ntok) AS BIGINT) AS cum_tokens
+               FROM per_doc, bounds WHERE doc_id <= b GROUP BY k, b),
+    vocab_k AS (SELECT k, CAST(count(*) AS BIGINT) AS vocab_size
+                FROM first_doc, bounds WHERE fd <= b GROUP BY k),
+    pts AS (SELECT k, b, cum_tokens, vocab_size
+            FROM toks_k JOIN vocab_k USING (k)),
+    fit AS (SELECT regr_slope(ln(CAST(vocab_size AS DOUBLE)),
+                              ln(CAST(cum_tokens AS DOUBLE))) AS beta
+            FROM pts)
+    SELECT CAST(k AS INTEGER) AS decile, CAST(b AS BIGINT) AS boundary_doc,
+           cum_tokens, vocab_size,
+           round((SELECT beta FROM fit), 4) AS heaps_beta
+    FROM pts
+    """,
+    doc="Heaps'-law vocabulary-growth curve over trigram vocabulary "
+        "(Heaps 1978: V ~ K*N^beta; the corpus-health audit that says "
+        "whether adding data still adds novelty): cumulative gram count "
+        "and cumulative distinct-vocabulary size at 10 document-rank "
+        "deciles, plus the fitted log-log slope beta.  No global prefix "
+        "window anywhere: each gram's FIRST document (one groupBy) and "
+        "each doc's gram count (one groupBy) are joined against the 10 "
+        "decile boundary doc_ids (percentile_disc, a distributed "
+        "aggregate) as broadcast conditional sums — the cumulative curve "
+        "at 10 checkpoints costs two vocabulary-sized shuffles, never a "
+        "sort of the corpus.  Integer exact until the final regr_slope.",
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
+    from ..operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = tracked_persist(
+        word_ngrams(docs, "doc_id", "text", n=3).select("doc_id", "ngram"))
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ntok"))
+    first_doc = g.groupBy("ngram").agg(F.min("doc_id").alias("fd"))
+    disc = ", ".join(
+        f"percentile_disc({k / 10:.1f}) WITHIN GROUP (ORDER BY doc_id)"
+        for k in range(1, 11))
+    bounds = (per_doc.selectExpr(f"array({disc}) AS bs")
+              .select(F.posexplode("bs").alias("i", "b"))
+              .select((F.col("i") + 1).alias("k"), "b"))
+    toks_k = (per_doc.crossJoin(F.broadcast(bounds))
+              .where(F.col("doc_id") <= F.col("b"))
+              .groupBy("k", "b").agg(F.sum("ntok").alias("cum_tokens")))
+    vocab_k = (first_doc.crossJoin(F.broadcast(bounds))
+               .where(F.col("fd") <= F.col("b"))
+               .groupBy("k").agg(F.count(F.lit(1)).alias("vocab_size")))
+    pts = toks_k.join(vocab_k, "k")
+    fit = pts.agg(F.expr(
+        "regr_slope(ln(CAST(vocab_size AS DOUBLE)), "
+        "ln(CAST(cum_tokens AS DOUBLE)))").alias("beta"))
+    return (pts.crossJoin(F.broadcast(fit))
+            .select(F.col("k").cast("int").alias("decile"),
+                    F.col("b").cast("long").alias("boundary_doc"),
+                    F.col("cum_tokens").cast("long").alias("cum_tokens"),
+                    F.col("vocab_size").cast("long").alias("vocab_size"),
+                    F.round("beta", 4).alias("heaps_beta")))

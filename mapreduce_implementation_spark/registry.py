@@ -82,6 +82,7 @@ _SAMPLE_FIRST = (
     "events_top_paths", "incremental_agg_merge", "layout_zorder_key",
     "sketch_quantile_histogram", "skyline_pareto_orders",
     "embedding_pca_power",
+    "graph_hits_trade", "text_heaps_law", "embedding_random_projection",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

@@ -89,6 +89,8 @@ PIPELINES = [
     # round-6 wave 7: covariance partial pass + 256-bin histogram sketch
     "embedding_pca_power",
     "sketch_quantile_histogram",
+    # round-6 wave 8: trigram first-doc/per-doc reduces vs 10 boundaries
+    "text_heaps_law",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -469,3 +469,38 @@ def test_substring_spans_hash_key_equivalent(spark):
     canon = lambda rs: sorted((r["doc_id"], r["span_start"], r["span_end"])
                               for r in rs)
     assert canon(plain) == canon(hashed)
+
+
+def test_random_projection_matches_numpy_signs(spark):
+    """The JL query's hash-derived sign matrix and projection must equal
+    a pure-Python rebuild: same md5-parity signs, y = (X R) / sqrt(16),
+    and E-preserving distances on the audit subset."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreduce_implementation_spark.queries.similarity import (
+        q_embedding_random_projection,
+    )
+
+    rows = q_embedding_random_projection(spark, SF_DIR_01).collect()
+    assert rows, "audit subset must be non-empty at sf0.01"
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in load_table(spark, SF_DIR_01, "embeddings").collect()}
+
+    def sign(d, j):
+        h = int(hashlib.md5(f"{d}_{j}".encode()).hexdigest()[:4], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    R = np.array([[sign(d, j) for j in range(16)] for d in range(64)])
+
+    def proj(x):
+        return (x @ R) / 4.0
+
+    for r in rows[:10]:
+        x, y = emb[r["a"]], emb[r["b"]]
+        od = float(np.sqrt(((x - y) ** 2).sum()))
+        pd_ = float(np.sqrt(((proj(x) - proj(y)) ** 2).sum()))
+        assert abs(r["orig_dist"] - round(od, 6)) < 1e-9
+        assert abs(r["proj_dist"] - round(pd_, 6)) < 2e-6
+        assert r["jl_mean_ok"] is True

@@ -283,3 +283,41 @@ def test_sssp_weighted_prefers_cheap_multihop_path(spark):
 
     with pytest.raises(ValueError):
         sssp_weighted(edges, nodes, source=0, rounds=4, max_edge_w=0)
+
+
+def test_hits_matches_numpy_iteration(spark):
+    """hits() must reproduce an independent numpy implementation of the
+    same 2 authority-then-hub L2-normalized rounds on a small weighted
+    digraph, and both score vectors must be unit-norm."""
+    import numpy as np
+
+    from mapreduce_implementation_spark.operators.graph import hits
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (3, 2, 5.0),
+             (2, 0, 1.0), (4, 1, 2.0)]
+    nv = 6  # node 5 is isolated
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    nodes = spark.createDataFrame([(i,) for i in range(nv)], "v bigint")
+    try:
+        got = {r["v"]: (r["hub"], r["authority"])
+               for r in hits(df, nodes, iters=2).collect()}
+    finally:
+        release_persisted()
+
+    W = np.zeros((nv, nv))
+    for s, d, w in edges:
+        W[s, d] = w
+    h = np.ones(nv)
+    for _ in range(2):
+        a = W.T @ h
+        a = a / np.sqrt((a * a).sum())
+        h = W @ a
+        h = h / np.sqrt((h * h).sum())
+    assert abs(np.linalg.norm(h) - 1) < 1e-9
+    for v in range(nv):
+        assert abs(got[v][0] - h[v]) < 1e-9, ("hub", v)
+        assert abs(got[v][1] - a[v]) < 1e-9, ("authority", v)
+    assert got[5] == (0.0, 0.0)  # isolated node present, scored zero

@@ -96,6 +96,9 @@ _REPRESENTATIVES = [
     "sketch_quantile_histogram",   # histogram sketch of zero values
     "skyline_pareto_orders",       # dominance frontier of zero points
     "embedding_pca_power",         # covariance of an empty corpus
+    "graph_hits_trade",            # hub/authority over an empty graph
+    "text_heaps_law",              # vocab growth of an empty corpus
+    "embedding_random_projection", # JL audit over zero vectors
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
