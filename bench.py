@@ -102,6 +102,9 @@ HEADLINE = [
     # round 6 wave 8: unrolled HITS rounds, decile-checkpoint vocab curve
     "graph_hits_trade",
     "text_heaps_law",
+    # round 6 waves 9-10: builtin session windows, two-phase-rank Gini
+    "window_session_builtin",
+    "agg_gini_spend",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

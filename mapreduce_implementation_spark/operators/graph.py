@@ -134,8 +134,15 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
 
 def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
              damping: float = 0.85, broadcast_ranks: bool | None = None,
-             broadcast_node_limit: int = 1_000_000) -> DataFrame:
+             broadcast_node_limit: int = 1_000_000,
+             reset: DataFrame | None = None) -> DataFrame:
     """Weighted PageRank over an edge list ``(src, dst, w)``.
+
+    ``reset`` (optional) personalizes the walk: a ``(v, s)`` frame whose
+    ``s`` sums to 1 replaces the uniform teleport — each round's
+    restart mass lands as ``(1-d)*s_v`` via one broadcast join, and the
+    initial rank vector is the reset distribution itself, so seeded
+    relevance costs the same per round as global PageRank.
 
     Power iteration expressed as DataFrame ops: each round is ONE join of
     the rank vector onto the (large) edge list + one aggregation on dst —
@@ -171,8 +178,16 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
             n1.limit(broadcast_node_limit + 1).count() <= broadcast_node_limit)
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
     cnt = n1.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    ranks = n1.crossJoin(F.broadcast(cnt)).select(
-        "v", (F.lit(1.0) / F.col("_n")).alias("r"))
+    rs = None
+    if reset is None:
+        ranks = n1.crossJoin(F.broadcast(cnt)).select(
+            "v", (F.lit(1.0) / F.col("_n")).alias("r"))
+    else:
+        rs = tracked_persist(
+            n1.join(reset.select("v", F.col("s").cast("double").alias("_rs")),
+                    "v", "left")
+            .select("v", F.coalesce("_rs", F.lit(0.0)).alias("_rs")))
+        ranks = rs.select("v", F.col("_rs").alias("r"))
     for _i in range(iters):
         contrib = (
             e.join(outw, "src")
@@ -180,14 +195,16 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("w") / F.col("_ow")).alias("_s"))
         )
-        ranks = (
-            n1.crossJoin(F.broadcast(cnt))
-            .join(contrib, F.col("v") == F.col("dst"), "left")
-            .select(
-                "v",
-                ((1.0 - damping) / F.col("_n")
-                 + damping * F.coalesce(F.col("_s"), F.lit(0.0))).alias("r"),
-            )
+        base = (n1.crossJoin(F.broadcast(cnt))
+                .join(contrib, F.col("v") == F.col("dst"), "left"))
+        if rs is None:
+            tele = (1.0 - damping) / F.col("_n")
+        else:
+            base = base.join(F.broadcast(rs), "v", "left")
+            tele = (1.0 - damping) * F.coalesce(F.col("_rs"), F.lit(0.0))
+        ranks = base.select(
+            "v",
+            (tele + damping * F.coalesce(F.col("_s"), F.lit(0.0))).alias("r"),
         )
         # truncate the per-round lineage (the CC idiom): without this the
         # plan nests one join tree per iteration and Catalyst re-analyzes

@@ -891,3 +891,116 @@ def q_skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("dday").cast("long").alias("dday"),
                       F.round("o_totalprice", 2).alias("min_price"),
                       F.col("n_orders_day").cast("long").alias("n_orders_day"))
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH fs AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS first_day
+                FROM events GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(count(*) FILTER (WHERE day = first_day) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (WHERE day > first_day) AS BIGINT)
+               AS returning_users
+    FROM act JOIN fs USING (user_id) GROUP BY day
+    """,
+    doc="Daily new-vs-returning user split (the growth-accounting "
+        "decomposition of any DAU curve): each user's first-seen day "
+        "(one groupBy) joined onto the distinct (user, day) activity "
+        "frame, then one conditional aggregate per day.  No window "
+        "functions, no self-join over time — the running 'seen before' "
+        "state usually modeled with an expanding window reduces to the "
+        "first-occurrence trick (min day per user), so the whole query "
+        "is two user-keyed shuffles at any scale.",
+)
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    fs = (e.groupBy("user_id")
+          .agg(F.min(day).alias("first_day")))
+    act = e.select("user_id", day.alias("day")).distinct()
+    new = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    ret = F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+    return (act.join(fs, "user_id")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("active_users"),
+                 F.sum(new).cast("long").alias("new_users"),
+                 F.sum(ret).cast("long").alias("returning_users")))
+
+
+@register(
+    "timeseries_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             v
+      FROM daily
+    ),
+    nn AS (SELECT event_type, max(i) AS n FROM ser GROUP BY 1),
+    rec AS (
+      SELECT s1.event_type, 1 AS i, s1.v AS l, s2.v - s1.v AS b
+      FROM ser s1 JOIN ser s2
+        ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             0.3 * s.v + 0.7 * (r.l + r.b),
+             0.1 * (0.3 * s.v + 0.7 * (r.l + r.b) - r.l) + 0.9 * r.b
+      FROM rec r JOIN ser s
+        ON s.event_type = r.event_type AND s.i = r.i + 1
+    )
+    SELECT rec.event_type, CAST(nn.n AS BIGINT) AS n_days,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + 3 * b, 6) AS forecast_3d
+    FROM rec JOIN nn ON rec.event_type = nn.event_type AND rec.i = nn.n
+    """,
+    doc="Holt linear-trend (double exponential) smoothing per event "
+        "type, alpha=0.3 gamma=0.1: level/trend recurrences are a "
+        "sequential fold no window frame expresses, so the engine folds "
+        "a struct state (l, b) over the time-sorted per-key daily array "
+        "(F.aggregate) — the same bounded-by-days-per-key shape as the "
+        "EWMA query, initialized with the standard l1=x1, b1=x2-x1.  "
+        "Daily sums are rounded(2) first so both engines fold "
+        "bit-identical inputs; the oracle runs the identical recurrence "
+        "as a RECURSIVE CTE stepping one day at a time.  Output is the "
+        "final state and the 3-day-ahead forecast l + 3b; series with "
+        "fewer than 2 days are dropped on both sides (no trend is "
+        "estimable).",
+)
+def q_timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum("value"), 2).alias("v")))
+    ser = (daily.groupBy("event_type")
+           .agg(F.array_sort(F.collect_list(F.struct("day", "v"))).alias("_s"),
+                F.count(F.lit(1)).alias("n_days"))
+           .where(F.col("n_days") >= 2))
+    vals = F.transform("_s", lambda s: s["v"].cast("double"))
+    x1 = F.element_at(vals, 1).cast("double")
+    x2 = F.element_at(vals, 2).cast("double")
+
+    def step(acc, x):
+        lnew = F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"])
+        bnew = (F.lit(0.1) * (F.lit(0.3) * x
+                              + F.lit(0.7) * (acc["l"] + acc["b"])
+                              - acc["l"])
+                + F.lit(0.9) * acc["b"])
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    state = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(x1.alias("l"), (x2 - x1).alias("b")),
+        step)
+    return ser.select("event_type", F.col("n_days").cast("long").alias("n_days"),
+                      F.round(state["l"], 6).alias("level"),
+                      F.round(state["b"], 6).alias("trend"),
+                      F.round(state["l"] + F.lit(3) * state["b"], 6)
+                       .alias("forecast_3d"))

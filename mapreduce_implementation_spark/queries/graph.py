@@ -549,3 +549,92 @@ def q_graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(F.col("v").cast("int").alias("nationkey"),
                          F.round("hub", 6).alias("hub"),
                          F.round("authority", 6).alias("authority"))
+
+
+def _ppr_oracle() -> str:
+    """Personalized-PageRank twin: identical unrolled rounds, but the
+    teleport mass lands on the seed distribution instead of uniformly."""
+    sql = """
+    WITH e AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+    n1 AS (SELECT n_nationkey AS v FROM nation),
+    seeds AS (
+      SELECT n_nationkey AS v FROM nation
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    sc AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds),
+    rs AS (SELECT n1.v,
+                  CASE WHEN seeds.v IS NOT NULL THEN 1.0 / sc.c ELSE 0 END AS s
+           FROM n1 CROSS JOIN sc LEFT JOIN seeds ON n1.v = seeds.v),
+    r0 AS (SELECT v, s AS r FROM rs)
+    """
+    for i in range(_ITERS):
+        sql += f""",
+    r{i + 1} AS (
+      SELECT rs.v,
+             (1 - {_D}) * rs.s + {_D} * coalesce(x.s, 0) AS r
+      FROM rs
+      LEFT JOIN (
+        SELECT e.dst, sum(r{i}.r * e.w / outw.ow) AS s
+        FROM e JOIN outw USING (src) JOIN r{i} ON r{i}.v = e.src
+        GROUP BY e.dst
+      ) x ON x.dst = rs.v
+    )"""
+    sql += f"""
+    SELECT CAST(v AS INTEGER) AS nationkey, round(r, 6) AS ppr
+    FROM r{_ITERS}
+    """
+    return sql
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    doc=f"Personalized PageRank ({_ITERS} unrolled iterations, d={_D}) "
+        "from the ASIA-region nations as the seed/teleport set: random "
+        "walks restart INTO the seeds, so scores rank every nation by "
+        "proximity to ASIA's trade flows — the 'related items' dual of "
+        "global PageRank, and the standard seeded-relevance primitive.  "
+        "Reuses the pagerank operator with a reset-distribution frame "
+        "(v, s): the teleport term becomes (1-d)*s_v via one broadcast "
+        "join per round instead of the uniform (1-d)/N, and iteration "
+        "cost is unchanged — one broadcast of the O(nodes) vector + one "
+        "partial-aggregable shuffle.  Oracle unrolls identical rounds.",
+)
+def q_graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"),
+                 F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("v"))
+    seeds = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .where(F.col("r_name") == "ASIA")
+             .select(F.col("n_nationkey").alias("v")))
+    sc = seeds.agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    reset = (nodes.join(seeds.withColumn("_seed", F.lit(1)), "v", "left")
+             .crossJoin(F.broadcast(sc))
+             .select("v", F.when(F.col("_seed").isNotNull(),
+                                 F.lit(1.0) / F.col("_c"))
+                           .otherwise(F.lit(0.0)).alias("s")))
+    ranks = pagerank(edges, nodes, iters=_ITERS, damping=_D, reset=reset)
+    return ranks.select(F.col("v").cast("int").alias("nationkey"),
+                        F.round("r", 6).alias("ppr"))

@@ -763,3 +763,36 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT nullif(event_type, 'click') AS k, value FROM events),
+    r AS (SELECT DISTINCT nullif(event_type, 'click') AS k
+          FROM events WHERE user_id % 5 = 0)
+    SELECT l.k, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.value), 2) AS total_value
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+    doc="Null-safe equi-join surface (Spark <=> / eqNullSafe == SQL "
+        "IS NOT DISTINCT FROM): NULL keys MATCH each other instead of "
+        "silently dropping — the semantics needed when a 'key' encodes "
+        "an optional attribute (here event_type with 'click' nulled "
+        "out deterministically via nullif).  Planner-relevant because "
+        "<=> keeps an equi-join hash-joinable (single null bucket) "
+        "where an OR (both-null) predicate would degrade to a "
+        "nested-loop join; output counts per key prove the null "
+        "bucket survived the join on both engines.",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("click"))
+    left = e.select(k.alias("k"), "value")
+    right = (e.where(F.col("user_id") % 5 == 0)
+             .select(k.alias("k")).distinct())
+    return (left.join(right, left["k"].eqNullSafe(right["k"]))
+            .groupBy(left["k"].alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value")))

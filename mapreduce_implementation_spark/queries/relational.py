@@ -889,3 +889,49 @@ def q_layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("o_custkey").cast("long").alias("cust_hi"),
                  F.min("dday").cast("long").alias("day_lo"),
                  F.max("dday").cast("long").alias("day_hi")))
+
+
+@register(
+    "agg_gini_spend",
+    oracle="""
+    WITH spend AS (SELECT round(sum(o_totalprice), 2) AS x
+                   FROM orders GROUP BY o_custkey),
+    r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM spend)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(x), 2) AS total_spend,
+           round((2.0 * sum(rn * x)) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r
+    """,
+    doc="Gini coefficient of per-customer spend (the revenue-"
+        "concentration statistic): G = 2*sum(rank_i * x_i)/(n*sum x) - "
+        "(n+1)/n over ascending-sorted spends.  The rank-weighted sum is "
+        "TIE-INVARIANT (swapping equal values permutes consecutive "
+        "ranks without changing the sum), so the engine derives it from "
+        "operators/windows.global_order_stats — the two-phase "
+        "distinct-collapse rank operator with NO single-partition "
+        "window and no full-width sort: per tie group of c rows at "
+        "min-rank r, sum(row_numbers) = c*r + c*(c-1)/2.  Per-customer "
+        "spends are rounded(2) BEFORE ranking so both engines rank "
+        "bit-identical values.  The oracle uses DuckDB's own "
+        "row_number — ground truth, not a formula twin.",
+)
+def q_agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_order_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+             .select("spend"))
+    s = global_order_stats(spend, ["spend"])
+    d = s.groupBy("spend", "rnk").agg(F.count(F.lit(1)).alias("c"))
+    rn_sum = (F.col("c") * F.col("rnk")
+              + F.col("c") * (F.col("c") - 1) / F.lit(2.0))
+    agg = d.agg(F.sum(F.col("spend") * rn_sum).alias("srx"),
+                F.sum(F.col("spend") * F.col("c")).alias("sx"),
+                F.sum("c").cast("double").alias("n"))
+    gini = ((F.lit(2.0) * F.col("srx")) / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1) / F.col("n"))
+    return agg.select(F.col("n").cast("long").alias("n_customers"),
+                      F.round("sx", 2).alias("total_spend"),
+                      F.round(gini, 6).alias("gini"))

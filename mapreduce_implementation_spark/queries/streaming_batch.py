@@ -514,3 +514,57 @@ def q_sessions_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(sess.user_id, sess.session_id,
                 F.coalesce(F.col("_n"), F.lit(0)).alias("n_concurrent"))
     )
+
+
+@register(
+    "window_session_builtin",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+      FROM events
+    ),
+    brk AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS b
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    grp AS (
+      SELECT user_id, ts, value,
+             sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS g
+      FROM brk
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM grp GROUP BY user_id, g
+    """,
+    doc="Sessionization via Spark's BUILT-IN session_window aggregate "
+        "(the dynamic-gap session primitive shared by batch and "
+        "Structured Streaming, 30-min gap): one groupBy(user, "
+        "session_window(ts)) — Spark merges overlapping candidate "
+        "windows internally, no explicit lag/running-sum pass.  The "
+        "oracle derives the identical sessions with the gaps-and-islands "
+        "formulation, pinning the boundary semantics: a gap of EXACTLY "
+        "the 30-min duration starts a new session (windows are "
+        "half-open [start, last+gap)), and session_end = last event + "
+        "gap.  Cross-checks the engine's own gaps-and-islands "
+        "`sessionize_events` from the opposite direction.",
+)
+def q_window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sw = (e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.round(F.sum("value"), 2).alias("total_value")))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return sw.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), fmt)
+         .alias("session_start"),
+        F.date_format(F.col("session_window.end"), fmt).alias("session_end"),
+        "n_events", "total_value")

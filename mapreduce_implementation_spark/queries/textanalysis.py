@@ -1507,3 +1507,82 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cum_tokens").cast("long").alias("cum_tokens"),
                     F.col("vocab_size").cast("long").alias("vocab_size"),
                     F.round("beta", 4).alias("heaps_beta")))
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle=_DUCK_POSTOKS + """,
+    st AS (SELECT d.source, t.tok FROM toks t
+           JOIN documents d ON t.doc_id = d.doc_id),
+    cnt AS (SELECT source, tok, count(*) AS c FROM st GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY 1),
+    probs AS (SELECT cnt.source, tok, c / (1.0 * t) AS p
+              FROM cnt JOIN tot ON cnt.source = tot.source),
+    srcs AS (SELECT DISTINCT source FROM probs),
+    pairs AS (SELECT a.source AS s1, b.source AS s2
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    u AS (
+      SELECT s1, s2, tok,
+             sum(CASE WHEN source = s1 THEN p ELSE 0 END) AS p1,
+             sum(CASE WHEN source = s2 THEN p ELSE 0 END) AS p2
+      FROM probs JOIN pairs ON source = s1 OR source = s2
+      GROUP BY 1, 2, 3
+    )
+    SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_words,
+           round(sum(
+             0.5 * (CASE WHEN p1 > 0 THEN p1 * ln(p1) ELSE 0 END)
+           + 0.5 * (CASE WHEN p2 > 0 THEN p2 * ln(p2) ELSE 0 END)
+           - ((p1 + p2) / 2) * ln((p1 + p2) / 2)), 6) AS jsd_nats,
+           round(sum(
+             0.5 * (CASE WHEN p1 > 0 THEN p1 * ln(p1) ELSE 0 END)
+           + 0.5 * (CASE WHEN p2 > 0 THEN p2 * ln(p2) ELSE 0 END)
+           - ((p1 + p2) / 2) * ln((p1 + p2) / 2)) / ln(2.0), 6) AS jsd_bits
+    FROM u GROUP BY s1, s2
+    """,
+    doc="Pairwise Jensen-Shannon divergence between the sources' "
+        "unigram distributions (the source-similarity matrix used when "
+        "setting corpus mixing weights; JSD is symmetric, bounded by "
+        "ln 2, and zero iff identical): per-source word probabilities "
+        "(exact integer-count ratios, so both engines divide identical "
+        "numbers), then per source-pair one union-of-vocabulary "
+        "aggregation computing JSD = H(M) - (H(P)+H(Q))/2 term-wise "
+        "with x*ln(x) and x=0 handled exactly.  Everything after the "
+        "token count is vocabulary-sized; the pair fan-out is "
+        "|sources|^2/2 rows, a broadcast.",
+)
+def q_text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import _tok_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok_df(docs, "doc_id", "text")
+    st = toks.join(docs.select("doc_id", "source"), "doc_id")
+    cnt = st.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    probs = (cnt.join(tot, "source")
+             .select("source", "tok",
+                     (F.col("c") / (F.lit(1.0) * F.col("t"))).alias("p")))
+    srcs = probs.select("source").distinct()
+    pairs = (srcs.alias("a").crossJoin(srcs.alias("b"))
+             .where(F.col("a.source") < F.col("b.source"))
+             .select(F.col("a.source").alias("s1"),
+                     F.col("b.source").alias("s2")))
+    u = (probs.join(F.broadcast(pairs),
+                    (F.col("source") == F.col("s1"))
+                    | (F.col("source") == F.col("s2")))
+         .groupBy("s1", "s2", "tok")
+         .agg(F.sum(F.when(F.col("source") == F.col("s1"),
+                           F.col("p")).otherwise(0.0)).alias("p1"),
+              F.sum(F.when(F.col("source") == F.col("s2"),
+                           F.col("p")).otherwise(0.0)).alias("p2")))
+
+    def xlnx(c):
+        return F.when(c > 0, c * F.log(c)).otherwise(F.lit(0.0))
+
+    m = (F.col("p1") + F.col("p2")) / 2
+    term = (F.lit(0.5) * xlnx(F.col("p1")) + F.lit(0.5) * xlnx(F.col("p2"))
+            - m * F.log(m))
+    return (u.groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.round(F.sum(term), 6).alias("jsd_nats"),
+                 F.round(F.sum(term) / F.lit(float(__import__("math").log(2.0))),
+                         6).alias("jsd_bits")))

@@ -83,6 +83,10 @@ _SAMPLE_FIRST = (
     "sketch_quantile_histogram", "skyline_pareto_orders",
     "embedding_pca_power",
     "graph_hits_trade", "text_heaps_law", "embedding_random_projection",
+    "events_new_vs_returning", "timeseries_holt_linear",
+    "window_session_builtin", "agg_gini_spend",
+    "text_js_divergence_sources", "join_null_safe",
+    "graph_personalized_pagerank",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

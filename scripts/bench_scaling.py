@@ -91,6 +91,9 @@ PIPELINES = [
     "sketch_quantile_histogram",
     # round-6 wave 8: trigram first-doc/per-doc reduces vs 10 boundaries
     "text_heaps_law",
+    # round-6 waves 9-10: native session windows; rank-stats Gini
+    "window_session_builtin",
+    "agg_gini_spend",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -321,3 +321,30 @@ def test_hits_matches_numpy_iteration(spark):
         assert abs(got[v][0] - h[v]) < 1e-9, ("hub", v)
         assert abs(got[v][1] - a[v]) < 1e-9, ("authority", v)
     assert got[5] == (0.0, 0.0)  # isolated node present, scored zero
+
+
+def test_personalized_pagerank_uniform_reset_equals_global(spark):
+    """pagerank(reset=uniform 1/N) must equal plain pagerank: the
+    personalization generalizes the uniform teleport, so the uniform
+    distribution is the identity case (atol for the one extra multiply
+    vs divide rounding)."""
+    from mapreduce_implementation_spark.operators.graph import pagerank
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0), (0, 2, 1.0),
+             (3, 1, 1.0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "v bigint")
+    uniform = nodes.selectExpr("v", "1.0 / 5 AS s")
+    try:
+        plain = {r["v"]: r["r"] for r in
+                 pagerank(df, nodes, iters=4).collect()}
+        seeded = {r["v"]: r["r"] for r in
+                  pagerank(df, nodes, iters=4, reset=uniform).collect()}
+    finally:
+        release_persisted()
+    assert plain.keys() == seeded.keys()
+    for v in plain:
+        assert abs(plain[v] - seeded[v]) < 1e-12, v

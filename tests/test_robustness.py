@@ -99,6 +99,13 @@ _REPRESENTATIVES = [
     "graph_hits_trade",            # hub/authority over an empty graph
     "text_heaps_law",              # vocab growth of an empty corpus
     "embedding_random_projection", # JL audit over zero vectors
+    "events_new_vs_returning",     # first-seen split of zero users
+    "timeseries_holt_linear",      # trend fold over zero series
+    "window_session_builtin",      # session_window over zero events
+    "agg_gini_spend",              # rank-weighted sum of nothing
+    "text_js_divergence_sources",  # divergence between zero sources
+    "join_null_safe",              # null-bucket join of empty sides
+    "graph_personalized_pagerank", # teleport onto an empty seed set
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
