@@ -604,3 +604,44 @@ def video_frame_sample(df: DataFrame, id_col: str,
                                      " mean_luma DOUBLE, n_frames INT,"
                                      " fps INT")
             .withColumnRenamed("id", id_col))
+
+
+def resize_image_nearest(df: DataFrame, id_col: str,
+                         payload_col: str = "payload",
+                         out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor resize of grayscale PNG payloads — the standard
+    image-preprocessing stage (thumbnail / model-input normalization)
+    run where it belongs: inside ONE ``mapInPandas`` iterator, so decode
+    + resample never leave the executor and only the (id, dims,
+    checksums) feature row crosses the shuffle.  Source pixel for output
+    (y, x) is ``(y*H // out_h, x*W // out_w)`` — pure integer index
+    math, so an oracle can recompute every output pixel from the render
+    formula without any imaging library.  Payloads that fail the PNG
+    decode are dropped (the quarantine idiom); a PIL/native resampler
+    (bilinear etc.) would slot into the same iterator unchanged.
+    """
+    import pandas as pd
+
+    schema = ("id BIGINT, out_w INT, out_h INT, pixel_total BIGINT, "
+              "top_left INT, bottom_right INT")
+
+    def run(batches):
+        for pdf in batches:
+            ids, sums, tls, brs = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, rows = decode_png_gray_rows(bytes(payload))
+                except ValueError:
+                    continue
+                px = [[int(rows[(y * h) // out_h][(x * w) // out_w])
+                       for x in range(out_w)] for y in range(out_h)]
+                ids.append(int(i))
+                sums.append(sum(map(sum, px)))
+                tls.append(px[0][0])
+                brs.append(px[-1][-1])
+            yield pd.DataFrame(
+                {"id": ids, "out_w": [out_w] * len(ids),
+                 "out_h": [out_h] * len(ids), "pixel_total": sums,
+                 "top_left": tls, "bottom_right": brs})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

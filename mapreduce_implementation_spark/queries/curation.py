@@ -463,3 +463,68 @@ def q_sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars",
                 F.expr("CAST(w_cum DIV _step AS BIGINT)").alias("sel_idx"))
     )
+
+
+@register(
+    "corpus_datasheet",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             length(text) - length(replace(text, ' ', '')) + 1 AS ws_toks,
+             n_chars,
+             md5(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT 'n_docs' AS metric, 'total' AS scope,
+           CAST(count(*) AS BIGINT) AS value FROM toks
+    UNION ALL
+    SELECT 'n_docs', 'source=' || source, CAST(count(*) AS BIGINT)
+    FROM toks GROUP BY source
+    UNION ALL
+    SELECT 'n_docs', 'lang=' || lang, CAST(count(*) AS BIGINT)
+    FROM toks GROUP BY lang
+    UNION ALL
+    SELECT 'n_chars', 'total', CAST(sum(n_chars) AS BIGINT) FROM toks
+    UNION ALL
+    SELECT 'ws_tokens', 'total', CAST(sum(ws_toks) AS BIGINT) FROM toks
+    UNION ALL
+    SELECT 'distinct_normalized_docs', 'total',
+           CAST(count(DISTINCT fp) AS BIGINT) FROM toks
+    """,
+    doc="One-frame corpus datasheet (the 'dataset card' numbers every "
+        "training-data release publishes: Gebru et al., 'Datasheets for "
+        "Datasets'): doc counts total / per source / per language, "
+        "total chars, whitespace token total, and distinct "
+        "normalized-text fingerprints (the exact-dedup denominator).  "
+        "All metrics are integers from one shared scan projected to "
+        "five tiny aggregates unioned into a tall (metric, scope, "
+        "value) frame — the shape a catalog or data-quality dashboard "
+        "ingests directly; each leg is a partial-aggregable reduce, so "
+        "the datasheet of a 100 TB corpus is one pass over four "
+        "columns, never the text twice.",
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = (F.length("text")
+          - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1)
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", "")))
+    base = d.select("doc_id", "source", "lang", ws.alias("ws_toks"),
+                    "n_chars", fp.alias("fp"))
+
+    def row(metric, scope_col, value_col, grp=None):
+        g = base.groupBy(grp) if grp else base
+        return g.agg(value_col.alias("value")).select(
+            F.lit(metric).alias("metric"), scope_col.alias("scope"),
+            F.col("value").cast("long").alias("value"))
+
+    total_docs = row("n_docs", F.lit("total"), F.count(F.lit(1)))
+    by_src = row("n_docs", F.concat(F.lit("source="), F.col("source")),
+                 F.count(F.lit(1)), grp="source")
+    by_lang = row("n_docs", F.concat(F.lit("lang="), F.col("lang")),
+                  F.count(F.lit(1)), grp="lang")
+    chars = row("n_chars", F.lit("total"), F.sum("n_chars"))
+    toks = row("ws_tokens", F.lit("total"), F.sum("ws_toks"))
+    dedup = row("distinct_normalized_docs", F.lit("total"),
+                F.count_distinct("fp"))
+    return (total_docs.unionByName(by_src).unionByName(by_lang)
+            .unionByName(chars).unionByName(toks).unionByName(dedup))

@@ -552,3 +552,43 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@register(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price,
+           CAST(t.rn AS BIGINT) AS rn
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+    doc="Correlated LATERAL subquery with LIMIT (top-2 orders per "
+        "customer) — the SQL-standard per-row-subquery surface Spark 4 "
+        "supports natively: Catalyst DECORRELATES the lateral into a "
+        "window/top-k over a single join instead of executing one "
+        "subquery per customer row, so the declarative 'for each "
+        "customer, its 2 priciest orders' costs one shuffle — exactly "
+        "the rewrite a user would otherwise hand-roll with "
+        "row_number().  Ties broken by o_orderkey for an "
+        "engine-portable order.  The identical SQL string runs on both "
+        "engines (spark.sql here, DuckDB LATERAL in the oracle).",
+)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+      SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price,
+             CAST(t.rn AS BIGINT) AS rn
+      FROM customer c,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+      ) t
+    """)

@@ -796,3 +796,40 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(left["k"].alias("k"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("total_value")))
+
+
+_BANDS = [("budget", 0, 75000), ("mid", 75000, 150000),
+          ("premium", 150000, 300000), ("whale", 300000, 10**9)]
+
+
+@register(
+    "join_band_broadcast",
+    oracle="""
+    WITH bands(tier, lo, hi) AS (VALUES
+      ('budget', 0, 75000), ('mid', 75000, 150000),
+      ('premium', 150000, 300000), ('whale', 300000, 1000000000))
+    SELECT tier, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
+    """,
+    doc="Band (point-in-interval) join against a tiny literal dimension "
+        "— the price-tier / IP-range / SLA-bucket lookup shape.  With a "
+        "4-row dimension the RIGHT plan is a BroadcastNestedLoopJoin: "
+        "each fact row tests 4 broadcast intervals map-side, zero "
+        "shuffle of the fact table — the one case where BNLJ is "
+        "optimal, in contrast to range_join_sessions / "
+        "sessions_interval_overlap where both sides are big and the "
+        "engine buckets instead.  Disjoint half-open bands make the "
+        "join multiplicity exactly 1 per order, pinned by the counts.",
+)
+def q_join_band_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = o.sparkSession.createDataFrame(_BANDS, "tier string, lo long, hi long")
+    joined = o.join(F.broadcast(bands),
+                    (F.col("o_totalprice") >= F.col("lo"))
+                    & (F.col("o_totalprice") < F.col("hi")))
+    return (joined.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))

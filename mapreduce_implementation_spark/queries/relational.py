@@ -935,3 +935,38 @@ def q_agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.col("n").cast("long").alias("n_customers"),
                       F.round("sx", 2).alias("total_spend"),
                       F.round(gini, 6).alias("gini"))
+
+
+@register(
+    "sketch_hll_datasketches",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM orders GROUP BY 1
+    """,
+    doc="Apache DataSketches HLL surface (hll_sketch_agg + "
+        "hll_sketch_estimate, the MERGEABLE registered-sketch API "
+        "Spark 3.5 added): per-priority distinct customers estimated "
+        "from per-partition sketches merged at the reduce — fixed "
+        "sketch-sized state per group at any cardinality, the "
+        "re-aggregatable form count_distinct can never be.  The "
+        "estimate itself is engine-specific, so the output carries the "
+        "exact count (SQL twin) plus `within_5pct` pinning "
+        "|est - exact| / exact <= 0.05 in-query — the oracle asserts "
+        "the accuracy contract, not the sketch internals (HLL at "
+        "default lgK=12 gives ~1.6% RSE, so 5% is a hard-fail bound, "
+        "not slack).",
+)
+def q_sketch_hll_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = (o.groupBy("o_orderpriority")
+         .agg(F.count_distinct("o_custkey").alias("exact_distinct"),
+              F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))")
+               .alias("_est")))
+    ok = (F.abs(F.col("_est") - F.col("exact_distinct"))
+          / F.col("exact_distinct") <= 0.05)
+    return g.select("o_orderpriority",
+                    F.col("exact_distinct").cast("long")
+                     .alias("exact_distinct"),
+                    ok.alias("within_5pct"))

@@ -568,3 +568,56 @@ def q_window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("session_start"),
         F.date_format(F.col("session_window.end"), fmt).alias("session_end"),
         "n_events", "total_value")
+
+
+_RESIZE_IDX = " + ".join(
+    f"p[{(2 * y) * 8 + 2 * x + 1}]" for y in range(4) for x in range(4))
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=f"""
+    WITH px AS (
+      SELECT vec_id, list_transform(embedding,
+         e -> CAST(floor(least(greatest((CAST(e AS DOUBLE)+1)/2, 0), 1)*255)
+              AS BIGINT)) AS p
+      FROM embeddings
+    )
+    SELECT vec_id, 4 AS out_w, 4 AS out_h,
+           CAST({_RESIZE_IDX} AS BIGINT) AS pixel_total,
+           CAST(p[1] AS INTEGER) AS top_left,
+           CAST(p[55] AS INTEGER) AS bottom_right
+    FROM px
+    """,
+    doc="REAL image resize end-to-end: each embedding renders to an 8x8 "
+        "grayscale PNG (same executor-side encoder as the decode query), "
+        "then resize_image_nearest decodes and nearest-neighbor "
+        "downsamples to 4x4 inside one mapInPandas stage — decode + "
+        "resample never leave the executor.  Nearest-neighbor source "
+        "index is pure integer math (src = (y*8//4, x*8//4) = (2y, 2x)), "
+        "so the oracle recomputes all 16 output pixels, their sum, and "
+        "the two corners directly from the render quantization formula "
+        "— proving the resample picked exactly the right pixels through "
+        "the encode->decode->resize trip.",
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_png_gray, resize_image_nearest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def render(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                v = np.asarray(vec, dtype=np.float64)
+                px = np.floor(np.clip((v + 1.0) / 2.0, 0.0, 1.0) * 255.0)
+                payloads.append(encode_png_gray(px.astype(np.uint8).tobytes(), 8, 8))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+    rendered = emb.mapInPandas(render, schema="vec_id BIGINT, payload BINARY")
+    out = resize_image_nearest(rendered, "vec_id", out_w=4, out_h=4)
+    return out.select(F.col("id").alias("vec_id"), "out_w", "out_h",
+                      "pixel_total", "top_left", "bottom_right")

@@ -236,3 +236,40 @@ def q_window_global_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_quantity", "rnk", "drnk", "pct_rank", "cume_dist")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "window_range_trailing_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag,
+             datediff('day', DATE '1992-01-01', l_shipdate) AS dday,
+             round(sum(l_extendedprice), 2) AS rev_day
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT flag, CAST(dday AS BIGINT) AS dday, rev_day,
+           round(sum(rev_day) OVER (PARTITION BY flag ORDER BY dday
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+    FROM daily
+    """,
+    doc="Trailing-7-day revenue via a value-RANGE window frame over the "
+        "day number (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW): unlike "
+        "a ROWS frame, missing calendar days correctly shrink the "
+        "window, with no gap-filling spine needed.  The full-data "
+        "shuffle is the daily pre-aggregation; the window then runs "
+        "over (flags x days) rows partitioned by flag.  Daily sums are "
+        "rounded(2) before the frame sum so both engines add identical "
+        "doubles.",
+)
+def q_window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (li.groupBy(F.col("l_returnflag").alias("flag"),
+                        F.expr("datediff(l_shipdate, DATE '1992-01-01')")
+                         .alias("dday"))
+             .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev_day")))
+    w = Window.partitionBy("flag").orderBy("dday").rangeBetween(-6, 0)
+    return daily.select("flag", F.col("dday").cast("long").alias("dday"),
+                        "rev_day",
+                        F.round(F.sum("rev_day").over(w), 2).alias("rev_7d"))

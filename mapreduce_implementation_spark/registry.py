@@ -87,6 +87,9 @@ _SAMPLE_FIRST = (
     "window_session_builtin", "agg_gini_spend",
     "text_js_divergence_sources", "join_null_safe",
     "graph_personalized_pagerank",
+    "multimodal_image_resize", "window_range_trailing_7d",
+    "sketch_hll_datasketches", "sql_lateral_topn",
+    "corpus_datasheet", "join_band_broadcast",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

@@ -106,6 +106,12 @@ _REPRESENTATIVES = [
     "text_js_divergence_sources",  # divergence between zero sources
     "join_null_safe",              # null-bucket join of empty sides
     "graph_personalized_pagerank", # teleport onto an empty seed set
+    "multimodal_image_resize",     # resize over zero payloads
+    "window_range_trailing_7d",    # value-range frame over zero days
+    "sketch_hll_datasketches",     # sketch merge over zero groups
+    "sql_lateral_topn",            # lateral subquery over zero rows
+    "corpus_datasheet",            # datasheet of an empty corpus
+    "join_band_broadcast",         # band probe with zero facts
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
