@@ -484,12 +484,21 @@ def hits(edges: DataFrame, nodes: DataFrame, iters: int = 2,
 
     h = n1.select("v", F.lit(1.0).alias("x"))
     a = h
-    for _ in range(iters):
+    for _i in range(iters):
         ar = (e.join(hint(h), F.col("src") == F.col("v"))
               .groupBy("dst").agg(F.sum(F.col("w") * F.col("x")).alias("s")))
         a = norm(ar, "dst")
+        # truncate per-half-step lineage (the pagerank/CC idiom): the
+        # nested join tree otherwise grows by 2 joins + 2 aggregates per
+        # round and Catalyst re-analyzes the whole stack each time.  The
+        # FINAL round's frames stay lazy so the returned plan shows the
+        # iteration shape and composes with downstream pushdown.
+        if _i < iters - 1:
+            a = a.localCheckpoint(eager=True)
         hr = (e.join(hint(a), F.col("dst") == F.col("v"))
               .groupBy("src").agg(F.sum(F.col("w") * F.col("x")).alias("s")))
         h = norm(hr, "src")
+        if _i < iters - 1:
+            h = h.localCheckpoint(eager=True)
     return (h.select("v", F.col("x").alias("hub"))
             .join(a.select("v", F.col("x").alias("authority")), "v"))
