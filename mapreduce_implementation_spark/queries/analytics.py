@@ -1004,3 +1004,120 @@ def q_timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(state["b"], 6).alias("trend"),
                       F.round(state["l"] + F.lit(3) * state["b"], 6)
                        .alias("forecast_3d"))
+
+
+@register(
+    "timeseries_wau_sliding",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS dday, user_id
+      FROM events
+    ),
+    bounds AS (SELECT min(dday) AS lo, max(dday) AS hi FROM du),
+    fan AS (
+      SELECT du.dday + o.o AS day, du.user_id
+      FROM du, (SELECT unnest(generate_series(0, 6)) AS o) o
+    )
+    SELECT CAST(day AS BIGINT) AS dday,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM fan, bounds WHERE day BETWEEN lo AND hi
+    GROUP BY day
+    """,
+    doc="Rolling 7-day active users per day (the WAU-per-day curve): "
+        "COUNT(DISTINCT) over a sliding window has no distributive "
+        "window form — a user active twice in the window must count "
+        "once — so the engine uses the offset fan-out identity: user u "
+        "active on day d is 'visible' on days d..d+6, so WAU(day) = "
+        "distinct users among fan-out rows landing on that day.  One "
+        "distinct (user, day) reduce, a 7x map-side fan-out (no "
+        "shuffle), one distinct count keyed by day — linear at any "
+        "scale, where the naive per-day 7-day rescan is 7x a full "
+        "scan and a window-distinct simply doesn't exist.",
+)
+def q_timeseries_wau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    du = (e.select(F.expr(
+        "datediff(CAST(ts AS DATE), DATE '2024-01-01')").alias("dday"),
+        "user_id").distinct())
+    bounds = du.agg(F.min("dday").alias("lo"), F.max("dday").alias("hi"))
+    fan = du.select(
+        F.explode(F.sequence(F.col("dday"), F.col("dday") + 6)).alias("day"),
+        "user_id")
+    return (fan.crossJoin(F.broadcast(bounds))
+            .where(F.col("day").between(F.col("lo"), F.col("hi")))
+            .groupBy(F.col("day").cast("long").alias("dday"))
+            .agg(F.count_distinct("user_id").alias("wau")))
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, round(avg(v), 2) AS mu, count(*) AS n
+      FROM daily GROUP BY 1
+    ),
+    ser AS (
+      SELECT d.event_type,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY day) AS i,
+             d.v, s.mu, s.n
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ),
+    rec AS (
+      SELECT event_type, i, greatest(0.0, v - mu) AS s,
+             greatest(0.0, v - mu) AS peak, mu, n
+      FROM ser WHERE i = 1
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             greatest(0.0, r.s + x.v - r.mu),
+             greatest(r.peak, greatest(0.0, r.s + x.v - r.mu)),
+             r.mu, r.n
+      FROM rec r JOIN ser x
+        ON x.event_type = r.event_type AND x.i = r.i + 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(s, 4) AS cusum_final, round(peak, 4) AS cusum_peak,
+           (peak > 5 * mu) AS alarm
+    FROM rec WHERE i = n
+    """,
+    doc="One-sided CUSUM change detection per event type (Page 1954, "
+        "the classic sequential drift detector): s_t = max(0, s_{t-1} "
+        "+ x_t - mu) accumulates upward deviations from the series "
+        "mean and resets at zero; the peak statistic flags a sustained "
+        "level shift (alarm when peak > 5*mu).  The recurrence is a "
+        "sequential fold with TWO state components (running cusum + "
+        "its peak), so the engine folds a struct accumulator over the "
+        "time-sorted per-key daily array — bounded by days-per-key, "
+        "never event count; daily sums and the mean are rounded(2) "
+        "first so both engines fold bit-identical inputs, and the "
+        "oracle steps the identical recurrence as a RECURSIVE CTE.",
+)
+def q_timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum("value"), 2).alias("v")))
+    ser = (daily.groupBy("event_type")
+           .agg(F.array_sort(F.collect_list(F.struct("day", "v"))).alias("_s"),
+                F.round(F.avg("v"), 2).alias("mu"),
+                F.count(F.lit(1)).alias("n")))
+    vals = F.transform("_s", lambda s: s["v"].cast("double"))
+    first = F.greatest(F.lit(0.0), F.element_at(vals, 1) - F.col("mu"))
+
+    def step(acc, x):
+        snew = F.greatest(F.lit(0.0), acc["s"] + x - F.col("mu"))
+        return F.struct(snew.alias("s"),
+                        F.greatest(acc["peak"], snew).alias("peak"))
+
+    state = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(first.alias("s"), first.alias("peak")),
+        step)
+    return ser.select("event_type", F.col("n").cast("long").alias("n_days"),
+                      F.round(state["s"], 4).alias("cusum_final"),
+                      F.round(state["peak"], 4).alias("cusum_peak"),
+                      (state["peak"] > 5 * F.col("mu")).alias("alarm"))

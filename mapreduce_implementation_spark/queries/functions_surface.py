@@ -592,3 +592,40 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
       ) t
     """)
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 3 = 0 THEN NULL
+                ELSE CAST(floor(o_totalprice / (o_custkey % 3)) AS BIGINT)
+           END AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS good_cast,
+           CAST(o_custkey * 1000000 AS BIGINT) AS big_mul
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="Error-safe scalar surface (ANSI mode's escape hatches): "
+        "try_divide yields NULL on division by zero (o_custkey % 3 "
+        "poisons every third row; floored to dodge half-cent rounding "
+        "ties, which the two engines break differently) — "
+        "poisons every third row), try_cast yields NULL for "
+        "unparseable strings instead of aborting the job ('1-URGENT' "
+        "fails whole, its first char parses), and try_multiply passes "
+        "values through when no overflow occurs.  One malformed row "
+        "killing a 100 TB job is the alternative these exist to "
+        "prevent; the oracle expresses the identical NULL semantics "
+        "with guarded CASE / TRY_CAST.",
+)
+def q_scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.floor(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3))
+         .cast("long").alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int")
+         .alias("good_cast"),
+        F.try_multiply(F.col("o_custkey"), F.lit(1000000))
+         .cast("long").alias("big_mul"))

@@ -90,6 +90,8 @@ _SAMPLE_FIRST = (
     "multimodal_image_resize", "window_range_trailing_7d",
     "sketch_hll_datasketches", "sql_lateral_topn",
     "corpus_datasheet", "join_band_broadcast",
+    "timeseries_wau_sliding", "timeseries_cusum_changepoint",
+    "scalar_try_functions",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

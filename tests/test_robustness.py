@@ -112,6 +112,9 @@ _REPRESENTATIVES = [
     "sql_lateral_topn",            # lateral subquery over zero rows
     "corpus_datasheet",            # datasheet of an empty corpus
     "join_band_broadcast",         # band probe with zero facts
+    "timeseries_wau_sliding",      # 7-day fan-out of zero activity
+    "timeseries_cusum_changepoint",# cusum fold over zero series
+    "scalar_try_functions",        # try_* over zero rows
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
