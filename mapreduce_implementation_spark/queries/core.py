@@ -228,3 +228,56 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    WITH old AS (
+      SELECT event_id, user_id, event_type, NULL AS value
+      FROM events WHERE event_id % 2 = 0
+    ),
+    new AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 2 = 1
+    ),
+    merged AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(value) AS BIGINT) AS n_with_value,
+           round(coalesce(sum(value), 0), 2) AS total_value
+    FROM merged GROUP BY event_type
+    """,
+    doc="Parquet schema evolution (mergeSchema): an 'old' partition "
+        "written WITHOUT the value column and a 'new' partition written "
+        "with it, read back as ONE table — Spark unions the file "
+        "footers' schemas and null-fills the missing column, the "
+        "lakehouse upgrade path that avoids rewriting petabytes of "
+        "history when a field is added.  The query proves both the "
+        "union (row counts per type) and the null-fill (value count = "
+        "new-partition rows only).  Oracle simulates the same split on "
+        "the source parquet; the export is cached keyed on the source "
+        "file's (mtime, size) like the other round-trip queries.",
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    e = load_table(spark, sf_dir, "events")
+    root = _export_cache_path("/tmp/mapreduce_spark_schemaevo_cache",
+                              sf_dir, "events")
+    old_p, new_p = os.path.join(root, "old"), os.path.join(root, "new")
+    if not (os.path.exists(os.path.join(old_p, "_SUCCESS"))
+            and os.path.exists(os.path.join(new_p, "_SUCCESS"))):
+        (e.where(F.col("event_id") % 2 == 0)
+         .select("event_id", "user_id", "event_type")
+         .write.mode("overwrite").parquet(old_p))
+        (e.where(F.col("event_id") % 2 == 1)
+         .select("event_id", "user_id", "event_type", "value")
+         .write.mode("overwrite").parquet(new_p))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(old_p, new_p))
+    return (merged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("value").alias("n_with_value"),
+                 F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2)
+                  .alias("total_value")))

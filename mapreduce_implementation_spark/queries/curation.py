@@ -528,3 +528,70 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count_distinct("fp"))
     return (total_docs.unionByName(by_src).unionByName(by_lang)
             .unionByName(chars).unionByName(toks).unionByName(dedup))
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             length(text) - length(replace(text, ' ', '')) + 1 AS ws_toks,
+             md5(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g'))) AS fp
+      FROM documents
+    ),
+    s1 AS (SELECT * FROM base WHERE lang = 'en'),
+    s2 AS (SELECT * FROM s1 WHERE n_chars BETWEEN 100 AND 500),
+    s3 AS (SELECT * FROM s2
+           WHERE ws_toks >= 15
+             AND n_chars * 1.0 / ws_toks BETWEEN 3.0 AND 12.0),
+    s4 AS (SELECT fp, min(doc_id) AS rep, min(n_chars) AS rep_chars
+           FROM s3 GROUP BY fp)
+    SELECT 0 AS stage, 'ingest' AS stage_name,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total FROM base
+    UNION ALL SELECT 1, 'lang_en', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT) FROM s1
+    UNION ALL SELECT 2, 'length_100_500', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, 'mean_wordlen_3_12', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT) FROM s3
+    UNION ALL SELECT 4, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(rep_chars) AS BIGINT) FROM s4
+    """,
+    doc="Curation filter funnel (the ablation table a dataset paper "
+        "prints: docs and chars surviving each successive filter): "
+        "ingest -> language -> length band -> mean-word-length quality "
+        "heuristic -> exact-normalized dedup (min-doc_id survivor per "
+        "fingerprint).  One shared 4-column projection feeds every "
+        "stage; each stage is a conditional aggregate, and the dedup "
+        "stage is one fingerprint-keyed reduce — the funnel of a 100 TB "
+        "corpus costs one scan plus vocabulary-free shuffles, and every "
+        "count is an exact integer (the reproducibility bar for "
+        "published dataset cards).",
+)
+def q_pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = (F.length("text")
+          - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1)
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", "")))
+    base = d.select("doc_id", "lang", "n_chars", ws.alias("ws_toks"),
+                    fp.alias("fp"))
+    s1 = base.where(F.col("lang") == "en")
+    s2 = s1.where(F.col("n_chars").between(100, 500))
+    s3 = s2.where((F.col("ws_toks") >= 15)
+                  & (F.col("n_chars") * 1.0 / F.col("ws_toks"))
+                  .between(3.0, 12.0))
+    s4 = s3.groupBy("fp").agg(F.min("n_chars").alias("rep_chars"))
+
+    def stage(i, name, df, chars_col="n_chars"):
+        return df.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum(chars_col).alias("n_chars_total")).select(
+            F.lit(i).alias("stage"), F.lit(name).alias("stage_name"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_chars_total").cast("long").alias("n_chars_total"))
+
+    return (stage(0, "ingest", base)
+            .unionByName(stage(1, "lang_en", s1))
+            .unionByName(stage(2, "length_100_500", s2))
+            .unionByName(stage(3, "mean_wordlen_3_12", s3))
+            .unionByName(stage(4, "exact_dedup", s4, "rep_chars")))

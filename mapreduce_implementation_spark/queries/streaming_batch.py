@@ -621,3 +621,97 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = resize_image_nearest(rendered, "vec_id", out_w=4, out_h=4)
     return out.select(F.col("id").alias("vec_id"), "out_w", "out_h",
                       "pixel_total", "top_left", "bottom_right")
+
+
+@register(
+    "multimodal_audio_vad_spans",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(floor(least(greatest(CAST(e AS DOUBLE), -1), 1) * 32767
+                        + 0.5) AS INTEGER) AS smp,
+             CAST(i - 1 AS INTEGER) AS idx
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    fr AS (
+      SELECT vec_id, CAST(idx // 16 AS INTEGER) AS frame_idx,
+             sqrt(sum(CAST(smp AS DOUBLE) * smp) / 16.0) AS rms
+      FROM s GROUP BY vec_id, idx // 16
+    ),
+    act AS (
+      SELECT vec_id, frame_idx, rms,
+             avg(rms) OVER (PARTITION BY vec_id) AS thr
+      FROM fr
+    ),
+    hit AS (SELECT vec_id, frame_idx, rms FROM act WHERE rms > thr),
+    brk AS (
+      SELECT vec_id, frame_idx, rms,
+             CASE WHEN frame_idx - lag(frame_idx)
+                    OVER (PARTITION BY vec_id ORDER BY frame_idx) = 1
+                  THEN 0 ELSE 1 END AS b
+      FROM hit
+    ),
+    grp AS (
+      SELECT vec_id, frame_idx, rms,
+             sum(b) OVER (PARTITION BY vec_id ORDER BY frame_idx) AS g
+      FROM brk
+    )
+    SELECT vec_id,
+           CAST(min(frame_idx) AS INTEGER) AS span_start,
+           CAST(max(frame_idx) AS INTEGER) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           round(sum(rms) / count(*), 6) AS mean_rms
+    FROM grp GROUP BY vec_id, g
+    """,
+    doc="Voice-activity spans over the decoded WAV frames (the "
+        "silence-trim / VAD segmentation step of an audio curation "
+        "pipeline, composing the RIFF decode + frame-RMS machinery of "
+        "multimodal_audio_rms with gaps-and-islands): a frame is "
+        "'active' when its RMS exceeds the clip's own mean (adaptive, "
+        "unitless threshold), consecutive active frames merge into "
+        "spans with their frame count and mean energy.  Frame RMS is "
+        "integer sample math + one sqrt — bit-identical IEEE both "
+        "engines — so the oracle recomputes spans entirely from the "
+        "render formula; the islands window is bounded by frames PER "
+        "CLIP, never corpus size.",
+)
+def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import audio_frame_rms, encode_wav_pcm16
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def render(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                v = np.asarray(vec, dtype=np.float64)
+                smp = np.floor(np.clip(v, -1.0, 1.0) * 32767.0 + 0.5
+                               ).astype(np.int64)
+                payloads.append(encode_wav_pcm16([int(x) for x in smp], 8000))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+    rendered = emb.mapInPandas(render, schema="vec_id BIGINT, payload BINARY")
+    fr = audio_frame_rms(rendered, "vec_id", frame=16)
+    thr = Window.partitionBy("vec_id")
+    hit = (fr.withColumn("thr", F.avg("rms").over(thr))
+           .where(F.col("rms") > F.col("thr")))
+    w = Window.partitionBy("vec_id").orderBy("frame_idx")
+    brk = F.when(F.col("frame_idx") - F.lag("frame_idx").over(w) == 1,
+                 F.lit(0)).otherwise(F.lit(1))
+    grp = (hit.withColumn("_b", brk)
+           .withColumn("_g", F.sum("_b").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (grp.groupBy("vec_id", "_g")
+            .agg(F.min("frame_idx").cast("int").alias("span_start"),
+                 F.max("frame_idx").cast("int").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_frames"),
+                 F.round(F.sum("rms") / F.count(F.lit(1)), 6)
+                  .alias("mean_rms"))
+            .drop("_g"))

@@ -92,6 +92,8 @@ _SAMPLE_FIRST = (
     "corpus_datasheet", "join_band_broadcast",
     "timeseries_wau_sliding", "timeseries_cusum_changepoint",
     "scalar_try_functions",
+    "pipeline_filter_funnel", "multimodal_audio_vad_spans",
+    "source_schema_evolution",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

@@ -115,6 +115,9 @@ _REPRESENTATIVES = [
     "timeseries_wau_sliding",      # 7-day fan-out of zero activity
     "timeseries_cusum_changepoint",# cusum fold over zero series
     "scalar_try_functions",        # try_* over zero rows
+    "pipeline_filter_funnel",      # funnel stages over zero docs
+    "multimodal_audio_vad_spans",  # VAD islands over zero clips
+    "source_schema_evolution",     # mergeSchema over empty partitions
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
