@@ -624,3 +624,48 @@ def test_kcore_peels_with_semi_joins_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_substring_spans_plan_linear(spark):
+    """The ExactSubstr span pipeline must stay linear: no nested-loop or
+    cartesian join anywhere (the all-pairs trap the window-key groupBy
+    exists to avoid), and no Python in the hot path."""
+    df = SPECS["dedup_substring_spans"].fn(spark, SF_DIR_01)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_jl_projection_plan_jvm_side(spark):
+    """The JL projection's sign matrix and dot products are hash
+    expressions + a partial-aggregable sum — whole pipeline stays
+    JVM-side (no row-at-a-time Python), and the 16-way fan-out rides a
+    broadcast, not a shuffle."""
+    df = SPECS["embedding_random_projection"].fn(spark, SF_DIR_01)
+    p = plan_string(df)
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_band_join_plan_is_broadcast_nlj(spark):
+    """join_band_broadcast DOCUMENTS BroadcastNestedLoopJoin as the
+    correct plan for a 4-row interval dimension — pin that it actually
+    gets one (a SortMergeJoin here would mean the tiny side was
+    shuffled), and that the fact side is never exchanged before the
+    join."""
+    df = SPECS["join_band_broadcast"].fn(spark, SF_DIR_01)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_wau_fanout_is_map_side(spark):
+    """The 7-day fan-out must be a generator (explode) feeding the
+    day-keyed aggregate — one distinct + one count-distinct shuffle, no
+    join of days against days."""
+    df = SPECS["timeseries_wau_sliding"].fn(spark, SF_DIR_01)
+    p = plan_string(df)
+    assert "Generate explode" in p or "Generate" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
