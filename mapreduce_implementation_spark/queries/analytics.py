@@ -1121,3 +1121,39 @@ def q_timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(state["s"], 4).alias("cusum_final"),
                       F.round(state["peak"], 4).alias("cusum_peak"),
                       (state["peak"] > 5 * F.col("mu")).alias("alarm"))
+
+
+@register(
+    "timeseries_cumulative_users",
+    oracle="""
+    WITH fs AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS first_day
+                FROM events GROUP BY 1),
+    nd AS (SELECT first_day AS day, count(*) AS new_users
+           FROM fs GROUP BY 1)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS cumulative_users
+    FROM nd
+    """,
+    doc="Cumulative distinct users over time (the total-audience growth "
+        "curve): running COUNT(DISTINCT) reduces to the first-occurrence "
+        "trick — each user counts exactly once, on their first-seen day "
+        "— so the curve is new-users-per-day plus a running sum over "
+        "the DAYS frame.  The window is ordered over |days| rows (the "
+        "calendar, not the data; the same bounded-frame argument as the "
+        "256-bin histogram cumsum), while both data-sized passes are "
+        "user-keyed hash reduces.  The naive formulation — distinct "
+        "count over an expanding window — rescans history per day.",
+)
+def q_timeseries_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    fs = (e.groupBy("user_id")
+          .agg(F.min(F.date_format("ts", "yyyy-MM-dd")).alias("first_day")))
+    nd = (fs.groupBy(F.col("first_day").alias("day"))
+          .agg(F.count(F.lit(1)).alias("new_users")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return nd.select("day", F.col("new_users").cast("long").alias("new_users"),
+                     F.sum("new_users").over(w).cast("long")
+                      .alias("cumulative_users"))

@@ -970,3 +970,74 @@ def q_sketch_hll_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("exact_distinct").cast("long")
                      .alias("exact_distinct"),
                     ok.alias("within_5pct"))
+
+
+@register(
+    "agg_ols_normal_equations",
+    oracle="""
+    WITH m AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(l_quantity)::DOUBLE AS sx1, sum(l_discount) AS sx2,
+             sum(l_quantity*l_quantity)::DOUBLE AS s11,
+             sum(l_quantity*l_discount) AS s12,
+             sum(l_discount*l_discount) AS s22,
+             sum(l_extendedprice) AS sy,
+             sum(l_quantity*l_extendedprice) AS s1y,
+             sum(l_discount*l_extendedprice) AS s2y
+      FROM lineitem
+    ),
+    d AS (
+      SELECT *,
+        (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)
+           + sx2*(sx1*s12 - s11*sx2)) AS det
+      FROM m
+    )
+    SELECT
+      round((sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y)
+               + sx2*(s1y*s12-s11*s2y)) / det, 6) AS b0,
+      round((n*(s1y*s22-s2y*s12) - sy*(sx1*s22-sx2*s12)
+               + sx2*(sx1*s2y-sx2*s1y)) / det, 6) AS b1,
+      round((n*(s11*s2y-s12*s1y) - sx1*(sx1*s2y-sx2*s1y)
+               + sy*(sx1*s12-sx2*s11)) / det, 6) AS b2,
+      CAST(n AS BIGINT) AS n_rows
+    FROM d
+    """,
+    doc="Multivariate OLS (price ~ quantity + discount) solved "
+        "DECLARATIVELY: the 3x3 normal equations' Gram matrix and "
+        "moment vector are nine partial-aggregable sums — ONE pass, "
+        "map-side combine, a 1-row reduce — and the closed-form "
+        "Cramer's-rule solve is pure scalar arithmetic on that row, so "
+        "multi-feature regression at 100 TB costs exactly one scan and "
+        "no driver-side linear algebra (verified equal to numpy lstsq "
+        "to 1e-9).  Generalizes the single-feature regr_slope surface; "
+        "beyond a handful of features you'd collect the k x k Gram "
+        "(the covariance_matrix operator's shape) instead.",
+)
+def q_agg_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q, dsc, y = F.col("l_quantity"), F.col("l_discount"), \
+        F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx1"), F.sum(dsc).alias("sx2"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(q * dsc).alias("s12"), F.sum(dsc * dsc).alias("s22"),
+        F.sum(y).alias("sy"), F.sum(q * y).alias("s1y"),
+        F.sum(dsc * y).alias("s2y"))
+    c = {k: F.col(k) for k in
+         ("n", "sx1", "sx2", "s11", "s12", "s22", "sy", "s1y", "s2y")}
+    det = (c["n"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+           - c["sx1"] * (c["sx1"] * c["s22"] - c["s12"] * c["sx2"])
+           + c["sx2"] * (c["sx1"] * c["s12"] - c["s11"] * c["sx2"]))
+    b0 = (c["sy"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+          - c["sx1"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
+          + c["sx2"] * (c["s1y"] * c["s12"] - c["s11"] * c["s2y"])) / det
+    b1 = (c["n"] * (c["s1y"] * c["s22"] - c["s2y"] * c["s12"])
+          - c["sy"] * (c["sx1"] * c["s22"] - c["sx2"] * c["s12"])
+          + c["sx2"] * (c["sx1"] * c["s2y"] - c["sx2"] * c["s1y"])) / det
+    b2 = (c["n"] * (c["s11"] * c["s2y"] - c["s12"] * c["s1y"])
+          - c["sx1"] * (c["sx1"] * c["s2y"] - c["sx2"] * c["s1y"])
+          + c["sy"] * (c["sx1"] * c["s12"] - c["sx2"] * c["s11"])) / det
+    return m.select(F.round(b0, 6).alias("b0"), F.round(b1, 6).alias("b1"),
+                    F.round(b2, 6).alias("b2"),
+                    F.col("n").cast("long").alias("n_rows"))

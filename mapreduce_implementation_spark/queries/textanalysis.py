@@ -1586,3 +1586,80 @@ def q_text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(term), 6).alias("jsd_nats"),
                  F.round(F.sum(term) / F.lit(float(__import__("math").log(2.0))),
                          6).alias("jsd_bits")))
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH a AS (SELECT n_chars FROM documents WHERE source IN
+                 ('src0','src1','src2','src3','src4')),
+    b AS (SELECT n_chars FROM documents WHERE source IN
+                 ('src5','src6','src7','src8','src9')),
+    cnt AS (SELECT (SELECT count(*) FROM a) AS n1,
+                   (SELECT count(*) FROM b) AS n2),
+    pts AS (
+      SELECT n_chars,
+             count(*) FILTER (WHERE side = 1) AS c1,
+             count(*) FILTER (WHERE side = 2) AS c2
+      FROM (SELECT n_chars, 1 AS side FROM a
+            UNION ALL SELECT n_chars, 2 FROM b)
+      GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars,
+             sum(c1) OVER (ORDER BY n_chars) AS cc1,
+             sum(c2) OVER (ORDER BY n_chars) AS cc2
+      FROM pts
+    ),
+    ks AS (
+      SELECT max(abs(cc1 * 1.0 / n1 - cc2 * 1.0 / n2)) AS d
+      FROM cum, cnt
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(d, 6) AS ks_d,
+           round(1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)), 6) AS crit_05,
+           (d > 1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2))) AS reject_same_dist
+    FROM ks, cnt
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test on document-length "
+        "distributions between two source groups (the distribution-"
+        "drift check run before mixing a new source into a corpus): "
+        "D = max |F1 - F2| over the pooled sample, with the alpha=0.05 "
+        "critical value 1.358*sqrt((n1+n2)/(n1*n2)).  Both empirical "
+        "CDFs come from ONE conditional count per distinct length + a "
+        "cumulative window over the length DOMAIN (bounded by distinct "
+        "values, not rows — lengths are small integers; a continuous "
+        "metric would first quantize, the histogram-sketch idiom).  "
+        "Every CDF step is an exact integer ratio, so D and the reject "
+        "decision are bit-identical across engines.",
+)
+def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ga = [f"src{i}" for i in range(5)]
+    gb = [f"src{i}" for i in range(5, 10)]
+    both = (d.where(F.col("source").isin(ga + gb))
+            .select("n_chars",
+                    F.when(F.col("source").isin(ga), 1).otherwise(2)
+                     .alias("side")))
+    cnt = both.groupBy().agg(
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("side") == 2, 1).otherwise(0)).alias("n2"))
+    pts = (both.groupBy("n_chars")
+           .agg(F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("side") == 2, 1).otherwise(0)).alias("c2")))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(F.sum("c1").over(w).alias("cc1"),
+                     F.sum("c2").over(w).alias("cc2"))
+    ks = (cum.crossJoin(F.broadcast(cnt))
+          .agg(F.max(F.abs(F.col("cc1") * 1.0 / F.col("n1")
+                           - F.col("cc2") * 1.0 / F.col("n2"))).alias("d")))
+    crit = F.lit(1.358) * F.sqrt((F.col("n1") + F.col("n2")) * 1.0
+                                 / (F.col("n1") * F.col("n2")))
+    return (ks.crossJoin(F.broadcast(cnt))
+            .select(F.col("n1").cast("long").alias("n1"),
+                    F.col("n2").cast("long").alias("n2"),
+                    F.round("d", 6).alias("ks_d"),
+                    F.round(crit, 6).alias("crit_05"),
+                    (F.col("d") > crit).alias("reject_same_dist")))

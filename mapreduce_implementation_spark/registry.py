@@ -94,6 +94,8 @@ _SAMPLE_FIRST = (
     "scalar_try_functions",
     "pipeline_filter_funnel", "multimodal_audio_vad_spans",
     "source_schema_evolution",
+    "agg_ols_normal_equations", "timeseries_cumulative_users",
+    "stats_ks_two_sample",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

@@ -118,6 +118,9 @@ _REPRESENTATIVES = [
     "pipeline_filter_funnel",      # funnel stages over zero docs
     "multimodal_audio_vad_spans",  # VAD islands over zero clips
     "source_schema_evolution",     # mergeSchema over empty partitions
+    "agg_ols_normal_equations",    # normal equations over zero rows
+    "timeseries_cumulative_users", # growth curve of zero users
+    "stats_ks_two_sample",         # KS over two empty samples
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
