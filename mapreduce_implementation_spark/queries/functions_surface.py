@@ -629,3 +629,44 @@ def q_scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("good_cast"),
         F.try_multiply(F.col("o_custkey"), F.lit(1000000))
          .cast("long").alias("big_mul"))
+
+
+@register(
+    "scalar_url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+      FROM documents WHERE doc_id <= 200
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+    doc="URL parsing surface (parse_url: HOST / PATH / QUERY param / "
+        "PROTOCOL) — the per-document provenance normalization every "
+        "web-crawl curation pipeline starts with (group by host, strip "
+        "tracking params, protocol stats).  URLs are synthesized "
+        "deterministically from the documents columns; Spark's "
+        "parse_url (a Hive-compat builtin DuckDB lacks) is oracled by "
+        "regexes expressing the identical grammar on well-formed URLs, "
+        "so a parse_url component-name or separator bug flips the "
+        "hash.  Pure codegen expressions — at 100 TB this is a free "
+        "rider on the scan.",
+)
+def q_scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+                   F.lit("?lang="), F.col("lang"), F.lit("&v=2"))
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"))

@@ -1041,3 +1041,44 @@ def q_agg_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.round(b0, 6).alias("b0"), F.round(b1, 6).alias("b1"),
                     F.round(b2, 6).alias("b2"),
                     F.col("n").cast("long").alias("n_rows"))
+
+
+@register(
+    "agg_geometric_harmonic_means",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_extendedprice), 6) AS mean_arith,
+           round(exp(avg(ln(l_extendedprice))), 6) AS mean_geom,
+           round(count(*) / sum(1.0 / l_extendedprice), 6) AS mean_harm,
+           (exp(avg(ln(l_extendedprice))) <= avg(l_extendedprice)
+            AND count(*) / sum(1.0 / l_extendedprice)
+                <= exp(avg(ln(l_extendedprice)))) AS am_gm_hm_holds
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+    doc="Geometric and harmonic means per return flag — the two "
+        "non-arithmetic Pythagorean means, each as a SINGLE "
+        "partial-aggregable pass: GM = exp(avg(ln x)) (the log-space "
+        "trick that cannot overflow where a naive product of a billion "
+        "prices would), HM = n / sum(1/x) (the mean for averaging "
+        "rates).  The AM >= GM >= HM inequality is pinned in-query as "
+        "a cross-engine invariant.  Both reduce to sum/count partials, "
+        "so at 100 TB they cost exactly what avg() costs.",
+)
+def q_agg_geometric_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") > 0)
+    x = F.col("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("_am"),
+        F.exp(F.avg(F.log(x))).alias("_gm"),
+        (F.count(F.lit(1)) / F.sum(F.lit(1.0) / x)).alias("_hm"))
+    return g.select(
+        "l_returnflag", F.col("n").cast("long").alias("n"),
+        F.round("_am", 6).alias("mean_arith"),
+        F.round("_gm", 6).alias("mean_geom"),
+        F.round("_hm", 6).alias("mean_harm"),
+        ((F.col("_gm") <= F.col("_am")) & (F.col("_hm") <= F.col("_gm")))
+         .alias("am_gm_hm_holds"))

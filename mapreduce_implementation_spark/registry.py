@@ -96,6 +96,7 @@ _SAMPLE_FIRST = (
     "source_schema_evolution",
     "agg_ols_normal_equations", "timeseries_cumulative_users",
     "stats_ks_two_sample",
+    "agg_geometric_harmonic_means", "scalar_url_functions",
     # --- stale, latest driver row r01 ---
     "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
     "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",

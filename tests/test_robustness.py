@@ -121,6 +121,8 @@ _REPRESENTATIVES = [
     "agg_ols_normal_equations",    # normal equations over zero rows
     "timeseries_cumulative_users", # growth curve of zero users
     "stats_ks_two_sample",         # KS over two empty samples
+    "agg_geometric_harmonic_means",# log-space means of nothing
+    "scalar_url_functions",        # parse_url over zero docs
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
