@@ -609,8 +609,8 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Error-safe scalar surface (ANSI mode's escape hatches): "
         "try_divide yields NULL on division by zero (o_custkey % 3 "
         "poisons every third row; floored to dodge half-cent rounding "
-        "ties, which the two engines break differently) — "
-        "poisons every third row), try_cast yields NULL for "
+        "ties, which the two engines break differently), try_cast "
+        "yields NULL for "
         "unparseable strings instead of aborting the job ('1-URGENT' "
         "fails whole, its first char parses), and try_multiply passes "
         "values through when no overflow occurs.  One malformed row "
