@@ -63,44 +63,18 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# Driver-sample rotation: the driver records ~50 queries per round in
-# registry iteration order.  Round-6 policy (VERDICT r05 items 1, 4, 5):
-# `pipeline_sequence_packing` stays FIRST (its 3-round red row was the
-# oracle's uncast HUGEINT seq_id, fixed this round — needs the green
-# driver row), then `window_global_rank_stats` (registered after the r5
-# driver run; the only never-sampled query), then the round-6 additions
-# (first-ever driver rows), then the 53 queries whose latest driver row
-# dates from r01/r02 — r01 block first (oldest), then r02.  Whatever
-# overflows the ~50-slot window rolls to the r7 head.
+# Driver-sample rotation: the driver records exactly 50 queries per
+# round in registry iteration order.  Round-7 policy (VERDICT r06 item
+# 1): registrations are FROZEN this round and the whole 50-slot window
+# goes to the stale tail — the 29 queries whose latest driver row dates
+# from r01, then the 16 from r02, then `dedup_semantic_kmeans` (r03,
+# rows-only, graduating to a bounded hash oracle this round — needs the
+# fresh row) and the 4 alphabetically-first r03-stale queries.  After
+# this round every query's latest driver row is r06/r07 except the
+# remaining r03/r04 blocks (40 + 45), which rotate next.
 _SAMPLE_FIRST = (
-    "pipeline_sequence_packing",
-    "window_global_rank_stats",
-    # --- round-6 additions (no driver row yet) ---
-    "graph_kcore", "asof_join_tolerance",
-    "retrieval_hard_negatives", "text_bpe_first_merges",
-    "dedup_substring_spans", "embedding_dim_stats", "text_ngram_novelty",
-    "events_top_paths", "incremental_agg_merge", "layout_zorder_key",
-    "sketch_quantile_histogram", "skyline_pareto_orders",
-    "embedding_pca_power",
-    "graph_hits_trade", "text_heaps_law", "embedding_random_projection",
-    "events_new_vs_returning", "timeseries_holt_linear",
-    "window_session_builtin", "agg_gini_spend",
-    "text_js_divergence_sources", "join_null_safe",
-    "graph_personalized_pagerank",
-    "multimodal_image_resize", "window_range_trailing_7d",
-    "sketch_hll_datasketches", "sql_lateral_topn",
-    "corpus_datasheet", "join_band_broadcast",
-    "timeseries_wau_sliding", "timeseries_cusum_changepoint",
-    "scalar_try_functions",
-    "pipeline_filter_funnel", "multimodal_audio_vad_spans",
-    "source_schema_evolution",
-    "agg_ols_normal_equations", "timeseries_cumulative_users",
-    "stats_ks_two_sample",
-    "agg_geometric_harmonic_means", "scalar_url_functions",
     # --- stale, latest driver row r01 ---
-    "agg_conditional_filter", "agg_minmax_multi_key", "agg_percentiles",
-    "agg_tpch_q1", "array_functions", "asof_join_latest_order", "cube_agg",
-    "date_arithmetic", "distinct_rows", "grouping_sets_sql", "join_anti",
+    "distinct_rows", "grouping_sets_sql", "join_anti",
     "join_broadcast_dims", "join_full_outer", "join_left_outer",
     "join_semi", "join_shuffle_facts", "join_tpch_q5_shape",
     "multimodal_binary_meta", "multimodal_decode_stub", "null_handling",
@@ -117,6 +91,10 @@ _SAMPLE_FIRST = (
     "dedup_simhash", "dedup_tfidf_cosine", "distributed_sort",
     "distributed_sort_desc", "partitioned_scan_events_week",
     "stats_chi2_event_dow", "tokenize", "word_count",
+    # --- stale, latest driver row r03 (head of the next-stalest block) ---
+    "dedup_semantic_kmeans",
+    "agg_decimal_exact", "agg_mode_per_group", "agg_percentiles_exact",
+    "agg_stat_moments",
 )
 
 
