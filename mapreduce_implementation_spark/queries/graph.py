@@ -525,10 +525,15 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the all-ones hub start.  Hub = nations whose customers buy from "
         "authoritative suppliers; authority = nations whose suppliers "
         "serve hub buyers — the asymmetric dual PageRank collapses.  "
-        "Edge build = 3 fact joins + one aggregation, persisted once; "
-        "each half-step is one broadcast of the O(nodes) vector + one "
-        "partial-aggregable sum on the opposite endpoint.  Oracle "
-        "unrolls the identical rounds as chained CTEs.",
+        "Edge build = 3 fact joins + one aggregation, persisted once.  "
+        "The 25x25 aggregated edge list is dimension-sized, so hits() "
+        "takes its dense Arrow fast path: the whole iteration is ONE "
+        "vectorized applyInPandas task (bincount matvecs); past 2M edge "
+        "rows the declarative chain (per half-step: one broadcast of "
+        "the O(nodes) vector + one partial-aggregable sum on the "
+        "opposite endpoint, normalization deferred by linearity) runs "
+        "instead — both modes parity-tested.  Oracle unrolls the "
+        "identical rounds as chained CTEs.",
 )
 def q_graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -37,17 +37,19 @@ def test_pagerank_matches_python_reference(spark):
 
 
 def test_pagerank_shuffle_mode_matches_broadcast(spark):
-    """The web-scale fallback (rank vector joined by src instead of
-    broadcast — used when node count exceeds broadcast_node_limit) must
-    produce the identical ranks: same math, different physical join.
+    """All three physical modes — broadcast-vector, the web-scale
+    shuffled-join fallback, and the dimension-sized dense Arrow task —
+    must produce identical ranks: same math, different physical plans.
     Forcing broadcast_node_limit=0 exercises the auto-probe path too."""
     edges = [(1, 2, 3.0), (2, 1, 1.0), (2, 3, 1.0), (3, 1, 2.0), (1, 3, 1.0)]
     nodes = [1, 2, 3]
     e = spark.createDataFrame(edges, "src int, dst int, w double")
     nd = spark.createDataFrame([(v,) for v in nodes], "v int")
     want = _py_pagerank(edges, nodes, iters=5)
-    for kwargs in ({"broadcast_ranks": False},
-                   {"broadcast_node_limit": 0}):  # auto-probe picks shuffle
+    for kwargs in ({"broadcast_ranks": False, "dense_path": False},
+                   # auto-probe picks shuffle once dense is off
+                   {"broadcast_node_limit": 0, "dense_path": False},
+                   {"dense_path": True}):
         got = {r.v: r.r for r in pagerank(e, nd, iters=5, **kwargs).collect()}
         assert set(got) == set(want)
         for v in nodes:
@@ -288,7 +290,10 @@ def test_sssp_weighted_prefers_cheap_multihop_path(spark):
 def test_hits_matches_numpy_iteration(spark):
     """hits() must reproduce an independent numpy implementation of the
     same 2 authority-then-hub L2-normalized rounds on a small weighted
-    digraph, and both score vectors must be unit-norm."""
+    digraph, in BOTH physical modes (declarative lazy chain and the
+    single-Arrow-task dense path), and both score vectors must be
+    unit-norm.  The declarative mode defers normalization across rounds
+    (scale invariance), so agreement to 1e-9 also pins that algebra."""
     import numpy as np
 
     from mapreduce_implementation_spark.operators.graph import hits
@@ -301,11 +306,6 @@ def test_hits_matches_numpy_iteration(spark):
     nv = 6  # node 5 is isolated
     df = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
     nodes = spark.createDataFrame([(i,) for i in range(nv)], "v bigint")
-    try:
-        got = {r["v"]: (r["hub"], r["authority"])
-               for r in hits(df, nodes, iters=2).collect()}
-    finally:
-        release_persisted()
 
     W = np.zeros((nv, nv))
     for s, d, w in edges:
@@ -317,10 +317,19 @@ def test_hits_matches_numpy_iteration(spark):
         h = W @ a
         h = h / np.sqrt((h * h).sum())
     assert abs(np.linalg.norm(h) - 1) < 1e-9
-    for v in range(nv):
-        assert abs(got[v][0] - h[v]) < 1e-9, ("hub", v)
-        assert abs(got[v][1] - a[v]) < 1e-9, ("authority", v)
-    assert got[5] == (0.0, 0.0)  # isolated node present, scored zero
+
+    for dense in (True, False):
+        try:
+            got = {r["v"]: (r["hub"], r["authority"])
+                   for r in hits(df, nodes, iters=2,
+                                 dense_path=dense).collect()}
+        finally:
+            release_persisted()
+        for v in range(nv):
+            assert abs(got[v][0] - h[v]) < 1e-9, ("hub", v, dense)
+            assert abs(got[v][1] - a[v]) < 1e-9, ("authority", v, dense)
+        # isolated node present, scored zero
+        assert got[5] == (0.0, 0.0), dense
 
 
 def test_personalized_pagerank_uniform_reset_equals_global(spark):

@@ -283,8 +283,9 @@ def test_top_terms_per_lang_window_group_limit(spark):
 
 def test_pagerank_edges_built_once(spark):
     """The fact-scale edge build is persisted (InMemoryTableScan appears
-    in the iteration lineage) so 5 iterations don't rescan lineitem 5x;
-    the rank vector side of each iteration join is broadcast."""
+    in the lineage) so the iteration never rescans lineitem; the
+    dimension-sized side (node count / rank vector, whichever mode the
+    probe picked) enters the plan as a broadcast."""
     df = SPECS["graph_pagerank_trade"].fn(spark, SF_DIR_01)
     plan = plan_string(df)
     assert "InMemoryTableScan" in plan, plan
