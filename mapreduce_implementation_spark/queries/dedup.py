@@ -525,21 +525,69 @@ def q_dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_kmeans",
-    oracle=None,  # cluster ids come from the seeded k-means fit: no SQL
-    # twin; drop-rate + survivor-validity pinned in tests
+    oracle="""
+    WITH k AS (
+      SELECT greatest(1, least(50, CAST(50000 // count(*) AS BIGINT))) AS kk
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings, k
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 < k.kk
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos,
+           TRUE AS drop_recall_ok
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    """,
     doc="SemDeDup proper: seeded k-means (k=8, 3 Lloyd iterations — only "
         "the k x dim centroid matrix reaches the driver) assigns blocks, "
         "then within-block min-id cosine dedup at the same 0.3 threshold. "
         "At 100 TB the fit runs on a sample and assignment is one "
         "embarrassingly-parallel scan; the dedup join shuffles on the "
-        "cluster id only.",
+        "cluster id only.  Graduated to a bounded hash oracle (r7, the "
+        "dedup_embedding_lsh idiom): output = the exact cosine pairs "
+        "within the deterministic md5 audit subset (adaptive K keeps the "
+        "audit ~500 vectors at any corpus size) + in-query "
+        "drop_recall_ok = the k-means-blocked dedup dropped >= 40% of "
+        "the vectors the audit PROVES must drop (each pair's higher id "
+        "has a lower-id >=0.3 neighbor).  Measured drop-recall 0.51 / "
+        "0.61 / 0.84 at sf0.001/0.01/0.1 — k=8 blocking legitimately "
+        "splits mild-similarity (0.3) pairs across clusters, which is "
+        "the recall/throughput trade SemDeDup makes by design; the "
+        "survivor-validity invariant (every drop has a qualifying "
+        "same-block lower-id mate) stays pinned exactly in "
+        "test_semantic_kmeans_dedup_validity.",
 )
 def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
     from ..operators.semantic import semantic_dedup_kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_kmeans(emb, "vec_id", "embedding",
-                                 dim=64, min_cosine=0.3)
+    n = emb.count()
+    kk = max(1, min(50, 50000 // max(n, 1)))
+    bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4),
+                     16, 10).cast("long") % 100)
+    sub = emb.filter(bucket < kk)
+    exact_sub = tracked_persist(
+        embedding_near_dup_pairs(sub, "vec_id", "embedding", min_cosine=0.3))
+    km = semantic_dedup_kmeans(emb, "vec_id", "embedding",
+                               dim=64, min_cosine=0.3)
+    dropped = km.filter(~F.col("kept")).select("vec_id")
+    # every subset pair's higher id provably has a lower-id neighbor at
+    # >= threshold, so a perfect dedup drops it; measure how many the
+    # k-means blocking caught
+    must_drop = exact_sub.select(F.col("b").alias("vec_id")).distinct()
+    marked = must_drop.join(dropped.withColumn("_d", F.lit(1)),
+                            "vec_id", "left")
+    stats = marked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum("_d"), F.lit(0)).alias("_h"))
+    rc = stats.select(
+        (F.col("_h") >= F.ceil(F.lit(0.4) * F.col("_n"))).alias("drop_recall_ok"))
+    return exact_sub.crossJoin(F.broadcast(rc))
 
 
 @register(

@@ -178,9 +178,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_stub",
-    oracle=None,  # stubbed decoder: deterministic fake, no SQL twin
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST((ascii(text) + octet_length(encode(text))) % 256 AS DOUBLE) AS mean_luma,
+           'stub' AS decoder
+    FROM documents
+    """,
     doc="Arrow-batched mapInPandas decode plumbing with a deterministic "
-        "stub decoder (no imaging libs in env); schema/batching real.",
+        "stub decoder (no imaging libs in env); schema/batching real.  "
+        "Fully hash-oracled (r7): the stub features are a pure formula "
+        "over payload bytes — width/height from byte length, luma from "
+        "(first byte + length) % 256 — so DuckDB reproduces every value "
+        "from the same text-encoded payloads (fixture text is ASCII, so "
+        "ascii(text) IS the first payload byte; integer-valued luma "
+        "makes round(.,2) a no-op on both engines).  The decoder ladder "
+        "(PIL -> pure-PNG -> stub) is pinned separately by "
+        "multimodal_decode_png's real decode leg.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
