@@ -504,3 +504,110 @@ def test_random_projection_matches_numpy_signs(spark):
         assert abs(r["orig_dist"] - round(od, 6)) < 1e-9
         assert abs(r["proj_dist"] - round(pd_, 6)) < 2e-6
         assert r["jl_mean_ok"] is True
+
+
+def _model_substring_spans(rows: list[tuple[int, str]], width: int,
+                           stride: int) -> set[tuple[int, int, int]]:
+    """Independent pure-Python model of duplicate_substring_spans'
+    documented semantics (normalize -> aligned windows every `stride`
+    chars -> windows verbatim in >= 2 distinct docs -> per-doc merge of
+    hits closer than `width`, 1-based inclusive offsets)."""
+    import re
+
+    norm = {i: re.sub(r"[^A-Za-z ]", "", t).lower() for i, t in rows}
+    wins: dict[int, list[tuple[int, str]]] = {}
+    for i, t in norm.items():
+        if len(t) < width:
+            continue
+        wins[i] = [(p + 1, t[p:p + width])
+                   for p in range(0, len(t) - width + 1, stride)]
+    owners: dict[str, set[int]] = {}
+    for i, ws in wins.items():
+        for _, w in ws:
+            owners.setdefault(w, set()).add(i)
+    out: set[tuple[int, int, int]] = set()
+    for i, ws in wins.items():
+        hits = sorted({p for p, w in ws if len(owners[w]) >= 2})
+        if not hits:
+            continue
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev <= width:
+                prev = p
+                continue
+            out.add((i, start, prev + width - 1))
+            start = prev = p
+        out.add((i, start, prev + width - 1))
+    return out
+
+
+def test_substring_spans_match_brute_force_model(spark):
+    """duplicate_substring_spans must equal the pure-Python model on a
+    corpus engineered around the edge cases: hits merging at EXACTLY
+    `width` apart (adjacent spans coalesce), hits width+1 apart (spans
+    split), docs shorter than width (excluded), normalization collisions
+    (digits/punct stripped make two texts identical), whole-doc dups,
+    and both key modes (string and xxhash64)."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    w, s = 6, 2
+    blk = "abcdef"  # one aligned window wide
+    rows = [
+        # whole-doc duplicate pair
+        (1, "xx yy " + blk + " zz qq"),
+        (2, "xx yy " + blk + " zz qq"),
+        # same block planted in otherwise-unique docs at stride-aligned
+        # and unaligned offsets
+        (3, "pp " + blk + " rr ss tt uu vv"),
+        (4, "m" + blk + "nopqrs tuvwy"),
+        # two hits 2*width apart -> must stay TWO spans (split case)
+        (5, blk + "klmtuv" + blk + "wy"),
+        # underscores strip to blk+blk: hits exactly `width` apart
+        # (positions 1 and 7) -> must merge into ONE span
+        (6, blk + "______" + blk),
+        # doc shorter than width after normalization -> excluded
+        (7, "a1b2!"),
+        # digits strip to produce a verbatim copy of doc 3's text
+        (8, "pp " + blk + " rr s7s t9t uu vv"),
+        # no duplicated content at all
+        (9, "zyxwvutsrqponmlkjihgfe"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = _model_substring_spans(rows, w, s)
+    for hk in (False, True):
+        got = {(r["doc_id"], r["span_start"], r["span_end"])
+               for r in duplicate_substring_spans(
+                   df, "doc_id", "text", width=w, stride=s,
+                   hash_key=hk).collect()}
+        assert got == want, (hk, sorted(got), sorted(want))
+    # the fixture really exercised the edge cases: doc 6 merged into one
+    # span, doc 5 split into two, doc 7 excluded
+    assert len([x for x in want if x[0] == 6]) == 1
+    assert len([x for x in want if x[0] == 5]) == 2
+    assert not any(x[0] == 7 for x in want)
+
+
+def test_substring_spans_match_model_random(spark):
+    """Randomized agreement with the model: many small docs over a
+    2-letter+space alphabet (dense window collisions), several
+    width/stride combos including stride=1 and stride>width."""
+    import random
+
+    from mapreduce_implementation_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    rng = random.Random(7)
+    alphabet = "ab B!7 "
+    for w, s in ((4, 1), (5, 2), (4, 6)):
+        rows = [(i, "".join(rng.choice(alphabet)
+                            for _ in range(rng.randrange(0, 18))))
+                for i in range(24)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["doc_id"], r["span_start"], r["span_end"])
+               for r in duplicate_substring_spans(
+                   df, "doc_id", "text", width=w, stride=s).collect()}
+        want = _model_substring_spans(rows, w, s)
+        assert got == want, (w, s, sorted(got), sorted(want))
