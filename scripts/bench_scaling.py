@@ -94,6 +94,11 @@ PIPELINES = [
     # round-6 waves 9-10: native session windows; rank-stats Gini
     "window_session_builtin",
     "agg_gini_spend",
+    # round-7: the dense-fast-path graph queries (25-node catalog graph
+    # at every SF: edge AGGREGATION deepens 10x, iteration state fixed —
+    # expect near-flat exponents dominated by the fact-join edge build)
+    "graph_hits_trade",
+    "graph_pagerank_trade",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]
