@@ -357,3 +357,48 @@ def test_personalized_pagerank_uniform_reset_equals_global(spark):
     assert plain.keys() == seeded.keys()
     for v in plain:
         assert abs(plain[v] - seeded[v]) < 1e-12, v
+
+
+def test_graph_dense_paths_match_declarative_random(spark):
+    """Randomized dense-vs-declarative parity for pagerank() and hits()
+    on seeded random digraphs (self-loops, isolated nodes, parallel-free
+    multi-weight edges, a node with out-edges only): the two physical
+    modes must agree to 1e-9 on every score, and pagerank must also
+    match the pure-Python reference."""
+    import random
+
+    from mapreduce_implementation_spark.operators.graph import hits
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = rng.randrange(4, 9)
+        nodes = list(range(n + 2))  # n+1 and n stay isolated sometimes
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(rng.randrange(3, 14))})
+        edges = [(s, t, float(rng.randrange(1, 6))) for s, t in edges]
+        if not edges:
+            continue
+        e = spark.createDataFrame(edges, "src int, dst int, w double")
+        nd = spark.createDataFrame([(v,) for v in nodes], "v int")
+        try:
+            pr_want = _py_pagerank(edges, nodes, iters=4)
+            pr = {}
+            ht = {}
+            for dense in (True, False):
+                pr[dense] = {r.v: r.r for r in pagerank(
+                    e, nd, iters=4, dense_path=dense).collect()}
+                ht[dense] = {r.v: (r.hub, r.authority) for r in hits(
+                    e, nd, iters=2, dense_path=dense).collect()}
+        finally:
+            release_persisted()
+        assert set(pr[True]) == set(pr[False]) == set(nodes), trial
+        assert set(ht[True]) == set(ht[False]) == set(nodes), trial
+        for v in nodes:
+            assert abs(pr[True][v] - pr[False][v]) < 1e-9, (trial, v)
+            assert abs(pr[True][v] - pr_want[v]) < 1e-9, (trial, v)
+            for j in (0, 1):
+                assert abs(ht[True][v][j] - ht[False][v][j]) < 1e-9, \
+                    (trial, v, j)
