@@ -362,8 +362,59 @@ def triangle_count(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     return per_node
 
 
+def _label_propagation_dense(e: DataFrame, n1: DataFrame,
+                             iters: int) -> DataFrame:
+    """label_propagation()'s dimension-sized fast path (the
+    hits()/pagerank() precedent): all rounds in ONE vectorized Arrow
+    task.  Per round the (dst, label) weight sums come from one
+    np.unique over combined int64 keys + bincount (O(E log E), no dense
+    matrix), and the argmax-with-min-label-tie is a lexsort picking the
+    first row per dst — node ids relabeled through the SORTED unique
+    vertex array, so smallest-index == smallest-label and the tie order
+    matches the declarative window exactly.  Nodes receiving no mass
+    revert to their own id each round, mirroring the declarative
+    coalesce."""
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # sorted rows => deterministic float accumulation order
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        vs = np.unique(np.concatenate(
+            [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+        lut = {v: i for i, v in enumerate(vs)}
+        si = pdf["src"].map(lut).to_numpy()
+        di = pdf["dst"].map(lut).to_numpy()
+        w = pdf["w"].to_numpy(dtype="float64")
+        m = len(vs)
+        lab = np.arange(m)
+        for _ in range(iters):
+            key = di.astype(np.int64) * m + lab[si]
+            uk, inv = np.unique(key, return_inverse=True)
+            s = np.bincount(inv, weights=w)
+            dsts = uk // m
+            labs = uk % m
+            order = np.lexsort((labs, -s, dsts))
+            du = dsts[order]
+            first = np.ones(len(du), dtype=bool)
+            first[1:] = du[1:] != du[:-1]
+            nxt = np.arange(m)
+            nxt[du[first]] = labs[order][first]
+            lab = nxt
+        return pd.DataFrame({"v": vs.astype("int64"),
+                             "label": vs[lab].astype("int64")})
+
+    scored = (e.groupBy(F.lit(1).alias("_g"))
+              .applyInPandas(solve, "v bigint, label bigint"))
+    return (n1.join(scored, "v", "left")
+            .select("v", F.coalesce("label", F.col("v")).alias("label")))
+
+
 def label_propagation(edges: DataFrame, nodes: DataFrame,
-                      iters: int = 5) -> DataFrame:
+                      iters: int = 5,
+                      dense_path: bool | None = None,
+                      dense_edge_limit: int = 2_000_000) -> DataFrame:
     """Synchronous weighted label propagation (community detection,
     Raghavan et al. 2007) — deterministic variant: every node
     simultaneously adopts the label with the highest incident edge
@@ -380,6 +431,15 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
     construction.  Synchronous update + min-label tie-break makes the
     fixed iteration count exactly reproducible (and therefore
     oracle-able), unlike the asynchronous/random-order formulation.
+
+    ``dense_path`` (the hits()/pagerank() precedent, r7): when the
+    aggregated edge list fits one Arrow batch (≤ ``dense_edge_limit``
+    rows, integral keys), all rounds run as ONE vectorized
+    ``applyInPandas`` task — see :func:`_label_propagation_dense`; past
+    the limit the declarative chain below runs unchanged.  Both modes
+    parity-tested (test_label_propagation_modes_match).  Like the other
+    graph operators, edge endpoints are expected to be a subset of
+    ``nodes``.
     """
     from pyspark.sql.window import Window
 
@@ -388,6 +448,13 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
     e = tracked_persist(
         edges.select("src", "dst", F.col("w").cast("double").alias("w")))
     n1 = nodes.select(F.col("v")).distinct()
+    integral = e.schema["src"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+    if dense_path is None:
+        dense_path = integral and (
+            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+    if dense_path:
+        return _label_propagation_dense(e, n1, iters)
     labels = n1.select("v", F.col("v").alias("label"))
     w_pick = Window.partitionBy("dst").orderBy(F.desc("_s"), F.asc("label"))
     for _i in range(iters):
@@ -412,8 +479,55 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
     return labels
 
 
+def _bellman_ford_dense(e: DataFrame, n1: DataFrame, source, rounds: int,
+                        weighted: bool, out_type: str) -> DataFrame:
+    """Shared dimension-sized fast path for :func:`bfs_distances` /
+    :func:`sssp_weighted` (the hits()/pagerank()/LPA precedent): all
+    synchronous relaxation rounds in ONE vectorized Arrow task.  Each
+    round is a masked ``np.minimum.at`` scatter over the previous
+    round's vector — int64 min-plus, exact, no float ever touches a
+    distance.  Unreached nodes stay NULL through a pandas nullable
+    Int64 column; a source outside the edge vertex set is pinned to 0
+    at the densify."""
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vs = np.unique(np.concatenate(
+            [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+        lut = {v: i for i, v in enumerate(vs)}
+        si = pdf["src"].map(lut).to_numpy()
+        di = pdf["dst"].map(lut).to_numpy()
+        w = (pdf["w"].to_numpy(dtype="int64") if weighted
+             else np.ones(len(si), dtype="int64"))
+        m = len(vs)
+        inf = np.iinfo(np.int64).max // 2  # +w can never overflow
+        dist = np.full(m, inf, dtype="int64")
+        if source in lut:
+            dist[lut[source]] = 0
+        for _ in range(rounds):
+            mask = dist[si] < inf
+            nxt = dist.copy()
+            np.minimum.at(nxt, di[mask], dist[si][mask] + w[mask])
+            dist = nxt
+        return pd.DataFrame({
+            "v": vs.astype("int64"),
+            "d": pd.array([None if x >= inf else int(x) for x in dist],
+                          dtype="Int64"),
+        })
+
+    scored = (e.groupBy(F.lit(1).alias("_g"))
+              .applyInPandas(solve, "v bigint, d bigint"))
+    return (n1.join(scored, "v", "left")
+            .select("v", F.when(F.col("v") == source, F.lit(0))
+                    .otherwise(F.col("d")).cast(out_type).alias("dist")))
+
+
 def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
-                  max_hops: int = 5) -> DataFrame:
+                  max_hops: int = 5,
+                  dense_path: bool | None = None,
+                  dense_edge_limit: int = 2_000_000) -> DataFrame:
     """Single-source shortest HOP distances (multi-round distributed
     BFS / the unit-weight Bellman-Ford relaxation): ``(v, dist)`` with
     NULL dist for nodes unreachable within ``max_hops``.
@@ -427,7 +541,8 @@ def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
     ``localCheckpoint`` lineage truncation per round (the CC idiom) —
     deterministic, so still oracle-able.  At true web diameter, swap
     the fixed count for the convergence test ``connected_components``
-    uses.
+    uses.  ``dense_path`` (r7): edge lists fitting one Arrow batch run
+    all rounds in one vectorized task — :func:`_bellman_ford_dense`.
     """
     # infinity sentinel derived from max_hops (a reachable distance is
     # <= max_hops, so max_hops + 1 can never collide with a real value);
@@ -435,6 +550,16 @@ def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
     inf = max_hops + 1
     e = tracked_persist(edges.select("src", "dst"))
     n1 = nodes.select(F.col("v")).distinct()
+    # dimension-sized dense fast path (see _bellman_ford_dense): exact
+    # int64 min-plus in one Arrow task when the edge list fits a batch
+    integral = e.schema["src"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+    if dense_path is None:
+        dense_path = integral and (
+            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+    if dense_path:
+        return _bellman_ford_dense(e, n1, source, max_hops,
+                                   weighted=False, out_type="int")
     dist = n1.select(
         "v", F.when(F.col("v") == source, 0).cast("int").alias("d"))
     for _i in range(max_hops):
@@ -462,7 +587,9 @@ def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
 
 
 def sssp_weighted(edges: DataFrame, nodes: DataFrame, source,
-                  rounds: int, max_edge_w: int) -> DataFrame:
+                  rounds: int, max_edge_w: int,
+                  dense_path: bool | None = None,
+                  dense_edge_limit: int = 2_000_000) -> DataFrame:
     """Single-source shortest WEIGHTED path distances (Bellman-Ford):
     ``(v, dist)`` with NULL dist for nodes not reached within
     ``rounds`` relaxation rounds.  Generalizes :func:`bfs_distances`
@@ -482,13 +609,25 @@ def sssp_weighted(edges: DataFrame, nodes: DataFrame, source,
     declaratively, a fixed round count with ``localCheckpoint``
     lineage truncation per round (deterministic, so still oracle-able).
     At true web scale swap the fixed count for the convergence test
-    ``connected_components`` uses.
+    ``connected_components`` uses.  ``dense_path`` (r7): edge lists
+    fitting one Arrow batch run all rounds in one vectorized task —
+    :func:`_bellman_ford_dense`.
     """
     if max_edge_w < 1:
         raise ValueError("max_edge_w must be >= 1")
     inf = rounds * max_edge_w + 1
     e = tracked_persist(edges.select("src", "dst", "w"))
     n1 = nodes.select(F.col("v")).distinct()
+    # dimension-sized dense fast path (see _bellman_ford_dense): exact
+    # int64 min-plus in one Arrow task when the edge list fits a batch
+    integral = e.schema["src"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+    if dense_path is None:
+        dense_path = integral and (
+            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+    if dense_path:
+        return _bellman_ford_dense(e, n1, source, rounds,
+                                   weighted=True, out_type="long")
     dist = n1.select(
         "v", F.when(F.col("v") == source, 0).cast("long").alias("d"))
     for _i in range(rounds):

@@ -217,10 +217,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("s_nationkey").alias("b"))
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
+    # symmetrize in ONE pass over raw (explode, not a self-union whose
+    # two branches would each re-run the 3-fact join), then re-aggregate
+    # the (a,b)/(b,a) collisions — a nation-pair-sized groupBy
     edges = (
-        raw.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
-        .unionByName(
-            raw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        raw.select(F.explode(F.array(
+            F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+        )).alias("e"), "w")
+        .select("e.src", "e.dst", "w")
         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
     )
     nodes = n.select(F.col("n_nationkey").alias("v"))

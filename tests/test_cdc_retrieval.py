@@ -287,12 +287,15 @@ def test_bfs_distances_path_graph(spark):
     edges = spark.createDataFrame(
         und + [(b, a) for a, b in und], "src long, dst long")
     nodes = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 9]], "v long")
-    got = {r["v"]: r["dist"]
-           for r in bfs_distances(edges, nodes, source=1, max_hops=5).collect()}
-    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 9: None}
-    trunc = {r["v"]: r["dist"]
-             for r in bfs_distances(edges, nodes, source=1, max_hops=2).collect()}
-    assert trunc == {1: 0, 2: 1, 3: 2, 4: None, 9: None}
+    for dense in (True, False):
+        got = {r["v"]: r["dist"]
+               for r in bfs_distances(edges, nodes, source=1, max_hops=5,
+                                      dense_path=dense).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 9: None}, dense
+        trunc = {r["v"]: r["dist"]
+                 for r in bfs_distances(edges, nodes, source=1, max_hops=2,
+                                        dense_path=dense).collect()}
+        assert trunc == {1: 0, 2: 1, 3: 2, 4: None, 9: None}, dense
 
 
 def test_corpus_build_quality_filter_below_shuffle(spark):

@@ -276,10 +276,12 @@ def test_sssp_weighted_prefers_cheap_multihop_path(spark):
         [(0, 1, 10), (0, 2, 1), (2, 1, 1), (1, 3, 2)],
         "src long, dst long, w long")
     nodes = spark.createDataFrame([(0,), (1,), (2,), (3,), (9,)], "v long")
-    d = {r["v"]: r["dist"]
-         for r in sssp_weighted(edges, nodes, source=0, rounds=4,
-                                max_edge_w=10).collect()}
-    assert d == {0: 0, 1: 2, 2: 1, 3: 4, 9: None}
+    for dense in (True, False):
+        d = {r["v"]: r["dist"]
+             for r in sssp_weighted(edges, nodes, source=0, rounds=4,
+                                    max_edge_w=10,
+                                    dense_path=dense).collect()}
+        assert d == {0: 0, 1: 2, 2: 1, 3: 4, 9: None}, dense
 
     import pytest
 
@@ -402,3 +404,56 @@ def test_graph_dense_paths_match_declarative_random(spark):
             for j in (0, 1):
                 assert abs(ht[True][v][j] - ht[False][v][j]) < 1e-9, \
                     (trial, v, j)
+
+
+def _py_lpa(edges, nodes, iters):
+    """Pure-Python synchronous LPA with min-label ties (the operator's
+    documented semantics: new label = argmax incident src-label weight,
+    no-mass nodes revert to their own id)."""
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        score = {}
+        for s, t, w in edges:
+            score.setdefault(t, {})
+            score[t][lab[s]] = score[t].get(lab[s], 0.0) + w
+        nxt = {v: v for v in nodes}
+        for t, per in score.items():
+            best = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[t] = best
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_modes_match(spark):
+    """Dense Arrow task vs declarative window chain vs the pure-Python
+    model on seeded random weighted digraphs: identical labels, every
+    node, every trial (integer weights make sums exact in any
+    accumulation order, so argmax ties are engine-independent)."""
+    import random
+
+    from mapreduce_implementation_spark.operators.graph import (
+        label_propagation,
+    )
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = rng.randrange(4, 9)
+        nodes = list(range(n + 2))
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(rng.randrange(4, 16))})
+        edges = [(s, t, float(rng.randrange(1, 5))) for s, t in edges]
+        if not edges:
+            continue
+        e = spark.createDataFrame(edges, "src int, dst int, w double")
+        nd = spark.createDataFrame([(v,) for v in nodes], "v int")
+        want = _py_lpa(edges, nodes, iters=4)
+        try:
+            for dense in (True, False):
+                got = {r.v: r.label for r in label_propagation(
+                    e, nd, iters=4, dense_path=dense).collect()}
+                assert got == want, (trial, dense, got, want)
+        finally:
+            release_persisted()
