@@ -285,8 +285,45 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
     return ranks
 
 
+def _kcore_dense(e: DataFrame, k: int, rounds: int) -> DataFrame:
+    """kcore()'s dimension-sized fast path (the graph-family precedent):
+    all peeling rounds in ONE vectorized Arrow task over the canonical
+    edge list — per round one pair of bincounts for the symmetric
+    degree and a boolean mask restricting edges to surviving endpoints.
+    Pure integer math, so exactly the declarative semantics including
+    mid-cascade nodes (the output keeps every node with a surviving
+    edge, even below k, exactly like the final groupBy)."""
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vs = np.unique(np.concatenate(
+            [pdf["u"].to_numpy(), pdf["v"].to_numpy()]))
+        lut = {v: i for i, v in enumerate(vs)}
+        ui = pdf["u"].map(lut).to_numpy()
+        vi = pdf["v"].map(lut).to_numpy()
+        m = len(vs)
+        alive = np.ones(len(ui), dtype=bool)
+        for _ in range(rounds):
+            deg = (np.bincount(ui[alive], minlength=m)
+                   + np.bincount(vi[alive], minlength=m))
+            keep = deg >= k
+            alive &= keep[ui] & keep[vi]
+        deg = (np.bincount(ui[alive], minlength=m)
+               + np.bincount(vi[alive], minlength=m))
+        sel = deg > 0
+        return pd.DataFrame({"node": vs[sel].astype("int64"),
+                             "core_deg": deg[sel].astype("int64")})
+
+    return (e.groupBy(F.lit(1).alias("_g"))
+            .applyInPandas(solve, "node bigint, core_deg bigint"))
+
+
 def kcore(edges: DataFrame, a_col: str, b_col: str, k: int,
-          rounds: int) -> DataFrame:
+          rounds: int,
+          dense_path: bool | None = None,
+          dense_edge_limit: int = 2_000_000) -> DataFrame:
     """k-core decomposition by synchronous iterative peeling: repeatedly
     drop every node of degree < ``k`` (with the cascade — removing a
     node lowers its neighbors' degrees, which may push THEM under k)
@@ -307,13 +344,21 @@ def kcore(edges: DataFrame, a_col: str, b_col: str, k: int,
     sides agree even mid-cascade); production at unknown diameter swaps
     the fixed count for connected_components' signature-convergence
     loop.  Lineage truncates per round (see pagerank; last round stays
-    lazy).
+    lazy).  ``dense_path`` (r7): canonical edge lists fitting one Arrow
+    batch peel in one vectorized task — :func:`_kcore_dense`.
     """
     e = tracked_persist(
         edges.select(F.least(F.col(a_col), F.col(b_col)).alias("u"),
                      F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
         .filter(F.col("u") < F.col("v"))
         .distinct())
+    integral = e.schema["u"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+    if dense_path is None:
+        dense_path = integral and (
+            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+    if dense_path:
+        return _kcore_dense(e, k, rounds)
     for _i in range(rounds):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         keep = (sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))

@@ -615,12 +615,28 @@ def test_asof_tolerance_windowed_single_shuffle_no_python(spark):
 
 
 def test_kcore_peels_with_semi_joins_no_python(spark):
-    """k-core rounds restrict the edge list with LeftSemi hash joins —
-    never a cartesian/BNLJ — and nothing Python-side; earlier rounds
-    are lineage-truncated, so the visible plan is the last round +
-    final degree aggregate."""
+    """The fixture query auto-picks the dense Arrow path (one grouped
+    Python stage, no cartesian); the declarative past-the-limit mode
+    restricts the edge list with LeftSemi hash joins — never a
+    cartesian/BNLJ — and nothing Python-side (earlier rounds are
+    lineage-truncated, so its visible plan is the last round + final
+    degree aggregate)."""
+    from mapreduce_implementation_spark.operators.graph import kcore
+    from mapreduce_implementation_spark.sources.tables import load_table
+
     df = SPECS["graph_kcore"].fn(spark, SF_DIR_01)
     plan = plan_string(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # (the query's edge build contains the documented 1-row broadcast
+    # crossJoin for the heavy-lane threshold, which prints as a BNLJ
+    # inside the cached lineage — a true cartesian is still banned)
+    assert "CartesianProduct" not in plan, plan
+
+    li = load_table(spark, SF_DIR_01, "lineitem").limit(500)
+    edges = li.select(F.col("l_suppkey").alias("a"),
+                      F.col("l_partkey").alias("b"))
+    decl = kcore(edges, "a", "b", k=2, rounds=2, dense_path=False)
+    plan = plan_string(decl)
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -463,9 +463,14 @@ def test_kcore_matches_python_peeling(spark, eraw, k, rounds):
     edges = spark.createDataFrame(eraw, "a long, b long")
     try:
         got = {(r["node"], r["core_deg"])
-               for r in kcore(edges, "a", "b", k=k, rounds=rounds).collect()}
+               for r in kcore(edges, "a", "b", k=k, rounds=rounds,
+                              dense_path=True).collect()}
+        got_decl = {(r["node"], r["core_deg"])
+                    for r in kcore(edges, "a", "b", k=k, rounds=rounds,
+                                   dense_path=False).collect()}
     finally:
         release_persisted()
+    assert got == got_decl
 
     e = {(min(a, b), max(a, b)) for a, b in eraw if a != b}
     for _ in range(rounds):
