@@ -94,13 +94,57 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+def _cc_dense_membership(e: DataFrame) -> DataFrame:
+    """connected_components' dimension-sized fast path (the graph-family
+    precedent): min-label propagation with pointer jumping in ONE
+    vectorized Arrow task over the canonical edge list.  Labels only
+    ever decrease and are bounded below by the component minimum, so
+    the unique fixed point is cluster_id = min node id — exactly the
+    star-contraction result — reached in O(log n) vectorized rounds
+    (`np.minimum.at` edge relax + p = p[p] jumps).  Returns membership
+    for edge-touched nodes only; the caller joins isolated/self-loop
+    nodes back, same as the declarative mode."""
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vs = np.unique(np.concatenate(
+            [pdf["u"].to_numpy(), pdf["v"].to_numpy()]))
+        ui = _relabel(vs, pdf["u"].to_numpy())
+        vi = _relabel(vs, pdf["v"].to_numpy())
+        p = np.arange(len(vs))
+        while True:
+            old = p.copy()
+            np.minimum.at(p, ui, p[vi])
+            np.minimum.at(p, vi, p[ui])
+            while True:
+                pp = p[p]
+                if np.array_equal(pp, p):
+                    break
+                p = pp
+            if np.array_equal(p, old):
+                break
+        return pd.DataFrame({"node": vs.astype("int64"),
+                             "cluster_id": vs[p].astype("int64")})
+
+    return (e.groupBy(F.lit(1).alias("_g"))
+            .applyInPandas(solve, "node bigint, cluster_id bigint"))
+
+
+def connected_components(pairs: DataFrame, a_col: str, b_col: str,
+                         dense_path: bool | None = None,
+                         dense_edge_limit: int = 2_000_000) -> DataFrame:
     """Cluster assignment for every node appearing in ``pairs``.
 
     Returns ``(node, cluster_id)`` with ``cluster_id`` = the minimum node id
     of the component (deterministic canonical representative).  Runs
     large-star/small-star rounds until the edge list is a fixed point (a
-    star forest rooted at each component's minimum).
+    star forest rooted at each component's minimum).  ``dense_path``
+    (r7): canonical edge lists fitting one Arrow batch resolve in one
+    vectorized task — :func:`_cc_dense_membership`; the convergence-
+    looped star contraction (with its per-round signature collects)
+    remains the past-the-limit mode.
     """
     nodes = (
         pairs.select(F.col(a_col).alias("node"))
@@ -108,7 +152,17 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .distinct()
     )
     edges = _canon(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
+    # checkpoint BEFORE the probe: the upstream pair pipeline (often an
+    # expensive similarity join) must run once, not once for the
+    # limit-capped count and again for whichever mode runs
     edges = edges.localCheckpoint(eager=True)
+    if dense_path is None:
+        dense_path = _dense_probe(edges, ("u", "v"), dense_edge_limit)
+    if dense_path:
+        membership = _cc_dense_membership(edges)
+        return (nodes.join(membership, "node", "left")
+                .select("node",
+                        F.coalesce("cluster_id", "node").alias("cluster_id")))
     sig = _signature(edges)
     for _ in range(_MAX_ROUNDS):
         stepped = _small_star(_large_star(edges))

@@ -223,9 +223,18 @@ def test_connected_components_vs_union_find(spark):
     expect = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
 
     df = spark.createDataFrame(edges, "a: long, b: long")
-    got = {r["node"]: r["cluster_id"]
-           for r in connected_components(df, "a", "b").collect()}
-    assert got == expect
+    for dense in (True, False):
+        got = {r["node"]: r["cluster_id"]
+               for r in connected_components(df, "a", "b",
+                                             dense_path=dense).collect()}
+        assert got == expect, dense
+    # self-loop-only node: appears in `nodes`, never in canonical edges
+    df2 = spark.createDataFrame(edges + [(77, 77)], "a: long, b: long")
+    for dense in (True, False):
+        got = {r["node"]: r["cluster_id"]
+               for r in connected_components(df2, "a", "b",
+                                             dense_path=dense).collect()}
+        assert got == {**expect, 77: 77}, dense
 
 
 def test_prefix_jaccard_identical_and_prunes(spark):
