@@ -146,16 +146,22 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
     looped star contraction (with its per-round signature collects)
     remains the past-the-limit mode.
     """
+    # persist the 2-column pair projection FIRST: the `nodes` union and
+    # the canonical edge build are separate consumers, and without this
+    # the upstream pair pipeline (often an expensive similarity join)
+    # re-runs for each branch — measured 2-4 s per extra traversal on
+    # dedup_clusters' trigram-Jaccard join at sf0.1
+    pv = tracked_persist(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
     nodes = (
-        pairs.select(F.col(a_col).alias("node"))
-        .union(pairs.select(F.col(b_col).alias("node")))
+        pv.select(F.col("u").alias("node"))
+        .union(pv.select(F.col("v").alias("node")))
         .distinct()
     )
-    edges = _canon(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
-    # checkpoint BEFORE the probe: the upstream pair pipeline (often an
-    # expensive similarity join) must run once, not once for the
-    # limit-capped count and again for whichever mode runs
-    edges = edges.localCheckpoint(eager=True)
+    # checkpoint the canonical edges BEFORE the probe so the distinct
+    # runs once, not once for the limit-capped count and again for
+    # whichever mode runs
+    edges = _canon(pv).localCheckpoint(eager=True)
     if dense_path is None:
         dense_path = _dense_probe(edges, ("u", "v"), dense_edge_limit)
     if dense_path:
