@@ -192,14 +192,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id of the component.  Oracle: DuckDB recursive reachability.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5)
     cc = connected_components(pairs, "a", "b")
-    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        cc.join(sizes, "cluster_id")
-        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
-    )
+    # cluster_size via a window under one exchange on cluster_id — a
+    # groupBy+self-join would traverse the cc frame twice (near-dup
+    # clusters are bounded-size, so no mega-partition risk; the
+    # exact_dedup_representatives argument)
+    wp = Window.partitionBy("cluster_id")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id",
+                     F.count(F.lit(1)).over(wp).alias("cluster_size"))
 
 
 @register(

@@ -620,3 +620,68 @@ def test_substring_spans_match_model_random(spark):
                    df, "doc_id", "text", width=w, stride=s).collect()}
         want = _model_substring_spans(rows, w, s)
         assert got == want, (w, s, sorted(got), sorted(want))
+
+
+def test_tfidf_cosine_prefix_filter_lossless(spark):
+    """Both physical modes of the exact TF-IDF cosine join (naive
+    all-shared-terms and Bayardo prefix-filtered) must produce the
+    identical pair set and scores as a pure-Python model, on a corpus
+    with rare discriminative terms (where the prefix filter actually
+    prunes) and shared stop-ish words, including near-identical pairs
+    straddling the 0.9 threshold."""
+    import math
+
+    from mapreduce_implementation_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different zebra quagga okapi text here"),
+        (5, "completely different zebra quagga okapi text here"),
+        (6, "the the the quick quick words words words words"),
+        (7, "unrelated singleton gibberish tokens nothing shared"),
+    ]
+
+    # pure-Python model of the documented semantics
+    toks = {i: [t for t in txt.split() if t] for i, txt in rows}
+    n = len(rows)
+    tf: dict = {}
+    for i, ts in toks.items():
+        for t in ts:
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    dfc: dict = {}
+    for (i, t) in tf:
+        dfc[t] = dfc.get(t, 0) + 1
+    w = {(i, t): c * math.log(n / dfc[t])
+         for (i, t), c in tf.items() if dfc[t] < n}
+    nn = {i: math.sqrt(sum(v * v for (j, _), v in w.items() if j == i))
+          for i, _ in rows}
+    want = set()
+    for i, _ in rows:
+        for j, _ in rows:
+            if i < j:
+                dot = sum(v * w.get((j, t), 0.0)
+                          for (k, t), v in w.items() if k == i)
+                if nn[i] and nn[j] and dot / (nn[i] * nn[j]) >= 0.9:
+                    want.add((i, j, round(dot / (nn[i] * nn[j]), 6)))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode in (True, False):
+        try:
+            got = {(r["a"], r["b"], r["cos"])
+                   for r in tfidf_cosine_pairs(df, "doc_id", "text",
+                                               min_cosine=0.9,
+                                               prefix_filter=mode).collect()}
+        finally:
+            release_persisted()
+        assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in want}, mode
+        for (a, b, c) in got:
+            cw = next(cw for (x, y, cw) in want if (x, y) == (a, b))
+            assert abs(c - cw) < 1e-6, (mode, a, b, c, cw)
+    assert (1, 2) in {(a, b) for a, b, _ in want}  # fixture sanity
