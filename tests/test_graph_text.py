@@ -507,3 +507,42 @@ def test_graph_operators_ignore_null_weight_edges(spark):
                           dense_path=True)
     finally:
         release_persisted()
+
+
+def test_string_vertex_keys_fall_back_to_declarative(spark):
+    """Non-integral vertex ids must auto-route around the dense Arrow
+    paths (whose output schema relabels through int64) and still return
+    correct results through the declarative chains — the _dense_probe
+    key-type gate, exercised end to end for pagerank and hits."""
+    from mapreduce_implementation_spark.operators.graph import hits
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    edges = [("x", "y", 3.0), ("y", "x", 1.0), ("y", "z", 1.0),
+             ("z", "x", 2.0), ("x", "z", 1.0)]
+    nodes = ["x", "y", "z"]
+    e = spark.createDataFrame(edges, "src string, dst string, w double")
+    nd = spark.createDataFrame([(v,) for v in nodes], "v string")
+    int_edges = [(0, 1, 3.0), (1, 0, 1.0), (1, 2, 1.0), (2, 0, 2.0),
+                 (0, 2, 1.0)]
+    want = _py_pagerank(int_edges, [0, 1, 2], iters=4)
+    m = {"x": 0, "y": 1, "z": 2}
+    try:
+        pr = {r.v: r.r for r in pagerank(e, nd, iters=4).collect()}
+        assert set(pr) == set(nodes)
+        for v in nodes:
+            assert abs(pr[v] - want[m[v]]) < 1e-9, v
+        ht = {r.v: (r.hub, r.authority)
+              for r in hits(e, nd, iters=2).collect()}
+        assert set(ht) == set(nodes)
+        # same graph through the int-keyed dense path must agree
+        ei = spark.createDataFrame(int_edges, "src int, dst int, w double")
+        ni = spark.createDataFrame([(v,) for v in (0, 1, 2)], "v int")
+        hti = {r.v: (r.hub, r.authority)
+               for r in hits(ei, ni, iters=2).collect()}
+        for v in nodes:
+            for j in (0, 1):
+                assert abs(ht[v][j] - hti[m[v]][j]) < 1e-9, (v, j)
+    finally:
+        release_persisted()
