@@ -165,10 +165,15 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
     if dense_path is None:
         dense_path = _dense_probe(edges, ("u", "v"), dense_edge_limit)
     if dense_path:
+        # cast the int64 Arrow output back to the input key type so the
+        # output schema is identical to the declarative mode's (ADVICE
+        # r7: the physical mode must never leak into the schema)
+        kt = edges.schema["v"].dataType
         membership = _cc_dense_membership(edges)
         return (nodes.join(membership, "node", "left")
                 .select("node",
-                        F.coalesce("cluster_id", "node").alias("cluster_id")))
+                        F.coalesce(F.col("cluster_id").cast(kt),
+                                   F.col("node")).alias("cluster_id")))
     sig = _signature(edges)
     for _ in range(_MAX_ROUNDS):
         stepped = _small_star(_large_star(edges))
@@ -224,22 +229,35 @@ def _relabel(vs, arr):
 
 
 def _pagerank_dense(e: DataFrame, n1: DataFrame, cnt: DataFrame,
-                    iters: int, damping: float) -> DataFrame:
+                    iters: int, damping: float,
+                    rs: DataFrame | None = None) -> DataFrame:
     """pagerank()'s dimension-sized fast path (the hits()/_hits_dense
     precedent): the whole damped power iteration as ONE vectorized Arrow
     task over the aggregated edge list — bincount scatter-add matvecs,
     O(edges) time, O(nodes) memory, executor-side (never the driver).
     The global node count rides in as a broadcast column so teleport
     mass and the uniform start are exact; isolated nodes (no edges at
-    all) join back with their closed-form stationary rank (1-d)/n."""
+    all) join back with their closed-form stationary rank (1-d)/n.
+
+    ``rs`` (r8) personalizes the walk the same way the declarative
+    chain does: the per-node reset mass rides INTO the Arrow batch as
+    two extra edge columns (the src's and dst's reset value — exactly
+    how ``_n`` rides in for the uniform case), so the O(nodes) reset
+    state never needs its own transport; isolated nodes join back with
+    their closed form (1-d)*s_v.  A source whose out-weights sum to 0
+    is masked out of the contribution scatter — the declarative chain's
+    ``w/_ow`` divide-by-zero yields NULL which F.sum skips, and the
+    mask reproduces that exactly instead of letting 0/0 = NaN poison
+    every rank (ADVICE r7)."""
     import pandas as pd
+
+    personalized = rs is not None
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         # sorted rows => deterministic float accumulation order
         pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
-        n_total = float(pdf["_n"].iloc[0])
         vs = np.unique(np.concatenate(
             [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
         si = _relabel(vs, pdf["src"].to_numpy())
@@ -247,14 +265,45 @@ def _pagerank_dense(e: DataFrame, n1: DataFrame, cnt: DataFrame,
         w = pdf["w"].to_numpy(dtype="float64")
         m = len(vs)
         ow = np.bincount(si, weights=w, minlength=m)
-        r = np.full(m, 1.0 / n_total)
-        tele = (1.0 - damping) / n_total
+        # zero-out-weight sources contribute nothing (declarative
+        # parity: w/_ow is NULL on _ow == 0 and F.sum skips NULLs)
+        nz = ow[si] != 0.0
+        siz, diz, wz, owz = si[nz], di[nz], w[nz], ow[si][nz]
+        if personalized:
+            s = np.zeros(m)
+            s[si] = pdf["_s_src"].to_numpy(dtype="float64")
+            s[di] = pdf["_s_dst"].to_numpy(dtype="float64")
+            r = s.copy()
+            tele = (1.0 - damping) * s
+        else:
+            n_total = float(pdf["_n"].iloc[0])
+            r = np.full(m, 1.0 / n_total)
+            tele = (1.0 - damping) / n_total
         for _ in range(iters):
-            contrib = np.bincount(di, weights=r[si] * w / ow[si],
+            contrib = np.bincount(diz, weights=r[siz] * wz / owz,
                                   minlength=m)
             r = tele + damping * contrib
         return pd.DataFrame({"v": vs.astype("int64"), "r": r})
 
+    if personalized:
+        s_src = rs.select(F.col("v").alias("src"),
+                          F.col("_rs").alias("_s_src"))
+        s_dst = rs.select(F.col("v").alias("dst"),
+                          F.col("_rs").alias("_s_dst"))
+        scored = (
+            e.join(F.broadcast(s_src), "src", "left")
+            .join(F.broadcast(s_dst), "dst", "left")
+            .select("src", "dst", "w",
+                    F.coalesce("_s_src", F.lit(0.0)).alias("_s_src"),
+                    F.coalesce("_s_dst", F.lit(0.0)).alias("_s_dst"))
+            .groupBy(F.lit(1).alias("_g"))
+            .applyInPandas(solve, "v bigint, r double"))
+        return (n1.join(rs, "v", "left")
+                .join(scored, "v", "left")
+                .select("v", F.coalesce(
+                    F.col("r"),
+                    (F.lit(1.0) - F.lit(damping))
+                    * F.coalesce(F.col("_rs"), F.lit(0.0))).alias("r")))
     scored = (e.crossJoin(F.broadcast(cnt))
               .groupBy(F.lit(1).alias("_g"))
               .applyInPandas(solve, "v bigint, r double"))
@@ -301,12 +350,15 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
 
     ``dense_path`` (the hits() precedent, r7): when the AGGREGATED edge
     list fits one Arrow batch (≤ ``dense_edge_limit`` rows, integral
-    keys, uniform teleport), the whole iteration runs instead as ONE
-    vectorized ``applyInPandas`` task — see :func:`_pagerank_dense`.
-    ``None`` probes with a LIMIT-capped count; personalized walks
-    (``reset``) always stay declarative (the reset distribution is
-    O(nodes) state).  All three physical modes agree to 1e-9
-    (test_pagerank_shuffle_mode_matches_broadcast).
+    keys), the whole iteration runs instead as ONE vectorized
+    ``applyInPandas`` task — see :func:`_pagerank_dense`.  ``None``
+    probes with a LIMIT-capped count.  Personalized walks qualify too
+    (r8): the reset distribution is O(nodes) state, but only the
+    edge-touched slice of it matters inside the batch, and that slice
+    rides in as two per-edge columns; isolated nodes keep their
+    closed-form (1-d)*s_v at the densify.  All three physical modes
+    agree to 1e-9 (test_pagerank_shuffle_mode_matches_broadcast;
+    reset parity in test_personalized_pagerank_dense_matches).
 
     Reference parity: none — mapreduce.c has no graph surface; this is
     north-star iterative-analytics surface (the PageRank-in-MapReduce
@@ -322,37 +374,44 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
                & F.col("w").isNotNull()))
     n1 = nodes.select(F.col("v")).distinct()
     cnt = n1.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    # dimension-sized dense fast path (see _pagerank_dense / hits()):
-    # uniform-teleport only — the reset distribution is O(nodes) state
-    # that the personalized variant keeps on the declarative chain
+    rs = None
+    if reset is not None:
+        rs = tracked_persist(
+            n1.join(reset.select("v", F.col("s").cast("double").alias("_rs")),
+                    "v", "left")
+            .select("v", F.coalesce("_rs", F.lit(0.0)).alias("_rs")))
+    # dimension-sized dense fast path (see _pagerank_dense / hits()).
+    # Personalized walks qualify too (r8): the O(nodes) reset state
+    # rides into the Arrow batch as two per-edge columns, so the probe
+    # is the same edge-list-fits-one-batch test either way.
     if dense_path is None:
-        dense_path = reset is None and _dense_probe(
-            e, ("src", "dst"), dense_edge_limit)
+        dense_path = _dense_probe(e, ("src", "dst"), dense_edge_limit)
     if dense_path:
-        if reset is not None:
-            raise ValueError("dense_path supports uniform teleport only")
-        return _pagerank_dense(e, n1, cnt, iters, damping)
+        return _pagerank_dense(e, n1, cnt, iters, damping, rs=rs)
     outw = tracked_persist(e.groupBy("src").agg(F.sum("w").alias("_ow")))
     if broadcast_ranks is None:
         broadcast_ranks = (
             n1.limit(broadcast_node_limit + 1).count() <= broadcast_node_limit)
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
-    rs = None
     if reset is None:
         ranks = n1.crossJoin(F.broadcast(cnt)).select(
             "v", (F.lit(1.0) / F.col("_n")).alias("r"))
     else:
-        rs = tracked_persist(
-            n1.join(reset.select("v", F.col("s").cast("double").alias("_rs")),
-                    "v", "left")
-            .select("v", F.coalesce("_rs", F.lit(0.0)).alias("_rs")))
         ranks = rs.select("v", F.col("_rs").alias("r"))
     for _i in range(iters):
         contrib = (
             e.join(outw, "src")
             .join(hint(ranks), F.col("src") == F.col("v"))
             .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("w") / F.col("_ow")).alias("_s"))
+            # try_divide: a source whose weights sum to exactly 0 (w=0.0
+            # edges pass the isNotNull filter) contributes nothing —
+            # NULL is skipped by F.sum.  A bare `/` would THROW
+            # DIVIDE_BY_ZERO under ANSI mode (Spark 4 default) and
+            # silently NULL under non-ANSI; try_divide pins the
+            # contribute-nothing semantics in both configs, matching
+            # the dense path's zero-out-weight mask (ADVICE r7).
+            .agg(F.sum(F.try_divide(F.col("r") * F.col("w"),
+                                    F.col("_ow"))).alias("_s"))
         )
         base = (n1.crossJoin(F.broadcast(cnt))
                 .join(contrib, F.col("v") == F.col("dst"), "left"))
@@ -447,7 +506,11 @@ def kcore(edges: DataFrame, a_col: str, b_col: str, k: int,
     if dense_path is None:
         dense_path = _dense_probe(e, ("u", "v"), dense_edge_limit)
     if dense_path:
-        return _kcore_dense(e, k, rounds)
+        # int64 Arrow output cast back to the input key type: both
+        # physical modes must return identical schemas (ADVICE r7)
+        kt = e.schema["u"].dataType
+        return (_kcore_dense(e, k, rounds)
+                .select(F.col("node").cast(kt).alias("node"), "core_deg"))
     for _i in range(rounds):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         keep = (sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
@@ -540,8 +603,12 @@ def _label_propagation_dense(e: DataFrame, n1: DataFrame,
 
     scored = (e.groupBy(F.lit(1).alias("_g"))
               .applyInPandas(solve, "v bigint, label bigint"))
+    # int64 Arrow output cast back to the node key type: both physical
+    # modes must return identical schemas (ADVICE r7)
+    kt = n1.schema["v"].dataType
     return (n1.join(scored, "v", "left")
-            .select("v", F.coalesce("label", F.col("v")).alias("label")))
+            .select("v", F.coalesce(F.col("label").cast(kt),
+                                    F.col("v")).alias("label")))
 
 
 def label_propagation(edges: DataFrame, nodes: DataFrame,
@@ -567,9 +634,11 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
 
     ``dense_path`` (the hits()/pagerank() precedent, r7): when the
     aggregated edge list fits one Arrow batch (≤ ``dense_edge_limit``
-    rows, integral keys), all rounds run as ONE vectorized
-    ``applyInPandas`` task — see :func:`_label_propagation_dense`; past
-    the limit the declarative chain below runs unchanged.  Both modes
+    rows, integral keys, AND an integral caller weight column — the
+    tie-break contract, see the probe comment below), all rounds run
+    as ONE vectorized ``applyInPandas`` task — see
+    :func:`_label_propagation_dense`; past the limit (or with float
+    weights) the declarative chain below runs unchanged.  Both modes
     parity-tested (test_label_propagation_modes_match).  Like the other
     graph operators, edge endpoints are expected to be a subset of
     ``nodes``.
@@ -585,8 +654,21 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
                & F.col("w").isNotNull()))
     n1 = nodes.select(F.col("v")).distinct()
+    # The auto-probe additionally requires an INTEGRAL caller weight
+    # column (checked on ``edges`` BEFORE the double cast above): the
+    # argmax/min-label tie-break only provably matches the declarative
+    # window when per-(dst,label) sums are bit-identical, and float
+    # sums that tie mathematically can differ by 1 ulp between numpy's
+    # sorted accumulation and Spark's partition-order aggregation
+    # (ADVICE r7).  Integer weights make every sum exact in both
+    # engines, so ties break identically; float-weight callers stay on
+    # one deterministic mode (declarative) unless they accept the
+    # contract with an explicit dense_path=True.
     if dense_path is None:
-        dense_path = _dense_probe(e, ("src", "dst"), dense_edge_limit)
+        w_integral = (edges.schema["w"].dataType.simpleString()
+                      in _INTEGRAL)
+        dense_path = w_integral and _dense_probe(
+            e, ("src", "dst"), dense_edge_limit)
     if dense_path:
         return _label_propagation_dense(e, n1, iters)
     labels = n1.select("v", F.col("v").alias("label"))

@@ -215,7 +215,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("c_nationkey").alias("a"),
                  F.col("s_nationkey").alias("b"))
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        # weights stay BIGINT counts: label_propagation's dense-path
+        # auto-probe requires an integral caller weight column (the
+        # exact-tie-break contract) and casts to double internally, so
+        # passing the raw count keeps the vectorized mode eligible with
+        # unchanged math
+        .agg(F.count(F.lit(1)).alias("w"))
     )
     # symmetrize in ONE pass over raw (explode, not a self-union whose
     # two branches would each re-run the 3-fact join), then re-aggregate

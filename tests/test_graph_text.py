@@ -546,3 +546,158 @@ def test_string_vertex_keys_fall_back_to_declarative(spark):
                 assert abs(ht[v][j] - hti[m[v]][j]) < 1e-9, (v, j)
     finally:
         release_persisted()
+
+
+def _py_ppr(edges, nodes, reset, iters=4, d=0.85):
+    """Pure-Python personalized PageRank (the operator's documented
+    semantics: initial rank = reset distribution, teleport mass lands
+    as (1-d)*s_v, zero-out-weight sources contribute nothing — the
+    declarative chain's divide-by-zero-is-NULL behavior)."""
+    outw = {}
+    for s, _t, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    r = {v: reset.get(v, 0.0) for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            if outw[s] != 0.0:
+                contrib[t] += r[s] * w / outw[s]
+        r = {v: (1 - d) * reset.get(v, 0.0) + d * contrib[v]
+             for v in nodes}
+    return r
+
+
+def test_personalized_pagerank_dense_matches(spark):
+    """Reset-distribution parity across the physical modes (r8: the
+    dense Arrow task now covers personalized walks — the reset mass
+    rides into the batch as per-edge columns): dense vs declarative vs
+    the pure-Python model, on a graph with an isolated seed node (its
+    closed-form rank is (1-d)*s_v), an isolated non-seed node (rank
+    exactly 0), and a seed concentrated on one vertex."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0), (0, 2, 1.0),
+             (3, 1, 1.0)]
+    nodes = list(range(6))  # 4 = isolated seed, 5 = isolated non-seed
+    reset = {0: 0.5, 4: 0.5}
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    nd = spark.createDataFrame([(v,) for v in nodes], "v bigint")
+    rst = spark.createDataFrame(list(reset.items()), "v bigint, s double")
+    want = _py_ppr(edges, nodes, reset, iters=4)
+    try:
+        got = {}
+        for dense in (True, False):
+            got[dense] = {r["v"]: r["r"] for r in pagerank(
+                e, nd, iters=4, reset=rst, dense_path=dense).collect()}
+            assert set(got[dense]) == set(nodes), dense
+            for v in nodes:
+                assert abs(got[dense][v] - want[v]) < 1e-9, (dense, v)
+        assert got[True].keys() == got[False].keys()
+        # isolated seed: closed form (1-d)*s_v; isolated non-seed: 0
+        assert abs(got[True][4] - 0.15 * 0.5) < 1e-12
+        assert got[True][5] == 0.0
+    finally:
+        release_persisted()
+
+
+def test_pagerank_zero_out_weight_source_modes_match(spark):
+    """A source whose edge weights sum to exactly 0 (w=0.0 rows pass
+    the isNotNull filter) must contribute nothing in BOTH physical
+    modes: the declarative w/_ow divide-by-zero yields NULL (skipped by
+    F.sum), and the dense path masks those edges out of the bincount
+    (ADVICE r7 — unguarded it was 0/0=NaN poisoning every rank)."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0),
+             (3, 1, 0.0), (3, 2, 0.0)]  # node 3: all-zero out-weight
+    nodes = [0, 1, 2, 3]
+    nonzero = [(s, t, w) for s, t, w in edges if w != 0.0]
+    e = spark.createDataFrame(edges, "src int, dst int, w double")
+    nd = spark.createDataFrame([(v,) for v in nodes], "v int")
+    want = _py_ppr(nonzero, nodes, {v: 0.25 for v in nodes}, iters=4)
+    try:
+        for dense in (True, False):
+            got = {r["v"]: r["r"] for r in pagerank(
+                e, nd, iters=4, dense_path=dense).collect()}
+            for v in nodes:
+                assert got[v] == got[v], (dense, v)  # no NaN
+                assert abs(got[v] - want[v]) < 1e-9, (dense, v)
+    finally:
+        release_persisted()
+
+
+def test_dense_paths_preserve_input_key_dtypes(spark):
+    """The dense Arrow fast paths relabel through int64 internally but
+    must cast their outputs back to the caller's key dtype (ADVICE r7):
+    the same call's output schema cannot flip with the physical mode.
+    Exercised for connected_components (cluster_id), kcore (node) and
+    label_propagation (label) with INT vertex keys, values compared
+    across modes too."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.graph import (
+        connected_components, kcore, label_propagation,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "a int, b int")
+    ek = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "a int, b int")
+    el = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 1), (3, 1, 1)], "src int, dst int, w int")
+    nd = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "v int")
+    try:
+        out = {}
+        for dense in (True, False):
+            cc = connected_components(pairs, "a", "b", dense_path=dense)
+            assert dict(cc.dtypes) == {"node": "int",
+                                       "cluster_id": "int"}, dense
+            kc = kcore(ek, "a", "b", k=2, rounds=3, dense_path=dense)
+            assert dict(kc.dtypes) == {"node": "int",
+                                       "core_deg": "bigint"}, dense
+            lp = label_propagation(el, nd, iters=3, dense_path=dense)
+            assert dict(lp.dtypes) == {"v": "int", "label": "int"}, dense
+            out[dense] = (
+                {r["node"]: r["cluster_id"] for r in cc.collect()},
+                {r["node"]: r["core_deg"] for r in kc.collect()},
+                {r["v"]: r["label"] for r in lp.collect()},
+            )
+        assert out[True] == out[False]
+    finally:
+        release_persisted()
+
+
+def test_lpa_float_weights_auto_route_declarative(spark):
+    """Float caller weights keep label_propagation's AUTO probe on the
+    declarative chain (the exact-tie-break contract, ADVICE r7): the
+    dense plan's FlatMapGroupsInPandas node must be absent with float
+    w, present with integral w, and both must agree on this fixture
+    (integer-valued floats, so sums are exact either way)."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rows = [(1, 2, 2), (2, 3, 1), (3, 1, 1), (1, 3, 3)]
+    ef = spark.createDataFrame([(s, t, float(w)) for s, t, w in rows],
+                               "src int, dst int, w double")
+    ei = spark.createDataFrame(rows, "src int, dst int, w bigint")
+    nd = spark.createDataFrame([(v,) for v in (1, 2, 3)], "v int")
+    try:
+        lf = label_propagation(ef, nd, iters=3)
+        li = label_propagation(ei, nd, iters=3)
+        plan_f = lf._jdf.queryExecution().executedPlan().toString()
+        plan_i = li._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan_f
+        assert "FlatMapGroupsInPandas" in plan_i
+        assert ({r["v"]: r["label"] for r in lf.collect()}
+                == {r["v"]: r["label"] for r in li.collect()})
+    finally:
+        release_persisted()
