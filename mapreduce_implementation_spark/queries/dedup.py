@@ -43,14 +43,17 @@ grams AS (
 """
 
 
-def _md5_audit_subset(emb: DataFrame, n: int) -> DataFrame:
+def _md5_audit_subset(emb: DataFrame, n: int,
+                      id_col: str = "vec_id") -> DataFrame:
     """The adaptive md5 audit subset shared by the bounded hash oracles
-    (dedup_embedding_lsh, dedup_semantic_kmeans): K = clamp(50000//n,
-    1, 50) buckets of 100 keyed by the first 4 md5 hex digits of
-    vec_id — identical integer arithmetic to the SQL twins, so the
-    brute-force exact leg stays ~500 vectors at ANY corpus size."""
+    (dedup_embedding_lsh, dedup_semantic_kmeans, and — r8 — the
+    graduated dedup_minhash_lsh/dedup_simhash over documents):
+    K = clamp(50000//n, 1, 50) buckets of 100 keyed by the first 4 md5
+    hex digits of the id — identical integer arithmetic to the SQL
+    twins, so the brute-force exact leg stays ~500 rows at ANY corpus
+    size."""
     kk = max(1, min(50, 50000 // max(n, 1)))
-    bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4),
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4),
                      16, 10).cast("long") % 100)
     return emb.filter(bucket < kk)
 
@@ -117,25 +120,189 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # hash-based candidates: no SQL twin; recall vs exact
-    # jaccard asserted in tests/test_dedup.py
-    doc="MinHash(64)+LSH(16x4) near-dup candidate pairs with signature-"
-        "estimated Jaccard (Q11 scale path). Deterministic xxhash64 seeds.",
+    oracle="""
+    WITH k AS (
+      SELECT greatest(1, least(50, CAST(50000 // count(*) AS BIGINT))) AS kk
+      FROM documents
+    ),
+    sub AS (
+      SELECT doc_id, text FROM documents, k
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 < k.kk
+    ),
+    norm AS (
+      SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS s
+      FROM sub
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(s, i, 9) AS shingle
+      FROM norm, unnest(range(1, len(s) - 7)) t(i)
+      WHERE len(s) >= 9
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard,
+           TRUE AS recall_ok
+    FROM inter
+    JOIN sz sa ON inter.a = sa.doc_id
+    JOIN sz sb ON inter.b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """,
+    doc="MinHash(64)+LSH(16x4) near-dup candidates (Q11 scale path), "
+        "graduated from rows-only to a bounded hash oracle (r8, the "
+        "dedup_semantic_kmeans idiom): output = the EXACT char-9-shingle "
+        "Jaccard pairs (>= 0.5) within the deterministic md5 audit "
+        "subset (~<= 500 docs at any corpus size) + in-query recall_ok "
+        "= the full-corpus LSH candidate set covers >= 80% of the audit "
+        "pairs with true Jaccard >= 0.7 — the band where the 16x4 "
+        "banding's catch probability is 1-(1-0.7^4)^16 ~ 0.99 and the "
+        "signature-estimate filter at 0.5 is ~3.5 sigma below the mean, "
+        "so with fixed xxhash64 seeds the flag is a deterministic "
+        "regression pin on the signature/banding formulas (measured "
+        "recall 1.0 at sf0.001/0.01).  A banding or signature "
+        "regression flips the boolean and breaks the driver hash.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
+    from ..operators.dedup import char_shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "doc_id", "text", min_jaccard=0.5)
+    n = docs.count()
+    sub = _md5_audit_subset(docs, n, id_col="doc_id")
+    # exact leg: set-semantics char-9 shingle Jaccard within the audit
+    # subset — the estimate-twin pipeline restricted to ~500 docs
+    sh = tracked_persist(char_shingles(sub, "doc_id", "text", k=9))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    exact_sub = tracked_persist(
+        inter.join(sa, "a").join(sb, "b")
+        .filter(jac >= 0.5)
+        .select("a", "b", jac.alias("_j")))
+    # verify stage: the FULL-corpus banded candidate set must catch the
+    # audit's high-similarity pairs
+    cand = minhash_dedup_pairs(docs, "doc_id", "text",
+                               min_jaccard=0.5).select("a", "b")
+    high = exact_sub.filter(F.col("_j") >= 0.7).select("a", "b")
+    rc = _coverage_flag(high, cand, ["a", "b"], 0.8, "recall_ok")
+    return (exact_sub
+            .select("a", "b", F.round("_j", 6).alias("jaccard"))
+            .crossJoin(F.broadcast(rc)))
 
 
 @register(
     "dedup_simhash",
-    oracle=None,
-    doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, "
-        "candidates via 16-bit band buckets.",
+    oracle="""
+    WITH k AS (
+      SELECT greatest(1, least(50, CAST(50000 // count(*) AS BIGINT))) AS kk
+      FROM documents
+    ),
+    sub AS (
+      SELECT doc_id, text FROM documents, k
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 < k.kk
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+          string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+          t -> t <> '')) AS tok
+      FROM sub
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    dots AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             sum(a.c * b.c) AS dot
+      FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM cnt GROUP BY 1)
+    SELECT dots.a, dots.b,
+           round(dots.dot / (na.nn * nb.nn), 6) AS cos,
+           TRUE AS bands_complete
+    FROM dots
+    JOIN norms na ON dots.a = na.doc_id
+    JOIN norms nb ON dots.b = nb.doc_id
+    WHERE dots.dot / (na.nn * nb.nn) > 0.9
+    """,
+    doc="SimHash(64-bit) near-dup pairs within Hamming distance 3 "
+        "(candidates via 16-bit band buckets), graduated from rows-only "
+        "to a bounded hash oracle (r8): output = the EXACT token-count-"
+        "vector cosine pairs (> 0.9) within the deterministic md5 audit "
+        "subset + in-query bands_complete = the full-corpus banded "
+        "candidate set restricted to the subset EQUALS the brute-force "
+        "Hamming<=3 pair set over the subset's simhashes, both "
+        "directions.  Unlike MinHash banding this is not probabilistic: "
+        "a pair within Hamming 3 of a 64-bit hash split into 4 16-bit "
+        "bands must agree exactly on >= 1 band (pigeonhole), so the "
+        "flag asserts a THEOREM about the banding — any bucketing "
+        "regression (band arithmetic, the hamming verify filter) makes "
+        "the sets differ and breaks the driver hash.  The brute-force "
+        "leg is subset^2 ~ 125k bit_count comparisons, O(1) at any "
+        "corpus size.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import tokens_array
+    from ..operators.caching import tracked_persist
+    from ..operators.dedup import simhash
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    n = docs.count()
+    sub = tracked_persist(_md5_audit_subset(docs, n, id_col="doc_id"))
+    # exact leg: token-count cosine within the audit subset (the
+    # dedup_simhash_estimate pipeline restricted to ~500 docs)
+    toks = sub.select(
+        "doc_id",
+        F.explode(F.filter(tokens_array(F.col("text")),
+                           lambda t: t != "")).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    a = cnt.select(F.col("doc_id").alias("a"), "tok", F.col("c").alias("ca"))
+    b = cnt.select(F.col("doc_id").alias("b"), "tok", F.col("c").alias("cb"))
+    dots = (a.join(b, "tok").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot")))
+    norms = cnt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nn"))
+    na = norms.select(F.col("doc_id").alias("a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("nn").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    exact_sub = (dots.join(na, "a").join(nb, "b")
+                 .filter(cos > 0.9)
+                 .select("a", "b", cos.alias("_cos")))
+    # verify stage: banded candidates restricted to the subset must
+    # EQUAL the brute-force Hamming<=3 pairs over the subset (the
+    # pigeonhole completeness theorem of 4x16-bit banding)
+    shv = simhash(sub, "doc_id", "text")
+    la = shv.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_ha"))
+    lb = shv.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_hb"))
+    brute = (la.crossJoin(F.broadcast(lb)).filter(F.col("a") < F.col("b"))
+             .filter(F.bit_count(
+                 F.col("_ha").bitwiseXOR(F.col("_hb"))) <= 3)
+             .select("a", "b"))
+    cand = simhash_near_dup_pairs(docs, "doc_id", "text",
+                                  max_hamming=3).select("a", "b")
+    ids = sub.select("doc_id")
+    cand_sub = (cand
+                .join(F.broadcast(ids.withColumnRenamed("doc_id", "a")), "a")
+                .join(F.broadcast(ids.withColumnRenamed("doc_id", "b")), "b"))
+    sym_diff = (brute.withColumn("_x", F.lit(1))
+                .join(cand_sub.withColumn("_y", F.lit(1)),
+                      ["a", "b"], "full")
+                .filter(F.col("_x").isNull() | F.col("_y").isNull())
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .select((F.col("_d") == 0).alias("bands_complete")))
+    return (exact_sub
+            .select("a", "b", F.round("_cos", 6).alias("cos"))
+            .crossJoin(F.broadcast(sym_diff)))
 
 
 @register(

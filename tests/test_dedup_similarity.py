@@ -186,10 +186,99 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     assert uncapped == 300 * 299 // 2, uncapped
 
 
+def test_lsh_bucket_cap_bounds_skewed_near_dup_cluster(spark):
+    """The 100 TB failure mode the bucket cap exists for (VERDICT r7
+    item 6): a NEAR-duplicate cluster ~100x the median cluster size —
+    not byte-identical, so signatures vary slightly and the mega-bucket
+    forms from genuine signature agreement, the realistic boilerplate/
+    crawl-dup shape.  Pins:
+
+    1. the threat is real: uncapped, the hottest band bucket holds most
+       of the 400-doc cluster, and candidates go quadratic (>= C(400,2)
+       intra-cluster pairs would join);
+    2. the cap bounds it: every surviving (band, bucket) has <= cap
+       members, so the join's worst bucket emits <= C(cap, 2) pairs and
+       total candidates <= bands * C(cap, 2) — the documented bound;
+    3. the cap is surgical: the median-sized clusters (ordinary 2-doc
+       near-dups) keep their tiny buckets and their pairs survive.
+    """
+    from mapreduce_implementation_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures,
+    )
+
+    base = ("large language model training corpora require careful "
+            "deduplication because repeated boilerplate passages distort "
+            "the loss surface and waste compute on memorized spans that "
+            "contribute nothing to generalization across domains " * 2)
+    words = base.split()
+    rows = []
+    # the poison: 400 near-dups of one base text (one word swapped each)
+    for i in range(400):
+        mutated = list(words)
+        mutated[i % len(words)] = f"variant{i:04d}"
+        rows.append((i, " ".join(mutated)))
+    # the median: 5 ordinary near-dup pairs of DISTINCT texts
+    for j in range(5):
+        t = (f"document family {j} discusses topic{j} with entirely "
+             f"distinct vocabulary covering subject{j} area{j} details "
+             f"and several unique sentences about matter{j} " * 3)
+        rows.append((1000 + 2 * j, t))
+        rows.append((1001 + 2 * j, t + " trailing marker"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(
+        char_shingles(docs, "doc_id", "text", k=9, distinct=False),
+        "doc_id").persist()
+    bands, rows_per, cap = 16, 4, 50
+    # (1) uncapped: the mega-cluster's shared-base band hashes form a
+    # bucket holding most of the 400 docs — measured with the same
+    # band arithmetic the operator uses
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"mh{b * rows_per + r}")
+                              for r in range(rows_per)],
+                            F.lit(b)).alias("bh"))
+        for b in range(bands)
+    ])
+    buckets = (sig.select("doc_id", F.explode(band_structs).alias("bb"))
+               .select("doc_id", "bb.band", "bb.bh"))
+    sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+    hottest = sizes.agg(F.max("n")).collect()[0][0]
+    assert hottest > 100, hottest  # the skew threat is real
+    uncapped = lsh_candidate_pairs(sig, "doc_id", bucket_cap=None).count()
+    assert uncapped >= 400 * 399 // 2, uncapped  # quadratic blowup
+    # (2) capped: surviving buckets all <= cap, candidates within the
+    # documented bands * C(cap,2) bound
+    surviving_max = (sizes.filter(F.col("n") <= cap)
+                     .agg(F.max("n")).collect()[0][0])
+    assert surviving_max <= cap
+    capped_pairs = lsh_candidate_pairs(sig, "doc_id",
+                                       bucket_cap=cap)
+    n_capped = capped_pairs.count()
+    bound = bands * cap * (cap - 1) // 2
+    assert n_capped <= bound, (n_capped, bound)
+    assert n_capped < uncapped / 20, (n_capped, uncapped)
+    # (3) the ordinary near-dup pairs survive the cap
+    got = {(r["a"], r["b"]) for r in capped_pairs.collect()}
+    for j in range(5):
+        assert (1000 + 2 * j, 1001 + 2 * j) in got, j
+    sig.unpersist()
+
+
 def test_simhash_pairs_are_high_jaccard(spark):
-    """SimHash Hamming<=3 pairs should overlap the high-Jaccard truth set."""
+    """SimHash Hamming<=3 pairs should overlap the high-Jaccard truth
+    set.  Runs against the operator directly — the registry's
+    dedup_simhash query graduated (r8) to the audit-subset hash-oracle
+    form, but the full-corpus candidate generator is still the
+    production surface this pins."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
     specs = all_specs()
-    sim = {(r["a"], r["b"]) for r in specs["dedup_simhash"].fn(spark, SF_DIR_01).collect()}
+    docs = load_table(spark, SF_DIR_01, "documents")
+    sim = {(r["a"], r["b"])
+           for r in simhash_near_dup_pairs(docs, "doc_id", "text",
+                                           max_hamming=3).collect()}
     jac = {(r["a"], r["b"]) for r in specs["dedup_ngram_jaccard"].fn(spark, SF_DIR_01).collect()}
     assert sim, "expected some SimHash pairs"
     assert jac & sim, "SimHash pairs should include some exact-Jaccard near-dups"
