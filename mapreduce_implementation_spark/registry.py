@@ -64,37 +64,48 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Driver-sample rotation: the driver records exactly 50 queries per
-# round in registry iteration order.  Round-7 policy (VERDICT r06 item
-# 1): registrations are FROZEN this round and the whole 50-slot window
-# goes to the stale tail — the 29 queries whose latest driver row dates
-# from r01, then the 16 from r02, then `dedup_semantic_kmeans` (r03,
-# rows-only, graduating to a bounded hash oracle this round — needs the
-# fresh row) and the 4 alphabetically-first r03-stale queries.  After
-# this round every query's latest driver row is r06/r07 except the
-# remaining r03/r04 blocks (40 + 45), which rotate next.
+# round in registry iteration order.  Round-8 policy (VERDICT r07 item
+# 1): registrations stay FROZEN and the 50-slot window goes to the
+# stale tail — all 40 queries whose latest driver row dates from r03,
+# then 10 priority picks: the two r8 graduations (dedup_minhash_lsh /
+# dedup_simhash — rows-only until now, their new bounded hash oracles
+# need driver-green rows), the two r04-stale graph queries whose
+# operators the r8 ADVICE fixes touched (label_propagation — now
+# integral-weight-gated with bigint caller weights — and
+# bfs_distances), graph_personalized_pagerank (r06 row, but its dense
+# Arrow fast path is NEW this round — the driver must hash-check the
+# code that actually runs), and the 5 alphabetically-first remaining
+# r04-stale queries.  After this round no query's latest driver row
+# predates r04; the remaining 38 r04 rows rotate in r9, which closes
+# the staleness debt entirely.
 _SAMPLE_FIRST = (
-    # --- stale, latest driver row r01 ---
-    "distinct_rows", "grouping_sets_sql", "join_anti",
-    "join_broadcast_dims", "join_full_outer", "join_left_outer",
-    "join_semi", "join_shuffle_facts", "join_tpch_q5_shape",
-    "multimodal_binary_meta", "multimodal_decode_stub", "null_handling",
-    "pivot_linestatus", "range_join_sessions", "rollup_agg",
-    "scalar_date_functions", "scalar_string_math", "sessionize_events",
-    "set_except", "set_intersect", "set_union_distinct",
-    "similarity_cosine_topk", "sql_correlated_subquery",
-    "stream_join_attribution", "top_k", "union_all_counts",
-    "window_first_last", "window_sliding_events", "window_tumbling_events",
-    # --- stale, latest driver row r02 ---
-    "anomaly_daily_zscore", "dedup_cluster_representatives",
-    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",
-    "dedup_simhash", "dedup_tfidf_cosine", "distributed_sort",
-    "distributed_sort_desc", "partitioned_scan_events_week",
-    "stats_chi2_event_dow", "tokenize", "word_count",
-    # --- stale, latest driver row r03 (head of the next-stalest block) ---
-    "dedup_semantic_kmeans",
-    "agg_decimal_exact", "agg_mode_per_group", "agg_percentiles_exact",
-    "agg_stat_moments",
+    # --- stale, latest driver row r03 ---
+    "agg_tpch_q6_forecast", "dedup_chunk_signature",
+    "dedup_incremental_batch", "dedup_incremental_stored_grams",
+    "dedup_semantic_blocked", "dedup_span_rebuild", "embedding_centroids",
+    "graph_triangle_count", "histogram_totalprice",
+    "inference_scores_batched", "join_tpch_q10_shape",
+    "join_tpch_q15_shape", "join_tpch_q19_shape", "join_tpch_q3_shape",
+    "join_tpch_q7_shape", "join_tpch_q9_shape", "lateral_explode_outer",
+    "map_type_surface", "nested_struct_array_agg", "pagination_offset",
+    "pii_mask_digits", "pipeline_curation_stats", "profile_columns",
+    "sample_hash_pct", "sample_stratified", "set_except_all",
+    "similarity_quantized_topk", "skew_join_salted",
+    "source_csv_roundtrip", "source_jsonl_events",
+    "source_mixing_weights", "source_orc_roundtrip",
+    "streaks_gaps_islands", "string_similarity_levenshtein",
+    "text_quality_classifier", "text_quality_score", "text_token_entropy",
+    "text_token_stats", "text_top_terms_per_lang",
+    "unpivot_lineitem_measures",
+    # --- r8 graduations: fresh hash rows for the new oracles ---
+    "dedup_minhash_lsh", "dedup_simhash",
+    # --- r04-stale graph queries whose operators changed this round ---
+    "graph_label_propagation", "graph_bfs_distances",
+    # --- new dense path this round: driver must check the live code ---
+    "graph_personalized_pagerank",
+    # --- alphabetical head of the remaining r04-stale block ---
+    "agg_approx_stats", "agg_hll_distinct", "anomaly_daily_mad",
+    "basket_lift_pairs", "cdc_merge_upsert",
 )
 
 
