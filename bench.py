@@ -105,6 +105,11 @@ HEADLINE = [
     # round 6 waves 9-10: builtin session windows, two-phase-rank Gini
     "window_session_builtin",
     "agg_gini_spend",
+    # round 8: personalized PageRank rides the dense Arrow fast path
+    # (reset mass as per-edge columns) — benched to pin it near
+    # graph_pagerank_trade (measured 1.60 vs 1.61 s same-session, 0.55x
+    # its declarative chain)
+    "graph_personalized_pagerank",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-
