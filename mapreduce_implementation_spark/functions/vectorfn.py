@@ -29,7 +29,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm (all-zero) vector has no direction, so its
+    # cosine is NULL — and any downstream `>= threshold` drops the pair.
+    # A bare `/` would THROW under ANSI mode (Spark 4 default) the moment
+    # one degenerate vector reaches a corpus; NULL-on-zero is also what
+    # non-ANSI engines (and the DuckDB oracles) do.
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def make_cosine_arrow():

@@ -358,7 +358,10 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                   l2_norm(F.col(vec_col)).alias("na"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
                   l2_norm(F.col(vec_col)).alias("nb"))
-    c = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # try_divide: a zero-norm vector pairs with nothing (NULL cosine
+    # fails the threshold) instead of throwing under ANSI mode
+    c = F.try_divide(dot(F.col("va"), F.col("vb")),
+                     F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
@@ -591,7 +594,10 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
         )
     na = nrm.select(F.col(id_col).alias("a"), F.col("nn").alias("na"))
     nb = nrm.select(F.col(id_col).alias("b"), F.col("nn").alias("nb"))
-    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    # try_divide: a doc whose every term weight is 0 (tf-idf with
+    # df == n) has a zero norm — NULL cosine fails the threshold
+    # instead of throwing under ANSI mode
+    cos = F.try_divide(F.col("dot"), F.col("na") * F.col("nb"))
     return (
         dots.join(na, "a").join(nb, "b")
         .filter(cos >= min_cosine)  # raw-score threshold (oracle parity)

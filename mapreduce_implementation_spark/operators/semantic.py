@@ -76,7 +76,10 @@ def semantic_dedup_blocked(df: DataFrame, id_col: str, vec_col: str,
                         l2_norm(F.col(vec_col)).alias("_nb"))
     # norms folded once per VECTOR pre-join; per pair only the dot runs
     # (bit-identical to cosine() — same expressions, same order)
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # try_divide: a zero-norm vector pairs with nothing (NULL cosine
+    # fails the threshold) instead of throwing under ANSI mode
+    cos = F.try_divide(dot(F.col("_va"), F.col("_vb")),
+                       F.col("_na") * F.col("_nb"))
     dropped = (
         a.join(b, "_blk")
         .filter(F.col("_ida") < F.col("_idb"))

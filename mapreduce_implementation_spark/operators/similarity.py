@@ -43,7 +43,10 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
     qn = math.sqrt(acc)
     from ..functions.vectorfn import dot, l2_norm
 
-    cos = dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * F.lit(qn))
+    # try_divide: a zero-norm stored vector scores NULL (desc ordering
+    # puts NULLs last) instead of throwing under ANSI mode
+    cos = F.try_divide(dot(F.col(vec_col), q),
+                       l2_norm(F.col(vec_col)) * F.lit(qn))
     out = df.select(F.col(id_col), F.round(cos, 6).alias("cos"))
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
@@ -205,7 +208,7 @@ def quantized_cosine_topk(df: DataFrame, id_col: str, vec_col: str,
     qn = float(sum(x * x for x in qq)) ** 0.5 or 1.0
     out = qdf.select(
         F.col(id_col),
-        F.round(dot / (nrm * F.lit(qn)), 6).alias("cos"),
+        F.round(F.try_divide(dot, nrm * F.lit(qn)), 6).alias("cos"),
     )
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)

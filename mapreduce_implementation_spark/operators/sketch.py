@@ -12,8 +12,11 @@ true(k), and est(k) <= true(k) + e/w * N with probability 1 - (1/2)^d
 for the standard pairwise hashes (xxhash64 seeds here).
 
 The sketch is deterministic given (seeds, d, w) but its buckets are
-Spark-hash-dependent, so queries over it register rows-only; the
-overestimate-bound contract is pinned in tests instead.
+Spark-hash-dependent, so queries over it can't replay the raw grid in
+SQL; they register ACCURACY-CONTRACT hash oracles instead (the
+estimate must sit within the CMS bound of the exact count, asserted
+in-query so the driver hash pins it), with the overestimate-bound
+contract additionally pinned in tests.
 """
 
 from __future__ import annotations

@@ -818,7 +818,13 @@ def q_anomaly_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = daily.join(med, "event_type")
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(abs(v - m), 0.5)").alias("mad"))
-    z = (F.col("v") - F.col("m")) / (F.lit(1.4826) * F.col("mad"))
+    # try_divide: MAD == 0 is reachable on real data (any series where
+    # the median deviation is 0, e.g. >50% constant days) — the mad > 0
+    # filter below keeps such rows out of the OUTPUT, but Catalyst may
+    # reorder conjuncts, and under ANSI mode a bare `/` inside the
+    # filter would throw before the guard applies.  NULL z fails both
+    # predicates, same result, no crash.
+    z = F.try_divide(F.col("v") - F.col("m"), F.lit(1.4826) * F.col("mad"))
     return (
         dev.join(mad, "event_type")
         .filter((F.col("mad") > 0) & (F.abs(z) > 2.5))

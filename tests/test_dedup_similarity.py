@@ -774,3 +774,46 @@ def test_tfidf_cosine_prefix_filter_lossless(spark):
             cw = next(cw for (x, y, cw) in want if (x, y) == (a, b))
             assert abs(c - cw) < 1e-6, (mode, a, b, c, cw)
     assert (1, 2) in {(a, b) for a, b, _ in want}  # fixture sanity
+
+
+def test_zero_norm_vectors_never_throw_under_ansi(spark):
+    """A zero-norm (all-zero) embedding is VALID input — and under ANSI
+    mode (Spark 4 default) a bare cosine division would throw
+    DIVIDE_BY_ZERO the moment one reaches a corpus (r8 hardening: every
+    cosine denominator is now try_divide).  Semantics pinned here: a
+    zero vector has no direction, so it pairs with nothing
+    (NULL cosine fails every threshold) and ranks last in top-k
+    (NULL under desc ordering), while all other rows score exactly as
+    before."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from mapreduce_implementation_spark.operators.semantic import (
+        semantic_dedup_blocked,
+    )
+    from mapreduce_implementation_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "x"),
+        (2, [0.9, 0.1, 0.0, 0.0], "x"),
+        (3, [0.0, 1.0, 0.0, 0.0], "x"),
+        (4, [0.0, 0.0, 0.0, 0.0], "x"),  # zero-norm
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(
+        df, "vec_id", "embedding", min_cosine=0.5).collect()}
+    assert pairs == {(1, 2)}
+    assert not any(4 in p for p in pairs)
+
+    topk = cosine_topk(df, "vec_id", "embedding",
+                       query_vec=[1.0, 0.0, 0.0, 0.0], k=4).collect()
+    assert [r["vec_id"] for r in topk[:2]] == [1, 2]
+    assert topk[-1]["vec_id"] == 4 and topk[-1]["cos"] is None
+
+    sem = {r["vec_id"]: r["kept"] for r in semantic_dedup_blocked(
+        df, "vec_id", "embedding", "label", min_cosine=0.5).collect()}
+    assert sem[4] is True          # pairs with nothing -> survives
+    assert sem[2] is False         # dropped by its lower-id near-dup

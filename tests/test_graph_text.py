@@ -385,22 +385,34 @@ def test_graph_dense_paths_match_declarative_random(spark):
             continue
         e = spark.createDataFrame(edges, "src int, dst int, w double")
         nd = spark.createDataFrame([(v,) for v in nodes], "v int")
+        # a random sparse reset distribution for the personalized case
+        # (r8: the dense path covers seeded walks too)
+        seeds = sorted({rng.choice(nodes) for _ in range(3)})
+        reset = {v: 1.0 / len(seeds) for v in seeds}
+        rst = spark.createDataFrame(list(reset.items()), "v int, s double")
         try:
             pr_want = _py_pagerank(edges, nodes, iters=4)
+            ppr_want = _py_ppr(edges, nodes, reset, iters=4)
             pr = {}
+            ppr = {}
             ht = {}
             for dense in (True, False):
                 pr[dense] = {r.v: r.r for r in pagerank(
                     e, nd, iters=4, dense_path=dense).collect()}
+                ppr[dense] = {r.v: r.r for r in pagerank(
+                    e, nd, iters=4, reset=rst, dense_path=dense).collect()}
                 ht[dense] = {r.v: (r.hub, r.authority) for r in hits(
                     e, nd, iters=2, dense_path=dense).collect()}
         finally:
             release_persisted()
         assert set(pr[True]) == set(pr[False]) == set(nodes), trial
+        assert set(ppr[True]) == set(ppr[False]) == set(nodes), trial
         assert set(ht[True]) == set(ht[False]) == set(nodes), trial
         for v in nodes:
             assert abs(pr[True][v] - pr[False][v]) < 1e-9, (trial, v)
             assert abs(pr[True][v] - pr_want[v]) < 1e-9, (trial, v)
+            assert abs(ppr[True][v] - ppr[False][v]) < 1e-9, (trial, v)
+            assert abs(ppr[True][v] - ppr_want[v]) < 1e-9, (trial, v)
             for j in (0, 1):
                 assert abs(ht[True][v][j] - ht[False][v][j]) < 1e-9, \
                     (trial, v, j)
