@@ -18,15 +18,26 @@ from ..sources.tables import load_table
     "join_broadcast_dims",
     oracle="""
     SELECT r_name, n_name,
-           count(*)                  AS n_customers,
-           round(avg(c_acctbal), 2)  AS avg_acctbal
+           count(*)                                           AS n_customers,
+           CAST(round(CAST(avg(c_acctbal) AS DECIMAL(28,6)), 2) AS DOUBLE)
+                                                              AS avg_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
     """,
     doc="Star-schema rollup; both dims broadcast — zero shuffle for the joins, "
-        "one for the final agg.",
+        "one for the final agg.  avg_acctbal quantizes at 6 decimals "
+        "before the 2-decimal round ON BOTH SIDES: Spark's round() "
+        "rounds the double's shortest DECIMAL-STRING repr (BigDecimal."
+        "valueOf) while DuckDB's round() rounds the BINARY value, so an "
+        "average landing on an exact .xx5 boundary (binary ~4201.314999"
+        "...96, string '4201.315') rounds .32 vs .31 — observed at "
+        "sf0.001.  Quantizing at 6 decimals first (F.round(_, 6) / "
+        "CAST AS DECIMAL(28,6)) makes both engines resolve the boundary "
+        "identically, shrinking the divergence window by ~4 orders of "
+        "magnitude; the residual class is documented in registry.py's "
+        "conventions.",
 )
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -36,7 +47,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = join_tables(j, r, on=F.col("n_regionkey") == r.r_regionkey, broadcast_right=True)
     return j.groupBy("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        F.round(F.round(F.avg("c_acctbal"), 6), 2).alias("avg_acctbal"),
     )
 
 

@@ -12,6 +12,14 @@ Conventions (driver contract):
 * every computed column is aliased identically in Spark and SQL;
 * float aggregates are ``round(x, 2)`` on BOTH sides so summation-order
   differences below 1e-5 cannot flip the value hash;
+* KNOWN residual class (r8, observed once at sf0.001): Spark's round()
+  rounds a double's shortest decimal-string repr (BigDecimal.valueOf)
+  while DuckDB rounds the binary value, so an aggregate landing on an
+  exact ``.xx5`` boundary can round apart even with identical inputs.
+  Where money-like data makes that boundary likely (averages of
+  2-decimal values), quantize at 6 decimals first on BOTH sides —
+  ``F.round(x, 6)`` / ``CAST(x AS DECIMAL(28,6))`` — before the
+  2-decimal round (see join_broadcast_dims);
 * DuckDB integer sums are cast to BIGINT (DuckDB widens to HUGEINT,
   Spark stays long);
 * timestamps that reach an output are formatted to ``yyyy-MM-dd HH:mm:ss``

@@ -34,3 +34,24 @@ def test_rows_only_runs(spark, name):
     df = spec.fn(spark, SF_DIR_01)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_scale_sensitive_oracles_hold_at_tiny_sf(spark):
+    """The two oracles that broke ONLY at sf0.001 in the r8 all-SF sweep
+    stay pinned there: agg_approx_stats (HLL rsd=0.02 gives the 5%
+    bound a 2.5-sigma margin — the default rsd made it a 1-sigma coin
+    flip that deterministically failed at 1.5k distinct orderkeys) and
+    join_broadcast_dims (avg quantized at 6 decimals on both sides
+    before the 2-decimal round, so an exact .xx5 average can't round
+    apart between Spark's decimal-string rounding and DuckDB's binary
+    rounding).  The driver gate runs sf0.01 only, so without this pin a
+    tiny-scale regression in either would be invisible."""
+    from tests.conftest import SF_DIR_001
+
+    con = duck_connect(SF_DIR_001)
+    try:
+        for name in ("agg_approx_stats", "join_broadcast_dims"):
+            spec = _SPECS[name]
+            compare(spec.fn(spark, SF_DIR_001), con, spec.oracle)
+    finally:
+        con.close()
