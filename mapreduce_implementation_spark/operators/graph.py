@@ -365,6 +365,12 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
     formulation of Page et al. / the classic Hadoop example, re-expressed
     declaratively).
     """
+    # iters=0 would expose a dense/declarative discrepancy in the
+    # pre-iteration state (raw reset mass vs the closed-form densify) —
+    # a zero-round "PageRank" has no meaning anyway, so reject it at
+    # the contract instead of letting the physical mode pick an answer
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     # NULL-weight/endpoint edges are dropped up front: the declarative
     # chain's F.sum/joins skip them anyway (dropping is equivalence-
     # preserving), and the dense numpy path must never see NaN
@@ -977,6 +983,10 @@ def hits(edges: DataFrame, nodes: DataFrame, iters: int = 2,
     Both modes are oracle-identical —
     tests/test_graph_text.py::test_hits_dense_path_matches_declarative.
     """
+    # iters=0 would diverge between modes (raw all-ones vs normalized
+    # 1/sqrt(n)) — reject at the contract, same as pagerank
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     # NULL-weight/endpoint edges dropped up front (see pagerank: the
     # declarative chain skips them anyway; dense numpy must not see NaN)
     e = tracked_persist(

@@ -71,6 +71,118 @@ def _coverage_flag(universe: DataFrame, found: DataFrame, keys: list[str],
         (F.col("_h") >= F.ceil(F.lit(frac) * F.col("_n"))).alias(out))
 
 
+def _with_flag_sentinel(pairs: DataFrame, flag: DataFrame,
+                        score_col: str) -> DataFrame:
+    """Audit output = pairs x flag, PLUS one unconditional sentinel row
+    ``(-1, -1, 0.0, <flag>)``.  Without the sentinel the verification
+    boolean only rides on qualifying audit pairs, so a fixture/SF whose
+    md5 subset happens to contain NO such pair would hash-match the
+    oracle vacuously and a broken candidate generator would pass the
+    driver gate (r8 code-review finding).  The sentinel makes the flag
+    itself part of the hashed surface at every scale; the SQL twins
+    append the same row with a literal TRUE."""
+    sent = flag.select(
+        F.lit(-1).cast(pairs.schema["a"].dataType).alias("a"),
+        F.lit(-1).cast(pairs.schema["b"].dataType).alias("b"),
+        F.lit(0.0).alias(score_col),
+        F.col(flag.columns[0]))
+    return pairs.crossJoin(F.broadcast(flag)).unionByName(sent)
+
+
+def _char9_jaccard_pairs(docs: DataFrame,
+                         min_jaccard: float) -> DataFrame:
+    """(a, b, _j) — EXACT char-9-shingle Jaccard pairs with set
+    semantics: the ONE Spark pipeline behind both the estimate query's
+    truth leg and the graduated dedup_minhash_lsh audit leg (its DuckDB
+    twin is :func:`_duck_char9_jaccard`); a normalization change lands
+    in exactly two places, Spark and SQL, or the oracle gate fails."""
+    from ..operators.caching import tracked_persist
+    from ..operators.dedup import char_shingles
+
+    sh = tracked_persist(char_shingles(docs, "doc_id", "text", k=9))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (inter.join(sa, "a").join(sb, "b")
+            .filter(jac >= min_jaccard)
+            .select("a", "b", jac.alias("_j")))
+
+
+def _duck_char9_jaccard(src: str) -> str:
+    """DuckDB CTE chain (no leading WITH) producing ``inter``/``sz``
+    for char-9-shingle Jaccard over table/CTE ``src`` — the SQL twin of
+    :func:`_char9_jaccard_pairs`."""
+    return f"""norm AS (
+      SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS s
+      FROM {src}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(s, i, 9) AS shingle
+      FROM norm, unnest(range(1, len(s) - 7)) t(i)
+      WHERE len(s) >= 9
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+def _token_cosine_pairs(docs: DataFrame, min_cosine: float) -> DataFrame:
+    """(a, b, _cos) — EXACT token-count-vector cosine pairs (strict >
+    threshold): the ONE Spark pipeline behind both the SimHash estimate
+    query's truth leg and the graduated dedup_simhash audit leg (DuckDB
+    twin: :func:`_duck_token_cosine`)."""
+    from ..functions.textfn import tokens_array
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens_array(F.col("text")),
+                           lambda t: t != "")).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    a = cnt.select(F.col("doc_id").alias("a"), "tok", F.col("c").alias("ca"))
+    b = cnt.select(F.col("doc_id").alias("b"), "tok", F.col("c").alias("cb"))
+    dots = (a.join(b, "tok").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot")))
+    norms = cnt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nn"))
+    na = norms.select(F.col("doc_id").alias("a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("nn").alias("nb"))
+    # try_divide for ANSI parity with the other cosine sites; norms are
+    # structurally > 0 here (every doc in cnt has >= 1 token)
+    cos = F.try_divide(F.col("dot"), F.col("na") * F.col("nb"))
+    return (dots.join(na, "a").join(nb, "b")
+            .filter(cos > min_cosine)
+            .select("a", "b", cos.alias("_cos")))
+
+
+def _duck_token_cosine(src: str) -> str:
+    """DuckDB CTE chain (no leading WITH) producing ``dots``/``norms``
+    for token-count cosine over table/CTE ``src`` — the SQL twin of
+    :func:`_token_cosine_pairs`."""
+    return f"""toks AS (
+      SELECT doc_id, unnest(list_filter(
+          string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
+          t -> t <> '')) AS tok
+      FROM {src}
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    dots AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             sum(a.c * b.c) AS dot
+      FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM cnt GROUP BY 1)"""
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -130,21 +242,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
             % 100 < k.kk
     ),
-    norm AS (
-      SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS s
-      FROM sub
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, substr(s, i, 9) AS shingle
-      FROM norm, unnest(range(1, len(s) - 7)) t(i)
-      WHERE len(s) >= 9
-    ),
-    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    """ + _duck_char9_jaccard("sub") + """
     SELECT a, b,
            round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard,
            TRUE AS recall_ok
@@ -152,6 +250,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz sa ON inter.a = sa.doc_id
     JOIN sz sb ON inter.b = sb.doc_id
     WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0, TRUE
     """,
     doc="MinHash(64)+LSH(16x4) near-dup candidates (Q11 scale path), "
         "graduated from rows-only to a bounded hash oracle (r8, the "
@@ -164,40 +264,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signature-estimate filter at 0.5 is ~3.5 sigma below the mean, "
         "so with fixed xxhash64 seeds the flag is a deterministic "
         "regression pin on the signature/banding formulas (measured "
-        "recall 1.0 at sf0.001/0.01).  A banding or signature "
-        "regression flips the boolean and breaks the driver hash.",
+        "recall 1.0 at sf0.001/0.01/0.1).  The flag also rides an "
+        "unconditional (-1,-1) sentinel row, so a banding or signature "
+        "regression breaks the driver hash even at a scale where the "
+        "audit subset holds no qualifying pair.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.caching import tracked_persist
-    from ..operators.dedup import char_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
     sub = _md5_audit_subset(docs, n, id_col="doc_id")
     # exact leg: set-semantics char-9 shingle Jaccard within the audit
-    # subset — the estimate-twin pipeline restricted to ~500 docs
-    sh = tracked_persist(char_shingles(sub, "doc_id", "text", k=9))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
-             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")))
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    exact_sub = tracked_persist(
-        inter.join(sa, "a").join(sb, "b")
-        .filter(jac >= 0.5)
-        .select("a", "b", jac.alias("_j")))
+    # subset (~500 docs) — the shared estimate-twin pipeline
+    exact_sub = tracked_persist(_char9_jaccard_pairs(sub, min_jaccard=0.5))
     # verify stage: the FULL-corpus banded candidate set must catch the
     # audit's high-similarity pairs
     cand = minhash_dedup_pairs(docs, "doc_id", "text",
                                min_jaccard=0.5).select("a", "b")
     high = exact_sub.filter(F.col("_j") >= 0.7).select("a", "b")
     rc = _coverage_flag(high, cand, ["a", "b"], 0.8, "recall_ok")
-    return (exact_sub
-            .select("a", "b", F.round("_j", 6).alias("jaccard"))
-            .crossJoin(F.broadcast(rc)))
+    return _with_flag_sentinel(
+        exact_sub.select("a", "b", F.round("_j", 6).alias("jaccard")),
+        rc, "jaccard")
 
 
 @register(
@@ -212,20 +301,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
             % 100 < k.kk
     ),
-    toks AS (
-      SELECT doc_id, unnest(list_filter(
-          string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
-          t -> t <> '')) AS tok
-      FROM sub
-    ),
-    cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-    dots AS (
-      SELECT a.doc_id AS a, b.doc_id AS b,
-             sum(a.c * b.c) AS dot
-      FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    norms AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM cnt GROUP BY 1)
+    """ + _duck_token_cosine("sub") + """
     SELECT dots.a, dots.b,
            round(dots.dot / (na.nn * nb.nn), 6) AS cos,
            TRUE AS bands_complete
@@ -233,6 +309,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN norms na ON dots.a = na.doc_id
     JOIN norms nb ON dots.b = nb.doc_id
     WHERE dots.dot / (na.nn * nb.nn) > 0.9
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0, TRUE
     """,
     doc="SimHash(64-bit) near-dup pairs within Hamming distance 3 "
         "(candidates via 16-bit band buckets), graduated from rows-only "
@@ -246,38 +324,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bands must agree exactly on >= 1 band (pigeonhole), so the "
         "flag asserts a THEOREM about the banding — any bucketing "
         "regression (band arithmetic, the hamming verify filter) makes "
-        "the sets differ and breaks the driver hash.  The brute-force "
-        "leg is subset^2 ~ 125k bit_count comparisons, O(1) at any "
-        "corpus size.",
+        "the sets differ and breaks the driver hash, and the flag also "
+        "rides an unconditional (-1,-1) sentinel row so the theorem is "
+        "checked even at a scale where the audit subset holds no "
+        "qualifying cosine pair.  The brute-force leg is subset^2 ~ "
+        "125k bit_count comparisons, O(1) at any corpus size.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.textfn import tokens_array
     from ..operators.caching import tracked_persist
     from ..operators.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
     sub = tracked_persist(_md5_audit_subset(docs, n, id_col="doc_id"))
-    # exact leg: token-count cosine within the audit subset (the
-    # dedup_simhash_estimate pipeline restricted to ~500 docs)
-    toks = sub.select(
-        "doc_id",
-        F.explode(F.filter(tokens_array(F.col("text")),
-                           lambda t: t != "")).alias("tok"))
-    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    a = cnt.select(F.col("doc_id").alias("a"), "tok", F.col("c").alias("ca"))
-    b = cnt.select(F.col("doc_id").alias("b"), "tok", F.col("c").alias("cb"))
-    dots = (a.join(b, "tok").filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot")))
-    norms = cnt.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nn"))
-    na = norms.select(F.col("doc_id").alias("a"), F.col("nn").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("b"), F.col("nn").alias("nb"))
-    cos = F.col("dot") / (F.col("na") * F.col("nb"))
-    exact_sub = (dots.join(na, "a").join(nb, "b")
-                 .filter(cos > 0.9)
-                 .select("a", "b", cos.alias("_cos")))
+    # exact leg: token-count cosine within the audit subset (~500 docs)
+    # — the shared estimate-twin pipeline
+    exact_sub = _token_cosine_pairs(sub, min_cosine=0.9)
     # verify stage: banded candidates restricted to the subset must
     # EQUAL the brute-force Hamming<=3 pairs over the subset (the
     # pigeonhole completeness theorem of 4x16-bit banding)
@@ -300,9 +362,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("_x").isNull() | F.col("_y").isNull())
                 .agg(F.count(F.lit(1)).alias("_d"))
                 .select((F.col("_d") == 0).alias("bands_complete")))
-    return (exact_sub
-            .select("a", "b", F.round("_cos", 6).alias("cos"))
-            .crossJoin(F.broadcast(sym_diff)))
+    return _with_flag_sentinel(
+        exact_sub.select("a", "b", F.round("_cos", 6).alias("cos")),
+        sym_diff, "cos")
 
 
 @register(
@@ -391,6 +453,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS recall_ok
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0, TRUE
     """,
     doc="Bucketed embedding near-dup (the 100 TB path): multi-table "
         "sign-LSH candidates joined on (table, bucket) — never all-pairs — "
@@ -424,7 +488,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_sub = tracked_persist(
         embedding_near_dup_pairs(sub, "vec_id", "embedding", min_cosine=0.35))
     rc = _coverage_flag(exact_sub, lsh, ["a", "b"], 0.8, "recall_ok")
-    return exact_sub.crossJoin(F.broadcast(rc))
+    # (-1,-1) sentinel: the flag reaches the driver hash even at a
+    # scale where the audit subset holds no qualifying pair (r8)
+    return _with_flag_sentinel(exact_sub, rc, "cos")
 
 
 @register(
@@ -729,6 +795,8 @@ def q_dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS drop_recall_ok
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.0, TRUE
     """,
     doc="SemDeDup proper: seeded k-means (k=8, 3 Lloyd iterations — only "
         "the k x dim centroid matrix reaches the driver) assigns blocks, "
@@ -767,7 +835,9 @@ def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     must_drop = exact_sub.select(F.col("b").alias("vec_id")).distinct()
     rc = _coverage_flag(must_drop, dropped, ["vec_id"], 0.4,
                         "drop_recall_ok")
-    return exact_sub.crossJoin(F.broadcast(rc))
+    # (-1,-1) sentinel: the flag reaches the driver hash even at a
+    # scale where the audit subset holds no qualifying pair (r8)
+    return _with_flag_sentinel(exact_sub, rc, "cos")
 
 
 @register(
@@ -1004,21 +1074,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_estimate",
     oracle="""
-    WITH norm AS (
-      SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS s
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, substr(s, i, 9) AS shingle
-      FROM norm, unnest(range(1, len(s) - 7)) t(i)
-      WHERE len(s) >= 9
-    ),
-    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    WITH """ + _duck_char9_jaccard("documents") + """
     SELECT a, b,
            round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard_exact,
            TRUE AS est_within_bound
@@ -1041,22 +1097,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(duplicate-insensitive, straight off the map stage).",
 )
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.caching import tracked_persist
     from ..operators.dedup import char_shingles, minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = tracked_persist(char_shingles(docs, "doc_id", "text", k=9))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
-             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")))
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    pairs = (inter.join(sa, "a").join(sb, "b")
-             .filter(jac >= 0.5)
-             .select("a", "b", jac.alias("_j")))
+    # exact truth leg: the shared char-9 Jaccard pipeline (one Spark
+    # implementation, one SQL twin — see _char9_jaccard_pairs)
+    pairs = _char9_jaccard_pairs(docs, min_jaccard=0.5)
     sigs = minhash_signatures(
         char_shingles(docs, "doc_id", "text", k=9, distinct=False),
         "doc_id", num_hashes=64)
@@ -1078,20 +1124,7 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_estimate",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(list_filter(
-          string_split(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')), ' '),
-          t -> t <> '')) AS tok
-      FROM documents
-    ),
-    cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-    dots AS (
-      SELECT a.doc_id AS a, b.doc_id AS b,
-             sum(a.c * b.c) AS dot
-      FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    norms AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM cnt GROUP BY 1)
+    WITH """ + _duck_token_cosine("documents") + """
     SELECT dots.a, dots.b,
            round(dots.dot / (na.nn * nb.nn), 6) AS cos_exact,
            TRUE AS est_within_bound
@@ -1117,28 +1150,12 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from ..functions.textfn import tokens_array
     from ..operators.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.filter(tokens_array(F.col("text")),
-                           lambda t: t != "")).alias("tok"))
-    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    a = cnt.select(F.col("doc_id").alias("a"), "tok", F.col("c").alias("ca"))
-    b = cnt.select(F.col("doc_id").alias("b"), "tok", F.col("c").alias("cb"))
-    dots = (a.join(b, "tok").filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot")))
-    norms = cnt.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nn"))
-    na = norms.select(F.col("doc_id").alias("a"), F.col("nn").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("b"), F.col("nn").alias("nb"))
-    cos = F.col("dot") / (F.col("na") * F.col("nb"))
-    pairs = (dots.join(na, "a").join(nb, "b")
-             .filter(cos > 0.9)
-             .select("a", "b", cos.alias("_cos")))
+    # exact truth leg: the shared token-cosine pipeline (one Spark
+    # implementation, one SQL twin — see _token_cosine_pairs)
+    pairs = _token_cosine_pairs(docs, min_cosine=0.9)
     sh = simhash(docs, "doc_id", "text")
     sa = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_ha"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_hb"))

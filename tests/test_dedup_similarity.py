@@ -121,8 +121,11 @@ def test_embedding_lsh_recall_and_precision(spark):
 
     audited = specs["dedup_embedding_lsh"].fn(spark, SF_DIR_01).collect()
     assert audited and all(r["recall_ok"] for r in audited)
-    # the audit rows are exactly the exact pairs within the hash subset
-    assert {(r["a"], r["b"]) for r in audited} <= exact
+    # the audit rows are exactly the exact pairs within the hash subset,
+    # plus the unconditional (-1,-1) flag sentinel (r8)
+    pairs_only = {(r["a"], r["b"]) for r in audited} - {(-1, -1)}
+    assert (-1, -1) in {(r["a"], r["b"]) for r in audited}
+    assert pairs_only and pairs_only <= exact
 
 
 def test_ann_queries_recall_ok_and_exact_rows(spark):
@@ -197,8 +200,13 @@ def test_lsh_bucket_cap_bounds_skewed_near_dup_cluster(spark):
        of the 400-doc cluster, and candidates go quadratic (>= C(400,2)
        intra-cluster pairs would join);
     2. the cap bounds it: every surviving (band, bucket) has <= cap
-       members, so the join's worst bucket emits <= C(cap, 2) pairs and
-       total candidates <= bands * C(cap, 2) — the documented bound;
+       members, so the join's worst bucket emits <= C(cap, 2) pairs.
+       The operator's contract is PER BUCKET VALUE (bands * cap^2 / 2
+       per value — many independent clusters legitimately multiply the
+       total); on THIS single-poison-cluster fixture the distinct
+       bucket values outside the tiny ordinary families all come from
+       the one mega-cluster, so total candidates <= bands * C(cap, 2)
+       is the fixture-specific corollary asserted below;
     3. the cap is surgical: the median-sized clusters (ordinary 2-doc
        near-dups) keep their tiny buckets and their pairs survive.
     """
