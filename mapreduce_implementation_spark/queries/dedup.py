@@ -113,6 +113,19 @@ def _char9_jaccard_pairs(docs: DataFrame,
             .select("a", "b", jac.alias("_j")))
 
 
+# DuckDB twin of _md5_audit_subset over documents (the k/sub CTE pair
+# shared by every doc-table audit oracle)
+_DUCK_DOC_SUB = """k AS (
+      SELECT greatest(1, least(50, CAST(50000 // count(*) AS BIGINT))) AS kk
+      FROM documents
+    ),
+    sub AS (
+      SELECT doc_id, text FROM documents, k
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 < k.kk
+    )"""
+
+
 def _duck_char9_jaccard(src: str) -> str:
     """DuckDB CTE chain (no leading WITH) producing ``inter``/``sz``
     for char-9-shingle Jaccard over table/CTE ``src`` — the SQL twin of
@@ -233,15 +246,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle="""
-    WITH k AS (
-      SELECT greatest(1, least(50, CAST(50000 // count(*) AS BIGINT))) AS kk
-      FROM documents
-    ),
-    sub AS (
-      SELECT doc_id, text FROM documents, k
-      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
-            % 100 < k.kk
-    ),
+    WITH """ + _DUCK_DOC_SUB + """,
     """ + _duck_char9_jaccard("sub") + """
     SELECT a, b,
            round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard,
@@ -292,15 +297,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle="""
-    WITH k AS (
-      SELECT greatest(1, least(50, CAST(50000 // count(*) AS BIGINT))) AS kk
-      FROM documents
-    ),
-    sub AS (
-      SELECT doc_id, text FROM documents, k
-      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
-            % 100 < k.kk
-    ),
+    WITH """ + _DUCK_DOC_SUB + """,
     """ + _duck_token_cosine("sub") + """
     SELECT dots.a, dots.b,
            round(dots.dot / (na.nn * nb.nn), 6) AS cos,
@@ -1074,7 +1071,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_estimate",
     oracle="""
-    WITH """ + _duck_char9_jaccard("documents") + """
+    WITH """ + _DUCK_DOC_SUB + """,
+    """ + _duck_char9_jaccard("sub") + """
     SELECT a, b,
            round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard_exact,
            TRUE AS est_within_bound
@@ -1091,20 +1089,27 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signatures are fixed-seed deterministic, so this is a hard "
         "regression pin, not a flaky probabilistic test).  Emits the "
         "exact Jaccard plus the in-query bound boolean; a signature "
-        "formula or banding regression flips the boolean and breaks the "
-        "driver hash.  One shingle scan feeds BOTH the exact join "
-        "(distinct set semantics) and the signature aggregation "
-        "(duplicate-insensitive, straight off the map stage).",
+        "formula regression flips the boolean and breaks the driver "
+        "hash.  r8: the truth leg (and the signatures it is checked "
+        "against — a doc's signature depends only on its own shingles, "
+        "so subsetting changes nothing about the estimator) runs on "
+        "the deterministic md5 audit subset: the exact inverted-index "
+        "join is the one super-linear stage this query had, and the "
+        "audit subset pins the identical per-pair contract at O(1) "
+        "cost at ANY corpus size (Spark leg measured 30 s -> ~4 s at "
+        "sf0.1).",
 )
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import char_shingles, minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    sub = _md5_audit_subset(docs, n, id_col="doc_id")
     # exact truth leg: the shared char-9 Jaccard pipeline (one Spark
     # implementation, one SQL twin — see _char9_jaccard_pairs)
-    pairs = _char9_jaccard_pairs(docs, min_jaccard=0.5)
+    pairs = _char9_jaccard_pairs(sub, min_jaccard=0.5)
     sigs = minhash_signatures(
-        char_shingles(docs, "doc_id", "text", k=9, distinct=False),
+        char_shingles(sub, "doc_id", "text", k=9, distinct=False),
         "doc_id", num_hashes=64)
     siga = sigs.select(F.col("doc_id").alias("a"),
                        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(64)])
@@ -1124,7 +1129,8 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_estimate",
     oracle="""
-    WITH """ + _duck_token_cosine("documents") + """
+    WITH """ + _DUCK_DOC_SUB + """,
+    """ + _duck_token_cosine("sub") + """
     SELECT dots.a, dots.b,
            round(dots.dot / (na.nn * nb.nn), 6) AS cos_exact,
            TRUE AS est_within_bound
@@ -1142,10 +1148,16 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bound a deterministic regression pin).  Exact cosines use "
         "integer dot products (engine-identical), so the oracle "
         "recomputes them relationally; a projection or bit-packing "
-        "regression flips the boolean and breaks the driver hash.  The "
-        "all-pairs token join here is the fixture-scale verify form — "
-        "at 100 TB the candidate set comes from the banded SimHash "
-        "buckets (dedup_simhash) and this check is its verify stage.",
+        "regression flips the boolean and breaks the driver hash.  r8: "
+        "the truth leg runs on the deterministic md5 audit subset (a "
+        "doc's simhash depends only on its own tokens, so subsetting "
+        "changes nothing about the estimator) — the all-pairs token "
+        "join was this query's one super-linear stage, measured 104 s "
+        "of Spark time at sf0.1, and the audit subset pins the "
+        "identical per-pair contract at O(1) cost at ANY corpus size "
+        "(~5 s); at 100 TB the candidate set comes from the banded "
+        "SimHash buckets (dedup_simhash) and this check is its verify "
+        "stage.",
 )
 def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
@@ -1153,10 +1165,12 @@ def q_dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    sub = _md5_audit_subset(docs, n, id_col="doc_id")
     # exact truth leg: the shared token-cosine pipeline (one Spark
     # implementation, one SQL twin — see _token_cosine_pairs)
-    pairs = _token_cosine_pairs(docs, min_cosine=0.9)
-    sh = simhash(docs, "doc_id", "text")
+    pairs = _token_cosine_pairs(sub, min_cosine=0.9)
+    sh = simhash(sub, "doc_id", "text")
     sa = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_ha"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_hb"))
     hd = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
