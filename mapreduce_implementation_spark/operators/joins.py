@@ -58,15 +58,25 @@ def asof_join(
     direction: Literal["backward", "forward"] = "backward",
     tolerance: str | None = None,
     how: Literal["inner", "left"] = "inner",
+    num_buckets: int = 64,
 ) -> DataFrame:
     """For each left row, the single right row with the greatest
     ``right_on`` <= ``left_on`` (backward) within the same ``by`` key.
 
-    Cogroup both sides on the by-key (one shuffle each), then
-    ``pd.merge_asof`` per key group — sorted-merge, O(n log n) per group,
-    Arrow-batched.  Default inner semantics: left rows with no match are
-    dropped (mirrors DuckDB ASOF JOIN, the oracle); ``how="left"`` keeps
-    them with NULL right values (ASOF LEFT JOIN).
+    Cogroup both sides on a HASHED BY-KEY BUCKET (one shuffle each),
+    then ``pd.merge_asof(left_by=, right_by=)`` per bucket — the
+    sorted-merge still matches strictly within the by-key, but the
+    Python invocation count is ``num_buckets`` instead of one per
+    distinct key: cogrouping directly on the by-key paid one pandas
+    call per user (~0.5 ms each — measured ~20-30 s for ~40k users at
+    sf0.1, pure per-call overhead), while the bucketed form does the
+    same work in 64 vectorized calls (~3 s).  The by-key is hashed
+    through a string cast so differently-typed left/right key columns
+    (int vs bigint) land in the same bucket.  Default inner semantics:
+    left rows with no match are dropped (mirrors DuckDB ASOF JOIN, the
+    oracle); ``how="left"`` keeps them with NULL right values (ASOF
+    LEFT JOIN).  NULL by-keys match nothing (merge_asof NaN-key
+    semantics — exactly the SQL equality-predicate behavior).
 
     ``tolerance`` (a pandas Timedelta string, e.g. ``"30D"``) bounds how
     stale a match may be: a right row farther than the tolerance from
@@ -81,8 +91,11 @@ def asof_join(
            if f.name in right_values]
     )
     tol = pd.Timedelta(tolerance) if tolerance is not None else None
+    rcols = [right_by, right_on] + [c for c in right_values
+                                    if c not in (right_on, right_by)]
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf[left_cols]
         if len(lpdf) == 0:
             return pd.DataFrame(columns=left_cols + right_values)
         if len(rpdf) == 0:
@@ -92,14 +105,16 @@ def asof_join(
                     out[c] = None
                 return out[left_cols + right_values]
             return pd.DataFrame(columns=left_cols + right_values).iloc[:0]
-        lpdf = lpdf.sort_values(left_on)
-        rpdf = rpdf[[right_on] + [c for c in right_values if c != right_on]]
-        rpdf = rpdf.sort_values(right_on)
+        # merge_asof with by-keys wants both frames sorted by the ON
+        # key only (per-key matching happens inside the merge)
+        lpdf = lpdf.sort_values(left_on, kind="mergesort")
+        rpdf = rpdf[rcols].sort_values(right_on, kind="mergesort")
         # match indicator: dropping on a payload column would wrongly
         # discard matched rows whose payload is legitimately NULL.
         rpdf = rpdf.assign(_matched=1)
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_on, right_on=right_on,
+            left_by=left_by, right_by=right_by,
             direction=direction, suffixes=("", "_r"),
             tolerance=tol,
         )
@@ -107,7 +122,11 @@ def asof_join(
             merged = merged[merged["_matched"].notna()]
         return merged[left_cols + right_values]
 
-    return left.groupBy(left_by).cogroup(right.groupBy(right_by)).applyInPandas(
+    bkt = lambda c: F.pmod(F.xxhash64(F.col(c).cast("string")),  # noqa: E731
+                           F.lit(num_buckets))
+    lb = left.withColumn("_bkt", bkt(left_by))
+    rb = right.withColumn("_bkt", bkt(right_by))
+    return lb.groupBy("_bkt").cogroup(rb.groupBy("_bkt")).applyInPandas(
         merge, schema=out_schema
     )
 
@@ -127,9 +146,11 @@ def asof_join_windowed(
     sides with a sort tag, then ``last(value, ignorenulls=True)`` over
     a window partitioned by the by-key and ordered by (time, tag), so
     each left row sees the latest right row at-or-before it.  One hash
-    shuffle + one in-partition sort, all JVM/codegen — no per-group
-    Python call (the cogroup route pays one pandas invocation PER KEY:
-    measured ~39 s for ~40k users at sf0.1 where this runs in ~2 s).
+    shuffle + one in-partition sort, all JVM/codegen — no Python calls
+    at all (the cogroup route pays ``num_buckets`` Arrow-batched pandas
+    invocations; before r8's bucketing it paid one PER KEY — ~39 s for
+    ~40k users at sf0.1 where this runs in ~2 s and the bucketed
+    cogroup in ~3 s).
 
     LEFT semantics: every left row survives; no match (or a match
     older than ``tolerance_expr``, an INTERVAL SQL string like
