@@ -496,11 +496,18 @@ def q_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("p_name").alias("name_a"))
     b = p.select(F.col("p_partkey").alias("b"), F.col("p_brand").alias("brand"),
                  F.col("p_name").alias("name_b"))
-    dist = F.levenshtein("name_a", "name_b")
+    # threshold form (Spark 3.5+): banded DP, O(len*k) per pair with
+    # early exit, returns -1 past the bound — exact distance for every
+    # kept pair, so the output (and the oracle) are unchanged.  The
+    # length-difference prefilter is pure codegen and skips the DP
+    # entirely when |len a - len b| alone exceeds the bound.  Measured
+    # 7.5 -> 5.1 s at sf0.1 on the ~8M brand-blocked pairs.
+    dist = F.levenshtein("name_a", "name_b", 2)
     return (
         a.join(b, "brand")
         .filter(F.col("a") < F.col("b"))
-        .filter(dist <= 2)
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .filter(dist >= 0)
         .select("a", "b", dist.alias("dist"))
     )
 
