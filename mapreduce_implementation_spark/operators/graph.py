@@ -298,12 +298,16 @@ def _pagerank_dense(e: DataFrame, n1: DataFrame, cnt: DataFrame,
                     F.coalesce("_s_dst", F.lit(0.0)).alias("_s_dst"))
             .groupBy(F.lit(1).alias("_g"))
             .applyInPandas(solve, "v bigint, r double"))
-        return (n1.join(rs, "v", "left")
-                .join(scored, "v", "left")
+        # rs is node-complete by construction (pagerank() builds it as
+        # n1 LEFT JOIN reset with a 0.0 coalesce), so the densify joins
+        # the isolated-node closed form straight off rs — re-joining n1
+        # would be a third tiny-frame join per query for nothing (r8
+        # VERDICT item 4: seed-build overhead).
+        return (rs.join(scored, "v", "left")
                 .select("v", F.coalesce(
                     F.col("r"),
                     (F.lit(1.0) - F.lit(damping))
-                    * F.coalesce(F.col("_rs"), F.lit(0.0))).alias("r")))
+                    * F.col("_rs")).alias("r")))
     scored = (e.crossJoin(F.broadcast(cnt))
               .groupBy(F.lit(1).alias("_g"))
               .applyInPandas(solve, "v bigint, r double"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Literal
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -72,11 +73,17 @@ def asof_join(
     sf0.1, pure per-call overhead), while the bucketed form does the
     same work in 64 vectorized calls (~3 s).  The by-key is hashed
     through a string cast so differently-typed left/right key columns
-    (int vs bigint) land in the same bucket.  Default inner semantics:
-    left rows with no match are dropped (mirrors DuckDB ASOF JOIN, the
-    oracle); ``how="left"`` keeps them with NULL right values (ASOF
-    LEFT JOIN).  NULL by-keys match nothing (merge_asof NaN-key
-    semantics — exactly the SQL equality-predicate behavior).
+    (int vs bigint) land in the same bucket, and inside each bucket the
+    by-keys are promoted to a common dtype before ``merge_asof`` (which
+    rejects mismatched by-key dtypes) — ``np.promote_types``, string
+    fallback for non-numeric pairs.  Default inner semantics: left rows
+    with no match are dropped (mirrors DuckDB ASOF JOIN, the oracle);
+    ``how="left"`` keeps them with NULL right values (ASOF LEFT JOIN).
+    NULL by-keys match nothing, enforced EXPLICITLY with Spark-side
+    null filters (r8 ADVICE: pandas factorizes NaN by-keys as equal to
+    each other, which would diverge from SQL equality semantics):
+    null-by right rows are dropped, null-by left rows are dropped for
+    ``inner`` and flow through matchless (NULL payload) for ``left``.
 
     ``tolerance`` (a pandas Timedelta string, e.g. ``"30D"``) bounds how
     stale a match may be: a right row farther than the tolerance from
@@ -109,18 +116,42 @@ def asof_join(
         # key only (per-key matching happens inside the merge)
         lpdf = lpdf.sort_values(left_on, kind="mergesort")
         rpdf = rpdf[rcols].sort_values(right_on, kind="mergesort")
+        lby, rby = left_by, right_by
+        if lpdf[left_by].dtype != rpdf[right_by].dtype:
+            # merge_asof validates by-key dtypes (int32 vs int64 raises
+            # MergeError) — promote both to a common dtype first.
+            try:
+                common = np.promote_types(lpdf[left_by].dtype,
+                                          rpdf[right_by].dtype)
+                lkey, rkey = (lpdf[left_by].astype(common),
+                              rpdf[right_by].astype(common))
+            except TypeError:
+                lkey, rkey = (lpdf[left_by].astype(str),
+                              rpdf[right_by].astype(str))
+            lpdf = lpdf.assign(_by=lkey)
+            rpdf = rpdf.assign(_by=rkey)
+            lby = rby = "_by"
         # match indicator: dropping on a payload column would wrongly
         # discard matched rows whose payload is legitimately NULL.
         rpdf = rpdf.assign(_matched=1)
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_on, right_on=right_on,
-            left_by=left_by, right_by=right_by,
+            left_by=lby, right_by=rby,
             direction=direction, suffixes=("", "_r"),
             tolerance=tol,
         )
         if how == "inner":
             merged = merged[merged["_matched"].notna()]
         return merged[left_cols + right_values]
+
+    # NULL by-keys match nothing (SQL equality semantics) — enforce
+    # before the cogroup; pandas would factorize NaN keys as equal.
+    right = right.filter(F.col(right_by).isNotNull())
+    if how == "inner":
+        left = left.filter(F.col(left_by).isNotNull())
+    # (for how="left", null-by left rows flow through the merge
+    # matchless — the right side has no null keys left to pair with —
+    # and keep their NULL payload.)
 
     bkt = lambda c: F.pmod(F.xxhash64(F.col(c).cast("string")),  # noqa: E731
                            F.lit(num_buckets))

@@ -62,12 +62,24 @@ def _coverage_flag(universe: DataFrame, found: DataFrame, keys: list[str],
                    frac: float, out: str) -> DataFrame:
     """1-row boolean frame: the approximate path ``found`` covers at
     least ``ceil(frac * |universe|)`` of the audit ``universe`` rows —
-    the in-query recall/drop-recall bound of the bounded hash oracles."""
-    marked = universe.join(found.withColumn("_f", F.lit(1)), keys, "left")
-    stats = marked.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.coalesce(F.sum("_f"), F.lit(0)).alias("_h"))
-    return stats.select(
+    the in-query recall/drop-recall bound of the bounded hash oracles.
+
+    Counted via LEFT SEMI join so the bound is duplicate-insensitive by
+    construction (r8 ADVICE: a left join would inflate ``_n``/``_h``
+    for universe rows matched by duplicate candidate rows, and
+    correctness must not depend on every caller remembering its own
+    ``.distinct()``).  Join shape: semi-join ``found`` against the
+    BROADCAST O(1) audit ``universe`` (left_semi builds right, so the
+    tiny side is the build side), which filters the full-corpus
+    candidate stream map-side — no shuffle of the candidate set at any
+    scale — then a distinct+count over the surviving handful of keys.
+    ``universe`` callers pass key-distinct frames (groupBy outputs), so
+    distinct matched keys == matched universe rows."""
+    hits = (found.join(F.broadcast(universe.select(*keys)), keys, "left_semi")
+            .select(*keys).distinct()
+            .agg(F.count(F.lit(1)).alias("_h")))
+    tot = universe.agg(F.count(F.lit(1)).alias("_n"))
+    return tot.crossJoin(hits).select(
         (F.col("_h") >= F.ceil(F.lit(frac) * F.col("_n"))).alias(out))
 
 
@@ -80,7 +92,16 @@ def _with_flag_sentinel(pairs: DataFrame, flag: DataFrame,
     oracle vacuously and a broken candidate generator would pass the
     driver gate (r8 code-review finding).  The sentinel makes the flag
     itself part of the hashed surface at every scale; the SQL twins
-    append the same row with a literal TRUE."""
+    append the same row with a literal TRUE.
+
+    ``flag`` is persisted here because it has TWO consumers (the
+    broadcast cross-join and the sentinel row) and its lineage contains
+    the FULL-CORPUS candidate pipeline — without the persist that
+    pipeline executes twice per query (measured: dedup_minhash_lsh
+    9.9 s -> ~7 s warm at sf0.1, the r8 bench-gap root cause)."""
+    from ..operators.caching import tracked_persist
+
+    flag = tracked_persist(flag)
     sent = flag.select(
         F.lit(-1).cast(pairs.schema["a"].dataType).alias("a"),
         F.lit(-1).cast(pairs.schema["b"].dataType).alias("b"),

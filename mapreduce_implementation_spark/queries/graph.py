@@ -641,15 +641,17 @@ def q_graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("w"))
     )
     nodes = n.select(F.col("n_nationkey").alias("v"))
-    seeds = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-             .where(F.col("r_name") == "ASIA")
-             .select(F.col("n_nationkey").alias("v")))
-    sc = seeds.agg(F.count(F.lit(1)).cast("double").alias("_c"))
-    reset = (nodes.join(seeds.withColumn("_seed", F.lit(1)), "v", "left")
-             .crossJoin(F.broadcast(sc))
-             .select("v", F.when(F.col("_seed").isNotNull(),
-                                 F.lit(1.0) / F.col("_c"))
-                           .otherwise(F.lit(0.0)).alias("s")))
+    # one nation-x-region pass tags every node with its seed flag, so
+    # the reset distribution needs one broadcast join + one 1-row agg
+    # instead of a seeds frame joined back onto nodes (r8 VERDICT item
+    # 4: the seed build was the measured gap vs global pagerank)
+    tagged = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .select(F.col("n_nationkey").alias("v"),
+                      (F.col("r_name") == "ASIA")
+                      .cast("double").alias("_seed")))
+    sc = tagged.agg(F.sum("_seed").alias("_c"))
+    reset = (tagged.crossJoin(F.broadcast(sc))
+             .select("v", (F.col("_seed") / F.col("_c")).alias("s")))
     ranks = pagerank(edges, nodes, iters=_ITERS, damping=_D, reset=reset)
     return ranks.select(F.col("v").cast("int").alias("nationkey"),
                         F.round("r", 6).alias("ppr"))

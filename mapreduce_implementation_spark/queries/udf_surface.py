@@ -117,22 +117,29 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orders,
            round(sqrt(avg(o_totalprice * o_totalprice)), 2) AS rms_spend
     FROM orders
+    WHERE o_custkey % 10 = 7
     GROUP BY o_custkey
     """,
     doc="Grouped-aggregate Pandas UDFs (GROUPED_AGG — the O13 UDAF flavor): "
         "per-customer root-mean-square order value + count, both over the "
         "grouped Arrow path; oracle-checked against the pure-SQL equivalent "
-        "so the UDAF transport itself is under test.  NOTE: the Arrow "
-        "per-group transport makes this the suite's slowest query by "
-        "design — the PRODUCTION form of this aggregation is the built-in "
-        "F.sqrt(F.avg(x*x)) (pure codegen, ~10x faster); use GROUPED_AGG "
-        "only for logic no built-in composition can express.",
+        "so the UDAF transport itself is under test.  The input is capped "
+        "to the deterministic o_custkey % 10 = 7 slice (~1/10 of groups, "
+        "pushed-down scan filter on BOTH sides): the GROUPED_AGG cost "
+        "floor is per-group Python-call overhead (~0.3 ms/group, pinned "
+        "in SCALE.md), and paying ~30k groups every bench round just to "
+        "re-measure a documented floor bought no signal (r8 VERDICT item "
+        "3) — ~3k groups pins the same Arrow transport at <5% of suite "
+        "time.  NOTE: the PRODUCTION form of this aggregation is the "
+        "built-in F.sqrt(F.avg(x*x)) (pure codegen, ~10x faster); use "
+        "GROUPED_AGG only for logic no built-in composition can express.",
 )
 def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rms, pd_count = _make_grouped_agg_udfs()
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.groupBy("o_custkey")
+        o.filter(F.col("o_custkey") % 10 == 7)
+        .groupBy("o_custkey")
         .agg(pd_count(F.col("o_orderkey")).alias("n_orders"),
              F.round(rms(F.col("o_totalprice")), 2).alias("rms_spend"))
     )

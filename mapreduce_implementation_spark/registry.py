@@ -72,48 +72,49 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Driver-sample rotation: the driver records exactly 50 queries per
-# round in registry iteration order.  Round-8 policy (VERDICT r07 item
-# 1): registrations stay FROZEN and the 50-slot window goes to the
-# stale tail — all 40 queries whose latest driver row dates from r03,
-# then 10 priority picks: the two r8 graduations (dedup_minhash_lsh /
-# dedup_simhash — rows-only until now, their new bounded hash oracles
-# need driver-green rows), the two r04-stale graph queries whose
-# operators the r8 ADVICE fixes touched (label_propagation — now
-# integral-weight-gated with bigint caller weights — and
-# bfs_distances), graph_personalized_pagerank (r06 row, but its dense
-# Arrow fast path is NEW this round — the driver must hash-check the
-# code that actually runs), and the 5 alphabetically-first remaining
-# r04-stale queries.  After this round no query's latest driver row
-# predates r04; the remaining 38 r04 rows rotate in r9, which closes
-# the staleness debt entirely.
+# round in registry iteration order.  Registrations stay FROZEN; only
+# this sample-order tuple moves each round.
+#
+# Round-9 policy (VERDICT r08 item 1): the window takes the stale
+# tail — all 38 queries whose latest driver row dates from r04, plus
+# the 12 alphabetically-first queries from the r05 block to fill the
+# 50 slots.  After this round no query's latest driver row predates
+# r05, which closes the systematic staleness debt entirely.
+#
+# Steady-state cadence from r10 on (VERDICT r08 item 7): each round the
+# window takes the ~50 queries whose latest driver row is OLDEST,
+# breaking ties alphabetically.  With 234 registered queries and 50
+# slots per round, every query gets a fresh driver row at least once
+# every ceil(234/50) = 5 rounds, so freshness debt can never
+# re-accumulate.  Pre-written r10 window: the 37 remaining r05-row
+# queries (the r05 block minus the 12 rotated here), then the 13
+# alphabetically-first r06-row queries.  Recompute per round as
+#   latest[q] = max round over CORRECTNESS_r0*.json containing q;
+#   window = sorted(queries, key=(latest[q], q))[:50].
 _SAMPLE_FIRST = (
-    # --- stale, latest driver row r03 ---
-    "agg_tpch_q6_forecast", "dedup_chunk_signature",
-    "dedup_incremental_batch", "dedup_incremental_stored_grams",
-    "dedup_semantic_blocked", "dedup_span_rebuild", "embedding_centroids",
-    "graph_triangle_count", "histogram_totalprice",
-    "inference_scores_batched", "join_tpch_q10_shape",
-    "join_tpch_q15_shape", "join_tpch_q19_shape", "join_tpch_q3_shape",
-    "join_tpch_q7_shape", "join_tpch_q9_shape", "lateral_explode_outer",
-    "map_type_surface", "nested_struct_array_agg", "pagination_offset",
-    "pii_mask_digits", "pipeline_curation_stats", "profile_columns",
-    "sample_hash_pct", "sample_stratified", "set_except_all",
-    "similarity_quantized_topk", "skew_join_salted",
-    "source_csv_roundtrip", "source_jsonl_events",
-    "source_mixing_weights", "source_orc_roundtrip",
-    "streaks_gaps_islands", "string_similarity_levenshtein",
-    "text_quality_classifier", "text_quality_score", "text_token_entropy",
-    "text_token_stats", "text_top_terms_per_lang",
-    "unpivot_lineitem_measures",
-    # --- r8 graduations: fresh hash rows for the new oracles ---
-    "dedup_minhash_lsh", "dedup_simhash",
-    # --- r04-stale graph queries whose operators changed this round ---
-    "graph_label_propagation", "graph_bfs_distances",
-    # --- new dense path this round: driver must check the live code ---
-    "graph_personalized_pagerank",
-    # --- alphabetical head of the remaining r04-stale block ---
-    "agg_approx_stats", "agg_hll_distinct", "anomaly_daily_mad",
-    "basket_lift_pairs", "cdc_merge_upsert",
+    # --- stale, latest driver row r04 (all 38) ---
+    "corpus_overlap_sources", "dedup_containment_overlap",
+    "dedup_minhash_estimate", "dedup_simhash_estimate",
+    "dedup_source_stats", "dq_rule_report", "events_markov_transitions",
+    "join_tpch_q12_shape", "join_tpch_q14_shape", "join_tpch_q8_shape",
+    "json_extract_events", "multimodal_audio_rms",
+    "multimodal_decode_png", "multimodal_image_dhash_pairs",
+    "pattern_sequence_detect", "pipeline_corpus_build",
+    "retrieval_rrf_fusion", "scd2_point_in_time_join",
+    "set_intersect_all", "similarity_maxsim_multivector",
+    "sketch_countmin_stopwords", "sketch_hll_rollup",
+    "source_python_datasource", "split_train_valid_hash",
+    "sql_recursive_cte_chain", "subq_tpch_q11_shape",
+    "subq_tpch_q16_shape", "subq_tpch_q17_shape", "subq_tpch_q20_shape",
+    "subq_tpch_q21_shape", "subq_tpch_q2_shape", "text_chunk_overlap",
+    "text_collocations_llr", "text_fingerprint", "text_lang_id",
+    "text_tfidf_top3", "timeseries_ewma_daily", "variant_json_surface",
+    # --- alphabetical head of the r05 block (12 fillers) ---
+    "agg_regression_price_qty", "agg_skew_kurtosis", "agg_trimmed_mean",
+    "agg_weighted_median", "agg_weighted_median_by_flag",
+    "cohort_retention", "corpus_length_quantiles_by_source",
+    "corpus_quality_deciles_by_source", "corpus_source_topp",
+    "dedup_embedding_lsh", "funnel_conversion", "graph_pagerank_trade",
 )
 
 

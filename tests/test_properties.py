@@ -514,6 +514,46 @@ def test_asof_join_tolerance_and_left_semantics(spark):
     assert got == {1: "2024-03-08 00:00:00", 2: None, 3: None}
 
 
+def test_asof_join_mixed_dtype_by_keys(spark):
+    """int vs bigint by-keys must work end-to-end (r8 ADVICE: the hash
+    bucketing co-located them but pd.merge_asof rejects mismatched
+    by-key dtypes) — the common-dtype promotion inside the cogroup
+    makes the documented claim true."""
+    from mapreduce_implementation_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 50), (3, 20, 100)],
+        "id long, user int, ts long")
+    right = spark.createDataFrame(
+        [(10, 90), (10, 40), (20, 200)], "user long, ots long")
+    out = asof_join(left, right, left_on="ts", right_on="ots",
+                    left_by="user", right_by="user",
+                    right_values=["ots"], how="left")
+    got = {r["id"]: r["ots"] for r in out.collect()}
+    assert got == {1: 90, 2: 40, 3: None}
+
+
+def test_asof_join_null_by_keys_match_nothing(spark):
+    """NULL by-keys follow SQL equality semantics (r8 ADVICE: pandas
+    factorizes NaN keys as equal, so null-left would wrongly match
+    null-right): inner drops null-by left rows; left keeps them with a
+    NULL payload; null-by right rows never match anyone."""
+    from mapreduce_implementation_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, None, 100)], "id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(10, 90), (None, 50)], "user long, ots long")
+    args = dict(left_on="ts", right_on="ots", left_by="user",
+                right_by="user", right_values=["ots"])
+    inner = {r["id"]: r["ots"]
+             for r in asof_join(left, right, how="inner", **args).collect()}
+    assert inner == {1: 90}
+    left_out = {r["id"]: r["ots"]
+                for r in asof_join(left, right, how="left", **args).collect()}
+    assert left_out == {1: 90, 2: None}
+
+
 # --- salted two-phase top-k == plain keyed-window top-k ---------------------
 
 @settings(max_examples=10, deadline=None)
