@@ -635,3 +635,54 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
                     F.round("sq_ratio", 6).alias("sq_ratio"),
                     F.round("msr", 6).alias("mean_sq_ratio"),
                     F.col("msr").between(0.7, 1.4).alias("jl_mean_ok")))
+
+
+@register(
+    "embedding_outlier_zscore",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    st AS (
+      SELECT dim, avg(v) AS mu, stddev_pop(v) AS sigma FROM e GROUP BY dim
+    ),
+    d AS (
+      SELECT e.vec_id, sum(pow((e.v - st.mu) / st.sigma, 2)) AS d2
+      FROM e JOIN st USING (dim) GROUP BY 1
+    )
+    SELECT vec_id,
+           CAST(round(CAST(d2 AS DECIMAL(28,6)), 2) AS DOUBLE) AS z2
+    FROM d
+    ORDER BY CAST(d2 AS DECIMAL(28,6)) DESC, vec_id
+    LIMIT 20
+    """,
+    doc="Embedding-space outlier detection (diagonal-covariance "
+        "Mahalanobis, i.e. summed per-dimension z-scores): the standard "
+        "curation filter for corrupt/degenerate vectors before they "
+        "poison ANN indexes or dedup thresholds.  Plan: posexplode -> "
+        "per-dim mean/stddev_pop groupBy (64 reduce rows at ANY corpus "
+        "size, pure map-side combine) -> the 64-row stats frame "
+        "broadcast back onto the exploded stream -> per-vector sum -> "
+        "TakeOrdered top-20.  Two partial-aggregable shuffles and one "
+        "broadcast, nothing driver-side — the 100 TB plan is identical. "
+        "A zero-variance dimension contributes nothing on both engines "
+        "(F.try_divide NULL == DuckDB x/0.0 NULL, both sums skip "
+        "NULLs); selection orders by the 6-decimal-quantized distance "
+        "with a vec_id tiebreak so the top-20 row SET is engine-stable "
+        "(registry rounding convention).",
+)
+def q_embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+         .select("vec_id", "dim", F.col("v").cast("double").alias("v")))
+    st = (e.groupBy("dim")
+          .agg(F.avg("v").alias("mu"), F.stddev_pop("v").alias("sigma")))
+    z = F.try_divide(F.col("v") - F.col("mu"), F.col("sigma"))
+    d = (e.join(F.broadcast(st), "dim")
+         .groupBy("vec_id")
+         .agg(F.sum(F.pow(z, F.lit(2))).alias("d2")))
+    return (d.orderBy(F.round("d2", 6).desc(), F.col("vec_id"))
+            .limit(20)
+            .select("vec_id", F.round(F.round("d2", 6), 2).alias("z2")))

@@ -76,21 +76,27 @@ _LOADED = False
 # this sample-order tuple moves each round.
 #
 # Round-9 policy (VERDICT r08 item 1): the window takes the stale
-# tail — all 38 queries whose latest driver row dates from r04, plus
-# the 12 alphabetically-first queries from the r05 block to fill the
-# 50 slots.  After this round no query's latest driver row predates
-# r05, which closes the systematic staleness debt entirely.
+# tail — all 38 queries whose latest driver row dates from r04, the
+# one NEW r9 registration (no driver row at all, so stalest of all),
+# plus the 11 alphabetically-first queries from the r05 block to fill
+# the 50 slots.  After this round no query's latest driver row
+# predates r05, which closes the systematic staleness debt entirely.
 #
 # Steady-state cadence from r10 on (VERDICT r08 item 7): each round the
 # window takes the ~50 queries whose latest driver row is OLDEST,
-# breaking ties alphabetically.  With 234 registered queries and 50
-# slots per round, every query gets a fresh driver row at least once
-# every ceil(234/50) = 5 rounds, so freshness debt can never
-# re-accumulate.  Pre-written r10 window: the 37 remaining r05-row
-# queries (the r05 block minus the 12 rotated here), then the 13
-# alphabetically-first r06-row queries.  Recompute per round as
+# breaking ties alphabetically (new registrations have no row and sort
+# first).  With 235 registered queries and 50 slots per round, every
+# query gets a fresh driver row at least once every ceil(235/50) = 5
+# rounds, so freshness debt can never re-accumulate.  Pre-written r10
+# window: the 38 remaining r05-row queries (the r05 block minus the 11
+# rotated here), then the 12 alphabetically-first r06-row queries.
+# Recompute per round as
 #   latest[q] = max round over CORRECTNESS_r0*.json containing q;
 #   window = sorted(queries, key=(latest[q], q))[:50].
+# Machine-checked: tests/test_properties.py::
+# test_sample_window_is_the_stalest_fifty recomputes the window from
+# the checked-in CORRECTNESS files and fails once a new round's file
+# lands — fixing it IS the rotation step.
 _SAMPLE_FIRST = (
     # --- stale, latest driver row r04 (all 38) ---
     "corpus_overlap_sources", "dedup_containment_overlap",
@@ -109,12 +115,14 @@ _SAMPLE_FIRST = (
     "subq_tpch_q21_shape", "subq_tpch_q2_shape", "text_chunk_overlap",
     "text_collocations_llr", "text_fingerprint", "text_lang_id",
     "text_tfidf_top3", "timeseries_ewma_daily", "variant_json_surface",
-    # --- alphabetical head of the r05 block (12 fillers) ---
+    # --- NEW registration this round (no driver row yet => stalest) ---
+    "embedding_outlier_zscore",
+    # --- alphabetical head of the r05 block (11 fillers) ---
     "agg_regression_price_qty", "agg_skew_kurtosis", "agg_trimmed_mean",
     "agg_weighted_median", "agg_weighted_median_by_flag",
     "cohort_retention", "corpus_length_quantiles_by_source",
     "corpus_quality_deciles_by_source", "corpus_source_topp",
-    "dedup_embedding_lsh", "funnel_conversion", "graph_pagerank_trade",
+    "dedup_embedding_lsh", "funnel_conversion",
 )
 
 

@@ -123,6 +123,7 @@ _REPRESENTATIVES = [
     "stats_ks_two_sample",         # KS over two empty samples
     "agg_geometric_harmonic_means",# log-space means of nothing
     "scalar_url_functions",        # parse_url over zero docs
+    "embedding_outlier_zscore",    # z-score outliers over zero vectors
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
