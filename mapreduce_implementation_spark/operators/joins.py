@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import Literal
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -74,9 +73,17 @@ def asof_join(
     same work in 64 vectorized calls (~3 s).  The by-key is hashed
     through a string cast so differently-typed left/right key columns
     (int vs bigint) land in the same bucket, and inside each bucket the
-    by-keys are promoted to a common dtype before ``merge_asof`` (which
-    rejects mismatched by-key dtypes) — ``np.promote_types``, string
-    fallback for non-numeric pairs.  Default inner semantics: left rows
+    by-keys are normalized to a common dtype before ``merge_asof``
+    (which rejects mismatched by-key dtypes).  The target comes from
+    the SPARK schema types, not the per-batch pandas dtypes (Arrow
+    hands an integral column with NULLs to pandas as float64, so the
+    pandas dtypes lie): both-integral -> nullable Int64 (EXACT at any
+    magnitude — never the float64 that would alias keys above 2^53);
+    integral/float mixes -> float64, which is exactly Spark/DuckDB's
+    own cast for a bigint=double equality predicate; anything else ->
+    string-representation equality (the documented fallback; note
+    '10.0' vs 10 do NOT match there, unlike SQL's numeric cast).
+    Default inner semantics: left rows
     with no match are dropped (mirrors DuckDB ASOF JOIN, the oracle);
     ``how="left"`` keeps them with NULL right values (ASOF LEFT JOIN).
     NULL by-keys match nothing, enforced EXPLICITLY with Spark-side
@@ -91,7 +98,27 @@ def asof_join(
     idiom (a quote older than the staleness budget must not price a
     trade).  Requires datetime/numeric ``on`` keys, like merge_asof.
     """
+    from pyspark.sql import types as T
+
     left_cols = left.columns
+    # common by-key dtype, decided ONCE from the Spark types (see
+    # docstring): None means "only normalize if the per-batch pandas
+    # dtypes disagree" (same Spark type; Arrow may still float64 one
+    # side when it holds NULLs)
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    numeric = integral + (T.FloatType, T.DoubleType, T.DecimalType)
+    lt = left.schema[left_by].dataType
+    rt = right.schema[right_by].dataType
+    if isinstance(lt, integral) and isinstance(rt, integral):
+        by_target = "Int64"   # exact; NaN/NA from NULLs matches nothing
+    elif isinstance(lt, numeric) and isinstance(rt, numeric):
+        by_target = "float64"  # SQL's own bigint=double cast semantics
+    else:
+        by_target = "str"
+    # temp-column name that cannot shadow caller data
+    by_tmp = "_by"
+    while by_tmp in left.columns or by_tmp in right.columns:
+        by_tmp += "_"
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
         + [f"{f.name} {f.dataType.simpleString()}" for f in right.schema.fields
@@ -119,18 +146,13 @@ def asof_join(
         lby, rby = left_by, right_by
         if lpdf[left_by].dtype != rpdf[right_by].dtype:
             # merge_asof validates by-key dtypes (int32 vs int64 raises
-            # MergeError) — promote both to a common dtype first.
-            try:
-                common = np.promote_types(lpdf[left_by].dtype,
-                                          rpdf[right_by].dtype)
-                lkey, rkey = (lpdf[left_by].astype(common),
-                              rpdf[right_by].astype(common))
-            except TypeError:
-                lkey, rkey = (lpdf[left_by].astype(str),
-                              rpdf[right_by].astype(str))
-            lpdf = lpdf.assign(_by=lkey)
-            rpdf = rpdf.assign(_by=rkey)
-            lby = rby = "_by"
+            # MergeError) — normalize both to the Spark-schema-derived
+            # target.  `str` maps NULLs (None/NaN) to distinct-looking
+            # strings only on the left (right nulls are filtered
+            # upstream), where they match nothing either way.
+            lpdf = lpdf.assign(**{by_tmp: lpdf[left_by].astype(by_target)})
+            rpdf = rpdf.assign(**{by_tmp: rpdf[right_by].astype(by_target)})
+            lby = rby = by_tmp
         # match indicator: dropping on a payload column would wrongly
         # discard matched rows whose payload is legitimately NULL.
         rpdf = rpdf.assign(_matched=1)

@@ -99,6 +99,10 @@ PIPELINES = [
     # expect near-flat exponents dominated by the fact-join edge build)
     "graph_hits_trade",
     "graph_pagerank_trade",
+    # round-9: diagonal-Mahalanobis embedding outliers (posexplode ->
+    # 64-row stats broadcast -> per-vector sum -> TakeOrdered top-20;
+    # expect exponent ~linear on the explode, flat reduce state)
+    "embedding_outlier_zscore",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -569,6 +569,53 @@ def test_asof_join_mixed_dtype_by_keys(spark):
     assert got == {1: 90, 2: 40, 3: None}
 
 
+def test_asof_join_dtype_normalization_edges(spark):
+    """The three r9-review failure modes of by-key dtype handling:
+    (a) string-vs-bigint by-keys actually match via the documented
+    string fallback (np.promote_types(object, int64) never raises, so
+    the old except-TypeError fallback was unreachable and such joins
+    silently emptied); (b) integral by-keys stay EXACT above 2^53 even
+    when a NULL on the how='left' side makes Arrow deliver the batch
+    key as float64 (the old np.promote_types picked float64, aliasing
+    2^53+1 onto 2^53); (c) a caller column literally named '_by'
+    survives the normalization untouched."""
+    from mapreduce_implementation_spark.operators.joins import asof_join
+
+    # (a) string left key vs bigint right key
+    left = spark.createDataFrame(
+        [(1, "10", 100)], "id long, user string, ts long")
+    right = spark.createDataFrame([(10, 90)], "user long, ots long")
+    got = {r["id"]: r["ots"]
+           for r in asof_join(left, right, left_on="ts", right_on="ots",
+                              left_by="user", right_by="user",
+                              right_values=["ots"]).collect()}
+    assert got == {1: 90}
+
+    # (b) 2^53 + 1 must not alias onto 2^53; int right key vs bigint
+    # left key that carries a NULL (how='left' keeps it => Arrow gives
+    # the pandas batch a float64 key unless normalized via Int64)
+    big, nxt = 2**53, 2**53 + 1
+    left = spark.createDataFrame(
+        [(1, big, 100), (2, nxt, 100), (3, None, 100)],
+        "id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(big, 90), (nxt, 77)], "user long, ots long")
+    out = asof_join(left, right, left_on="ts", right_on="ots",
+                    left_by="user", right_by="user",
+                    right_values=["ots"], how="left")
+    got = {r["id"]: r["ots"] for r in out.collect()}
+    assert got == {1: 90, 2: 77, 3: None}
+
+    # (c) payload column named '_by' is not clobbered
+    left = spark.createDataFrame(
+        [(1, 10, "keepme", 100)], "id long, user int, _by string, ts long")
+    right = spark.createDataFrame([(10, 90)], "user long, ots long")
+    row = asof_join(left, right, left_on="ts", right_on="ots",
+                    left_by="user", right_by="user",
+                    right_values=["ots"]).collect()[0]
+    assert row["_by"] == "keepme" and row["ots"] == 90
+
+
 def test_asof_join_null_by_keys_match_nothing(spark):
     """NULL by-keys follow SQL equality semantics (r8 ADVICE: pandas
     factorizes NaN keys as equal, so null-left would wrongly match
