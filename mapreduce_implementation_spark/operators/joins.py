@@ -71,26 +71,35 @@ def asof_join(
     call per user (~0.5 ms each — measured ~20-30 s for ~40k users at
     sf0.1, pure per-call overhead), while the bucketed form does the
     same work in 64 vectorized calls (~3 s).  The by-key is hashed
-    through a string cast so differently-typed left/right key columns
-    (int vs bigint) land in the same bucket, and inside each bucket the
-    by-keys are normalized to a common dtype before ``merge_asof``
-    (which rejects mismatched by-key dtypes).  The target comes from
-    the SPARK schema types, not the per-batch pandas dtypes (Arrow
-    hands an integral column with NULLs to pandas as float64, so the
-    pandas dtypes lie): both-integral -> nullable Int64 (EXACT at any
-    magnitude — never the float64 that would alias keys above 2^53);
-    integral/float mixes -> float64, which is exactly Spark/DuckDB's
-    own cast for a bigint=double equality predicate; anything else ->
-    string-representation equality (the documented fallback; note
-    '10.0' vs 10 do NOT match there, unlike SQL's numeric cast).
-    Default inner semantics: left rows
-    with no match are dropped (mirrors DuckDB ASOF JOIN, the oracle);
+    through its TYPE-NORMALIZED string form so differently-typed
+    left/right key columns that compare equal land in the same bucket
+    (int 10 and double 10.0 stringify as '10' vs '10.0' raw — the
+    bucket hash casts through the common type first), and inside each
+    bucket the by-keys are normalized to a common dtype before
+    ``merge_asof`` (which rejects mismatched by-key dtypes).  The
+    target comes from the SPARK schema types: both-integral -> nullable Int64 (exact at
+    any magnitude); int/float mixes -> float64, which is exactly
+    Spark/DuckDB's own cast for a bigint=double equality predicate
+    (keys above 2^53 alias there because SQL's double cast does);
+    date/timestamp mixes -> datetime64 (SQL's date->timestamp-midnight
+    cast); a DECIMAL by-key mixed with a different type raises
+    (Spark compares decimal=bigint EXACTLY as decimal — a float64
+    normalization would silently alias high-magnitude keys; cast
+    upstream); anything else -> string-representation equality (the
+    documented fallback; note '10.0' vs 10 do NOT match there, unlike
+    SQL's numeric cast).  Default inner semantics: left rows with no
+    match are dropped (mirrors DuckDB ASOF JOIN, the oracle);
     ``how="left"`` keeps them with NULL right values (ASOF LEFT JOIN).
-    NULL by-keys match nothing, enforced EXPLICITLY with Spark-side
-    null filters (r8 ADVICE: pandas factorizes NaN by-keys as equal to
-    each other, which would diverge from SQL equality semantics):
-    null-by right rows are dropped, null-by left rows are dropped for
-    ``inner`` and flow through matchless (NULL payload) for ``left``.
+    NULL by-keys match nothing, enforced EXPLICITLY Spark-side (r8
+    ADVICE: pandas factorizes NaN by-keys as equal to each other):
+    null-by right rows are dropped, and null-by left rows never enter
+    the cogroup at all — dropped for ``inner``, routed AROUND the
+    pandas stage and unioned back with NULL payload for ``left``.
+    Keeping them out of the batches matters beyond semantics: Arrow
+    hands an integral column WITH NULLS to pandas as float64, which
+    would alias integral keys above 2^53 in the same batch BEFORE any
+    dtype normalization could run (r9 review finding, reproduced at
+    num_buckets=1).
 
     ``tolerance`` (a pandas Timedelta string, e.g. ``"30D"``) bounds how
     stale a match may be: a right row farther than the tolerance from
@@ -102,23 +111,40 @@ def asof_join(
 
     left_cols = left.columns
     # common by-key dtype, decided ONCE from the Spark types (see
-    # docstring): None means "only normalize if the per-batch pandas
-    # dtypes disagree" (same Spark type; Arrow may still float64 one
-    # side when it holds NULLs)
+    # docstring); None = same Spark type on both sides, no
+    # normalization needed (batches are null-free by the routing
+    # below, so the pandas dtypes cannot disagree)
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    numeric = integral + (T.FloatType, T.DoubleType, T.DecimalType)
+    floating = integral + (T.FloatType, T.DoubleType)
+    temporal = (T.DateType, T.TimestampType, T.TimestampNTZType)
     lt = left.schema[left_by].dataType
     rt = right.schema[right_by].dataType
-    if isinstance(lt, integral) and isinstance(rt, integral):
-        by_target = "Int64"   # exact; NaN/NA from NULLs matches nothing
-    elif isinstance(lt, numeric) and isinstance(rt, numeric):
+    if lt == rt:
+        by_target = None
+    elif isinstance(lt, integral) and isinstance(rt, integral):
+        by_target = "Int64"    # exact at any magnitude
+    elif isinstance(lt, T.DecimalType) or isinstance(rt, T.DecimalType):
+        # SQL compares decimal=bigint exactly AS DECIMAL; a float64
+        # normalization would silently alias keys above 2^53 — refuse
+        # loudly instead (r9 review finding 3)
+        raise ValueError(
+            f"asof_join by-keys mix DecimalType with {lt}/{rt}; cast "
+            "both sides to one exact type upstream")
+    elif isinstance(lt, floating) and isinstance(rt, floating):
         by_target = "float64"  # SQL's own bigint=double cast semantics
+    elif isinstance(lt, temporal) and isinstance(rt, temporal):
+        by_target = "datetime64[ns]"  # SQL's date->timestamp cast
     else:
         by_target = "str"
-    # temp-column name that cannot shadow caller data
-    by_tmp = "_by"
-    while by_tmp in left.columns or by_tmp in right.columns:
-        by_tmp += "_"
+    # temp-column names that cannot shadow caller data (r9 review
+    # finding 4: '_bkt'/'_matched' had the same clobber risk '_by' did)
+    def _fresh(base: str) -> str:
+        name = base
+        while name in left.columns or name in right.columns:
+            name += "_"
+        return name
+    by_tmp, bkt_tmp, match_tmp = (_fresh("_by"), _fresh("_bkt"),
+                                  _fresh("_matched"))
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
         + [f"{f.name} {f.dataType.simpleString()}" for f in right.schema.fields
@@ -144,18 +170,17 @@ def asof_join(
         lpdf = lpdf.sort_values(left_on, kind="mergesort")
         rpdf = rpdf[rcols].sort_values(right_on, kind="mergesort")
         lby, rby = left_by, right_by
-        if lpdf[left_by].dtype != rpdf[right_by].dtype:
+        if by_target and lpdf[left_by].dtype != rpdf[right_by].dtype:
             # merge_asof validates by-key dtypes (int32 vs int64 raises
             # MergeError) — normalize both to the Spark-schema-derived
-            # target.  `str` maps NULLs (None/NaN) to distinct-looking
-            # strings only on the left (right nulls are filtered
-            # upstream), where they match nothing either way.
+            # target.  Batches are null-free (Spark-side routing), so
+            # every target cast is total.
             lpdf = lpdf.assign(**{by_tmp: lpdf[left_by].astype(by_target)})
             rpdf = rpdf.assign(**{by_tmp: rpdf[right_by].astype(by_target)})
             lby = rby = by_tmp
         # match indicator: dropping on a payload column would wrongly
         # discard matched rows whose payload is legitimately NULL.
-        rpdf = rpdf.assign(_matched=1)
+        rpdf = rpdf.assign(**{match_tmp: 1})
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_on, right_on=right_on,
             left_by=lby, right_by=rby,
@@ -163,25 +188,43 @@ def asof_join(
             tolerance=tol,
         )
         if how == "inner":
-            merged = merged[merged["_matched"].notna()]
+            merged = merged[merged[match_tmp].notna()]
         return merged[left_cols + right_values]
 
-    # NULL by-keys match nothing (SQL equality semantics) — enforce
-    # before the cogroup; pandas would factorize NaN keys as equal.
+    # NULL by-keys match nothing (SQL equality semantics) and must
+    # never reach a pandas batch (Arrow float64s a null-carrying
+    # integral column, aliasing >2^53 keys in the SAME batch before
+    # any dtype fix could run): drop null-by right rows, and route
+    # null-by left rows around the cogroup — dropped for inner,
+    # unioned back with NULL payload for left.
     right = right.filter(F.col(right_by).isNotNull())
-    if how == "inner":
-        left = left.filter(F.col(left_by).isNotNull())
-    # (for how="left", null-by left rows flow through the merge
-    # matchless — the right side has no null keys left to pair with —
-    # and keep their NULL payload.)
+    null_left = left.filter(F.col(left_by).isNull()) if how == "left" else None
+    left = left.filter(F.col(left_by).isNotNull())
 
-    bkt = lambda c: F.pmod(F.xxhash64(F.col(c).cast("string")),  # noqa: E731
+    # Bucket on the TYPE-NORMALIZED key, not the raw string cast: keys
+    # that the in-batch normalization would equate must land in the
+    # same bucket, and their raw string forms differ exactly when the
+    # Spark types do (int 10 -> '10' vs double 10.0 -> '10.0', date
+    # '2024-03-10' vs timestamp '2024-03-10 00:00:00') — the r9 review
+    # round's date-vs-timestamp test caught the mismatch.
+    _spark_cast = {"Int64": "bigint", "float64": "double",
+                   "datetime64[ns]": "timestamp"}.get(by_target)
+    norm = (lambda c: F.col(c).cast(_spark_cast)) if _spark_cast \
+        else (lambda c: F.col(c))
+    bkt = lambda c: F.pmod(F.xxhash64(norm(c).cast("string")),  # noqa: E731
                            F.lit(num_buckets))
-    lb = left.withColumn("_bkt", bkt(left_by))
-    rb = right.withColumn("_bkt", bkt(right_by))
-    return lb.groupBy("_bkt").cogroup(rb.groupBy("_bkt")).applyInPandas(
+    lb = left.withColumn(bkt_tmp, bkt(left_by))
+    rb = right.withColumn(bkt_tmp, bkt(right_by))
+    out = lb.groupBy(bkt_tmp).cogroup(rb.groupBy(bkt_tmp)).applyInPandas(
         merge, schema=out_schema
     )
+    if null_left is not None:
+        pad = null_left.select(
+            *left_cols,
+            *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+              for c in right_values])
+        out = out.unionByName(pad)
+    return out
 
 
 def asof_join_windowed(

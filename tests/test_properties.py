@@ -570,15 +570,22 @@ def test_asof_join_mixed_dtype_by_keys(spark):
 
 
 def test_asof_join_dtype_normalization_edges(spark):
-    """The three r9-review failure modes of by-key dtype handling:
+    """The r9-review failure modes of by-key dtype handling:
     (a) string-vs-bigint by-keys actually match via the documented
     string fallback (np.promote_types(object, int64) never raises, so
-    the old except-TypeError fallback was unreachable and such joins
-    silently emptied); (b) integral by-keys stay EXACT above 2^53 even
-    when a NULL on the how='left' side makes Arrow deliver the batch
-    key as float64 (the old np.promote_types picked float64, aliasing
-    2^53+1 onto 2^53); (c) a caller column literally named '_by'
-    survives the normalization untouched."""
+    the first draft's except-TypeError fallback was unreachable and
+    such joins silently emptied); (b) integral by-keys stay EXACT
+    above 2^53 even when a NULL by-key row would share the SAME pandas
+    batch (num_buckets=1 forces co-batching — Arrow float64s a
+    null-carrying integral column, so exactness requires the null rows
+    to be routed AROUND the cogroup, not cast after the fact);
+    (c) caller columns literally named '_by'/'_bkt'/'_matched' survive
+    untouched; (d) date-vs-timestamp by-keys match per SQL's
+    date->timestamp-midnight cast; (e) a decimal by-key mixed with a
+    different type refuses loudly instead of aliasing through
+    float64."""
+    import pytest as _pytest
+
     from mapreduce_implementation_spark.operators.joins import asof_join
 
     # (a) string left key vs bigint right key
@@ -591,9 +598,8 @@ def test_asof_join_dtype_normalization_edges(spark):
                               right_values=["ots"]).collect()}
     assert got == {1: 90}
 
-    # (b) 2^53 + 1 must not alias onto 2^53; int right key vs bigint
-    # left key that carries a NULL (how='left' keeps it => Arrow gives
-    # the pandas batch a float64 key unless normalized via Int64)
+    # (b) 2^53 + 1 must not alias onto 2^53 even when the NULL row
+    # would land in the same (only) batch
     big, nxt = 2**53, 2**53 + 1
     left = spark.createDataFrame(
         [(1, big, 100), (2, nxt, 100), (3, None, 100)],
@@ -602,18 +608,53 @@ def test_asof_join_dtype_normalization_edges(spark):
         [(big, 90), (nxt, 77)], "user long, ots long")
     out = asof_join(left, right, left_on="ts", right_on="ots",
                     left_by="user", right_by="user",
-                    right_values=["ots"], how="left")
+                    right_values=["ots"], how="left", num_buckets=1)
     got = {r["id"]: r["ots"] for r in out.collect()}
     assert got == {1: 90, 2: 77, 3: None}
 
-    # (c) payload column named '_by' is not clobbered
+    # (c) payload columns named like the temp columns are not clobbered
     left = spark.createDataFrame(
-        [(1, 10, "keepme", 100)], "id long, user int, _by string, ts long")
+        [(1, 10, "keepme", 7, 100)],
+        "id long, user int, _by string, _bkt long, ts long")
     right = spark.createDataFrame([(10, 90)], "user long, ots long")
     row = asof_join(left, right, left_on="ts", right_on="ots",
                     left_by="user", right_by="user",
                     right_values=["ots"]).collect()[0]
-    assert row["_by"] == "keepme" and row["ots"] == 90
+    assert (row["_by"], row["_bkt"], row["ots"]) == ("keepme", 7, 90)
+
+    # (d) date by-key vs timestamp by-key: midnight timestamps match
+    left = spark.createDataFrame(
+        [(1, "2024-03-10", 100)], "id long, d string, ts long"
+    ).select("id", F.to_date("d").alias("user"), "ts")
+    right = spark.createDataFrame(
+        [("2024-03-10 00:00:00", 90)], "u string, ots long"
+    ).select(F.to_timestamp("u").alias("user"), "ots")
+    got = {r["id"]: r["ots"]
+           for r in asof_join(left, right, left_on="ts", right_on="ots",
+                              left_by="user", right_by="user",
+                              right_values=["ots"]).collect()}
+    assert got == {1: 90}
+
+    # (e) decimal-vs-bigint by-keys raise instead of silently aliasing
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "id long, user long, ts long"
+    ).select("id", F.col("user").cast("decimal(20,0)").alias("user"), "ts")
+    right = spark.createDataFrame([(10, 90)], "user long, ots long")
+    with _pytest.raises(ValueError, match="DecimalType"):
+        asof_join(left, right, left_on="ts", right_on="ots",
+                  left_by="user", right_by="user", right_values=["ots"])
+
+    # (f) int-vs-double by-keys match per SQL's double cast — requires
+    # the bucket hash to normalize types BEFORE stringifying (raw forms
+    # '10' vs '10.0' would land in different buckets)
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "id long, user long, ts long")
+    right = spark.createDataFrame([(10.0, 90)], "user double, ots long")
+    got = {r["id"]: r["ots"]
+           for r in asof_join(left, right, left_on="ts", right_on="ots",
+                              left_by="user", right_by="user",
+                              right_values=["ots"]).collect()}
+    assert got == {1: 90}
 
 
 def test_asof_join_null_by_keys_match_nothing(spark):
