@@ -70,36 +70,23 @@ def asof_join(
     distinct key: cogrouping directly on the by-key paid one pandas
     call per user (~0.5 ms each — measured ~20-30 s for ~40k users at
     sf0.1, pure per-call overhead), while the bucketed form does the
-    same work in 64 vectorized calls (~3 s).  The by-key is hashed
-    through its TYPE-NORMALIZED string form so differently-typed
-    left/right key columns that compare equal land in the same bucket
-    (int 10 and double 10.0 stringify as '10' vs '10.0' raw — the
-    bucket hash casts through the common type first), and inside each
-    bucket the by-keys are normalized to a common dtype before
-    ``merge_asof`` (which rejects mismatched by-key dtypes).  The
-    target comes from the SPARK schema types: both-integral -> nullable Int64 (exact at
-    any magnitude); int/float mixes -> float64, which is exactly
-    Spark/DuckDB's own cast for a bigint=double equality predicate
-    (keys above 2^53 alias there because SQL's double cast does);
-    date/timestamp mixes -> datetime64 (SQL's date->timestamp-midnight
-    cast); a DECIMAL by-key mixed with a different type raises
-    (Spark compares decimal=bigint EXACTLY as decimal — a float64
-    normalization would silently alias high-magnitude keys; cast
-    upstream); anything else -> string-representation equality (the
-    documented fallback; note '10.0' vs 10 do NOT match there, unlike
-    SQL's numeric cast).  Default inner semantics: left rows with no
-    match are dropped (mirrors DuckDB ASOF JOIN, the oracle);
-    ``how="left"`` keeps them with NULL right values (ASOF LEFT JOIN).
-    NULL by-keys match nothing, enforced EXPLICITLY Spark-side (r8
-    ADVICE: pandas factorizes NaN by-keys as equal to each other):
-    null-by right rows are dropped, and null-by left rows never enter
-    the cogroup at all — dropped for ``inner``, routed AROUND the
-    pandas stage and unioned back with NULL payload for ``left``.
-    Keeping them out of the batches matters beyond semantics: Arrow
-    hands an integral column WITH NULLS to pandas as float64, which
-    would alias integral keys above 2^53 in the same batch BEFORE any
-    dtype normalization could run (r9 review finding, reproduced at
-    num_buckets=1).
+    same work in 64 vectorized calls (~3 s).  Differently-typed
+    left/right by-key columns are normalized IN SPARK to one cast
+    column per side, and the bucket hash, cogroup key and merge_asof
+    by-key all read that same column — one canonical representation
+    end-to-end (see the inline comment for the target-type table and
+    the three r9 review rounds that converged here).  Default inner
+    semantics: left rows with no match are dropped (mirrors DuckDB
+    ASOF JOIN, the oracle); ``how="left"`` keeps them with NULL right
+    values (ASOF LEFT JOIN).  NULL by-keys match nothing, enforced
+    EXPLICITLY Spark-side (r8 ADVICE: pandas factorizes NaN by-keys as
+    equal to each other): null-by right rows are dropped, and null-by
+    left rows never enter the cogroup at all — dropped for ``inner``,
+    routed AROUND the pandas stage and unioned back with NULL payload
+    for ``left``.  Keeping them out of the batches matters beyond
+    semantics: Arrow hands an integral column WITH NULLS to pandas as
+    float64, which would alias integral keys above 2^53 in the same
+    batch (r9 review finding, reproduced at num_buckets=1).
 
     ``tolerance`` (a pandas Timedelta string, e.g. ``"30D"``) bounds how
     stale a match may be: a right row farther than the tolerance from
@@ -110,34 +97,46 @@ def asof_join(
     from pyspark.sql import types as T
 
     left_cols = left.columns
-    # common by-key dtype, decided ONCE from the Spark types (see
-    # docstring); None = same Spark type on both sides, no
-    # normalization needed (batches are null-free by the routing
-    # below, so the pandas dtypes cannot disagree)
+    # Mixed by-key types are normalized IN SPARK — one cast column on
+    # each side, decided ONCE from the Spark schema types — and the
+    # bucket hash, the cogroup key and the merge_asof by-key all read
+    # that same column.  Doing it Spark-side (third r9 review round)
+    # means there is exactly ONE canonical representation: no
+    # pandas-vs-Spark string-repr disagreement (bool 'true' vs 'True',
+    # 1e20 vs '1.0E20'), no object-dtype batches skipping an astype,
+    # and no pandas ns-range overflow (Spark timestamps arrive as
+    # datetime64[us]).  Targets: both-integral -> bigint (exact);
+    # int/float mixes -> double (SQL's own bigint=double cast; >2^53
+    # aliasing is SQL's, not ours); both-decimal -> the widened common
+    # decimal (exact); decimal mixed with non-decimal -> loud error
+    # (SQL compares decimal=bigint AS DECIMAL — a double cast would
+    # silently alias); date/timestamp mixes -> timestamp (SQL's
+    # midnight cast); anything else -> Spark's cast-to-string forms.
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     floating = integral + (T.FloatType, T.DoubleType)
     temporal = (T.DateType, T.TimestampType, T.TimestampNTZType)
     lt = left.schema[left_by].dataType
     rt = right.schema[right_by].dataType
     if lt == rt:
-        by_target = None
+        by_cast = None
     elif isinstance(lt, integral) and isinstance(rt, integral):
-        by_target = "Int64"    # exact at any magnitude
+        by_cast = "bigint"     # exact at any magnitude
+    elif isinstance(lt, T.DecimalType) and isinstance(rt, T.DecimalType):
+        s = max(lt.scale, rt.scale)
+        p = max(lt.precision - lt.scale, rt.precision - rt.scale) + s
+        by_cast = f"decimal({min(p, 38)},{s})"  # widening cast, exact
     elif isinstance(lt, T.DecimalType) or isinstance(rt, T.DecimalType):
-        # SQL compares decimal=bigint exactly AS DECIMAL; a float64
-        # normalization would silently alias keys above 2^53 — refuse
-        # loudly instead (r9 review finding 3)
         raise ValueError(
             f"asof_join by-keys mix DecimalType with {lt}/{rt}; cast "
             "both sides to one exact type upstream")
     elif isinstance(lt, floating) and isinstance(rt, floating):
-        by_target = "float64"  # SQL's own bigint=double cast semantics
+        by_cast = "double"     # SQL's own bigint=double cast semantics
     elif isinstance(lt, temporal) and isinstance(rt, temporal):
-        by_target = "datetime64[ns]"  # SQL's date->timestamp cast
+        by_cast = "timestamp"  # SQL's date -> midnight-timestamp cast
     else:
-        by_target = "str"
-    # temp-column names that cannot shadow caller data (r9 review
-    # finding 4: '_bkt'/'_matched' had the same clobber risk '_by' did)
+        by_cast = "string"
+    # temp-column names that cannot shadow caller data (r9 review:
+    # '_by'/'_bkt'/'_matched' all had the clobber risk)
     def _fresh(base: str) -> str:
         name = base
         while name in left.columns or name in right.columns:
@@ -145,17 +144,24 @@ def asof_join(
         return name
     by_tmp, bkt_tmp, match_tmp = (_fresh("_by"), _fresh("_bkt"),
                                   _fresh("_matched"))
+    lby, rby = left_by, right_by
+    if by_cast is not None:
+        left = left.withColumn(by_tmp, F.col(left_by).cast(by_cast))
+        right = right.withColumn(by_tmp, F.col(right_by).cast(by_cast))
+        lby = rby = by_tmp
     out_schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+         if f.name in left_cols]
         + [f"{f.name} {f.dataType.simpleString()}" for f in right.schema.fields
            if f.name in right_values]
     )
     tol = pd.Timedelta(tolerance) if tolerance is not None else None
-    rcols = [right_by, right_on] + [c for c in right_values
-                                    if c not in (right_on, right_by)]
+    lsel = left_cols + ([by_tmp] if by_cast is not None else [])
+    rcols = [rby, right_on] + [c for c in right_values
+                               if c not in (right_on, rby)]
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = lpdf[left_cols]
+        lpdf = lpdf[lsel]
         if len(lpdf) == 0:
             return pd.DataFrame(columns=left_cols + right_values)
         if len(rpdf) == 0:
@@ -166,18 +172,11 @@ def asof_join(
                 return out[left_cols + right_values]
             return pd.DataFrame(columns=left_cols + right_values).iloc[:0]
         # merge_asof with by-keys wants both frames sorted by the ON
-        # key only (per-key matching happens inside the merge)
+        # key only (per-key matching happens inside the merge); the
+        # by-key dtypes agree by construction (same Spark type, or the
+        # shared Spark-side cast column), so no pandas-side casts
         lpdf = lpdf.sort_values(left_on, kind="mergesort")
         rpdf = rpdf[rcols].sort_values(right_on, kind="mergesort")
-        lby, rby = left_by, right_by
-        if by_target and lpdf[left_by].dtype != rpdf[right_by].dtype:
-            # merge_asof validates by-key dtypes (int32 vs int64 raises
-            # MergeError) — normalize both to the Spark-schema-derived
-            # target.  Batches are null-free (Spark-side routing), so
-            # every target cast is total.
-            lpdf = lpdf.assign(**{by_tmp: lpdf[left_by].astype(by_target)})
-            rpdf = rpdf.assign(**{by_tmp: rpdf[right_by].astype(by_target)})
-            lby = rby = by_tmp
         # match indicator: dropping on a payload column would wrongly
         # discard matched rows whose payload is legitimately NULL.
         rpdf = rpdf.assign(**{match_tmp: 1})
@@ -196,25 +195,20 @@ def asof_join(
     # integral column, aliasing >2^53 keys in the SAME batch before
     # any dtype fix could run): drop null-by right rows, and route
     # null-by left rows around the cogroup — dropped for inner,
-    # unioned back with NULL payload for left.
+    # unioned back with NULL payload for left.  Filters read the
+    # ORIGINAL key column: the normalized cast never nulls a non-null
+    # key (widening casts only), so the two agree.
     right = right.filter(F.col(right_by).isNotNull())
     null_left = left.filter(F.col(left_by).isNull()) if how == "left" else None
     left = left.filter(F.col(left_by).isNotNull())
 
-    # Bucket on the TYPE-NORMALIZED key, not the raw string cast: keys
-    # that the in-batch normalization would equate must land in the
-    # same bucket, and their raw string forms differ exactly when the
-    # Spark types do (int 10 -> '10' vs double 10.0 -> '10.0', date
-    # '2024-03-10' vs timestamp '2024-03-10 00:00:00') — the r9 review
-    # round's date-vs-timestamp test caught the mismatch.
-    _spark_cast = {"Int64": "bigint", "float64": "double",
-                   "datetime64[ns]": "timestamp"}.get(by_target)
-    norm = (lambda c: F.col(c).cast(_spark_cast)) if _spark_cast \
-        else (lambda c: F.col(c))
-    bkt = lambda c: F.pmod(F.xxhash64(norm(c).cast("string")),  # noqa: E731
+    # Bucket on the SAME normalized column the merge keys on — one
+    # canonical representation end-to-end, so keys that compare equal
+    # always co-bucket and keys that don't never falsely meet.
+    bkt = lambda c: F.pmod(F.xxhash64(F.col(c).cast("string")),  # noqa: E731
                            F.lit(num_buckets))
-    lb = left.withColumn(bkt_tmp, bkt(left_by))
-    rb = right.withColumn(bkt_tmp, bkt(right_by))
+    lb = left.withColumn(bkt_tmp, bkt(lby))
+    rb = right.withColumn(bkt_tmp, bkt(rby))
     out = lb.groupBy(bkt_tmp).cogroup(rb.groupBy(bkt_tmp)).applyInPandas(
         merge, schema=out_schema
     )

@@ -582,8 +582,14 @@ def test_asof_join_dtype_normalization_edges(spark):
     (c) caller columns literally named '_by'/'_bkt'/'_matched' survive
     untouched; (d) date-vs-timestamp by-keys match per SQL's
     date->timestamp-midnight cast; (e) a decimal by-key mixed with a
-    different type refuses loudly instead of aliasing through
-    float64."""
+    non-decimal type refuses loudly instead of aliasing through
+    float64; (f) int-vs-double by-keys match per SQL's double cast
+    (requires the bucket hash and the merge to share the normalized
+    key); (g) decimal-vs-decimal with different precision/scale
+    matches exactly via the widened common decimal; (h) values whose
+    canonical forms differ (bool true vs string 'True') mismatch
+    DETERMINISTICALLY at every bucket count — the third review round's
+    bucket-vs-batch repr-disagreement class."""
     import pytest as _pytest
 
     from mapreduce_implementation_spark.operators.joins import asof_join
@@ -655,6 +661,31 @@ def test_asof_join_dtype_normalization_edges(spark):
                               left_by="user", right_by="user",
                               right_values=["ots"]).collect()}
     assert got == {1: 90}
+
+    # (g) decimal-vs-decimal with different precision/scale is exact
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "id long, user long, ts long"
+    ).select("id", F.col("user").cast("decimal(20,0)").alias("user"), "ts")
+    right = spark.createDataFrame(
+        [(10, 90)], "user long, ots long"
+    ).select(F.col("user").cast("decimal(10,2)").alias("user"), "ots")
+    got = {r["id"]: r["ots"]
+           for r in asof_join(left, right, left_on="ts", right_on="ots",
+                              left_by="user", right_by="user",
+                              right_values=["ots"]).collect()}
+    assert got == {1: 90}
+
+    # (h) canonical-form mismatches are deterministic across bucket
+    # counts: bool true vs the string 'True' never match (Spark's
+    # cast-to-string form is 'true'), at num_buckets=1 AND the default
+    left = spark.createDataFrame([(1, True, 100)],
+                                 "id long, user boolean, ts long")
+    right = spark.createDataFrame([("True", 90)], "user string, ots long")
+    for nb in (1, 64):
+        assert asof_join(left, right, left_on="ts", right_on="ots",
+                         left_by="user", right_by="user",
+                         right_values=["ots"],
+                         num_buckets=nb).count() == 0
 
 
 def test_asof_join_null_by_keys_match_nothing(spark):
