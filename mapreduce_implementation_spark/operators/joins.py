@@ -47,6 +47,63 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on=on, how="left_anti")
 
 
+def _fresh_name(base: str, *dfs: DataFrame) -> str:
+    """A temp-column name (or prefix) no caller column starts with —
+    prefix-safe so derived names like ``f"{p}{c}"`` can't clobber either
+    (r9 review: fixed '_by'/'_bkt'/'_matched' names shadowed caller
+    data; the windowed twin's '_rv_*' family needs the prefix form)."""
+    cols = {c for df in dfs for c in df.columns}
+    name = base
+    while any(c.startswith(name) for c in cols):
+        name += "_"
+    return name
+
+
+def _by_key_cast(lt, rt) -> str | None:
+    """The common Spark type BOTH as-of operators normalize mixed-dtype
+    by-keys to (None = already identical).  Decided ONCE from the Spark
+    schema so the bucket hash / window partition and the match key read
+    the same canonical representation.  Targets: both-integral ->
+    bigint (exact); int/float mixes -> double (SQL's own bigint=double
+    cast; >2^53 aliasing is SQL's, not ours); both-decimal -> the
+    widened common decimal, REFUSED when the widened precision would
+    exceed decimal's 38-digit capacity (r9 ADVICE: a capped min(p,38)
+    cast overflows 37-digit keys to NULL under non-ANSI, and NULL
+    by-keys then falsely match inside pandas merge_asof); decimal mixed
+    with non-decimal -> loud error (SQL compares decimal=bigint AS
+    DECIMAL — a double cast would silently alias); date/timestamp
+    mixes -> timestamp (SQL's midnight cast); anything else -> Spark's
+    cast-to-string forms."""
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    floating = integral + (T.FloatType, T.DoubleType)
+    temporal = (T.DateType, T.TimestampType, T.TimestampNTZType)
+    if lt == rt:
+        return None
+    if isinstance(lt, integral) and isinstance(rt, integral):
+        return "bigint"
+    if isinstance(lt, T.DecimalType) and isinstance(rt, T.DecimalType):
+        s = max(lt.scale, rt.scale)
+        p = max(lt.precision - lt.scale, rt.precision - rt.scale) + s
+        if p > 38:
+            raise ValueError(
+                f"as-of by-keys {lt.simpleString()}/{rt.simpleString()} "
+                f"widen to decimal({p},{s}) > 38 digits; the capped cast "
+                "would overflow large keys to NULL — reduce scale or "
+                "precision upstream")
+        return f"decimal({p},{s})"
+    if isinstance(lt, T.DecimalType) or isinstance(rt, T.DecimalType):
+        raise ValueError(
+            f"as-of by-keys mix DecimalType with {lt}/{rt}; cast "
+            "both sides to one exact type upstream")
+    if isinstance(lt, floating) and isinstance(rt, floating):
+        return "double"
+    if isinstance(lt, temporal) and isinstance(rt, temporal):
+        return "timestamp"
+    return "string"
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -94,56 +151,24 @@ def asof_join(
     idiom (a quote older than the staleness budget must not price a
     trade).  Requires datetime/numeric ``on`` keys, like merge_asof.
     """
-    from pyspark.sql import types as T
-
     left_cols = left.columns
     # Mixed by-key types are normalized IN SPARK — one cast column on
-    # each side, decided ONCE from the Spark schema types — and the
-    # bucket hash, the cogroup key and the merge_asof by-key all read
-    # that same column.  Doing it Spark-side (third r9 review round)
-    # means there is exactly ONE canonical representation: no
+    # each side, decided ONCE from the Spark schema types (shared
+    # helper _by_key_cast; target-type table documented there) — and
+    # the bucket hash, the cogroup key and the merge_asof by-key all
+    # read that same column.  Doing it Spark-side (third r9 review
+    # round) means there is exactly ONE canonical representation: no
     # pandas-vs-Spark string-repr disagreement (bool 'true' vs 'True',
     # 1e20 vs '1.0E20'), no object-dtype batches skipping an astype,
     # and no pandas ns-range overflow (Spark timestamps arrive as
-    # datetime64[us]).  Targets: both-integral -> bigint (exact);
-    # int/float mixes -> double (SQL's own bigint=double cast; >2^53
-    # aliasing is SQL's, not ours); both-decimal -> the widened common
-    # decimal (exact); decimal mixed with non-decimal -> loud error
-    # (SQL compares decimal=bigint AS DECIMAL — a double cast would
-    # silently alias); date/timestamp mixes -> timestamp (SQL's
-    # midnight cast); anything else -> Spark's cast-to-string forms.
-    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    floating = integral + (T.FloatType, T.DoubleType)
-    temporal = (T.DateType, T.TimestampType, T.TimestampNTZType)
-    lt = left.schema[left_by].dataType
-    rt = right.schema[right_by].dataType
-    if lt == rt:
-        by_cast = None
-    elif isinstance(lt, integral) and isinstance(rt, integral):
-        by_cast = "bigint"     # exact at any magnitude
-    elif isinstance(lt, T.DecimalType) and isinstance(rt, T.DecimalType):
-        s = max(lt.scale, rt.scale)
-        p = max(lt.precision - lt.scale, rt.precision - rt.scale) + s
-        by_cast = f"decimal({min(p, 38)},{s})"  # widening cast, exact
-    elif isinstance(lt, T.DecimalType) or isinstance(rt, T.DecimalType):
-        raise ValueError(
-            f"asof_join by-keys mix DecimalType with {lt}/{rt}; cast "
-            "both sides to one exact type upstream")
-    elif isinstance(lt, floating) and isinstance(rt, floating):
-        by_cast = "double"     # SQL's own bigint=double cast semantics
-    elif isinstance(lt, temporal) and isinstance(rt, temporal):
-        by_cast = "timestamp"  # SQL's date -> midnight-timestamp cast
-    else:
-        by_cast = "string"
+    # datetime64[us]).
+    by_cast = _by_key_cast(left.schema[left_by].dataType,
+                           right.schema[right_by].dataType)
     # temp-column names that cannot shadow caller data (r9 review:
     # '_by'/'_bkt'/'_matched' all had the clobber risk)
-    def _fresh(base: str) -> str:
-        name = base
-        while name in left.columns or name in right.columns:
-            name += "_"
-        return name
-    by_tmp, bkt_tmp, match_tmp = (_fresh("_by"), _fresh("_bkt"),
-                                  _fresh("_matched"))
+    by_tmp = _fresh_name("_by", left, right)
+    bkt_tmp = _fresh_name("_bkt", left, right)
+    match_tmp = _fresh_name("_matched", left, right)
     lby, rby = left_by, right_by
     if by_cast is not None:
         left = left.withColumn(by_tmp, F.col(left_by).cast(by_cast))
@@ -249,6 +274,22 @@ def asof_join_windowed(
     matches (backward-inclusive).  Ties among right rows on the
     timestamp resolve by the ``right_values`` themselves (add a unique
     right column to make arbitrary payloads deterministic).
+
+    Same by-key contract as :func:`asof_join` (r10: the r9 cogroup
+    hardening ported here — the two operators implement ONE contract
+    and a differential property test pins them equal): NULL by-keys
+    match nothing — null-by RIGHT rows are filtered out before the
+    union, and null-by LEFT rows then fall out correct for free (their
+    window partition holds no right rows, so ``last(ignorenulls)``
+    yields NULL payload — no second scan of the left side, plan shape
+    unchanged at one exchange + one Window); mixed-dtype by-keys are
+    normalized to the shared :func:`_by_key_cast` target so both
+    operators co-partition keys identically (previously left to
+    unionByName coercion); temp names are uniquified against caller
+    columns.  Caveat vs the cogroup route: if a LARGE fraction of left
+    rows carries NULL by-keys they all land in one window partition
+    (a skewed no-op sort) — the cogroup route filters them out
+    pre-shuffle; route around upstream if that's your data.
     """
     from pyspark.sql.window import Window
 
@@ -257,36 +298,46 @@ def asof_join_windowed(
         raise ValueError(
             "tolerance_expr needs the matched timestamp: include "
             f"{right_on!r} in right_values")
+    by_cast = _by_key_cast(left.schema[left_by].dataType,
+                           right.schema[right_by].dataType)
+    lby = F.col(left_by).cast(by_cast) if by_cast else F.col(left_by)
+    rby = F.col(right_by).cast(by_cast) if by_cast else F.col(right_by)
+    by_c = _fresh_name("_by", left, right)
+    t_c = _fresh_name("_t", left, right)
+    side_c = _fresh_name("_side", left, right)
+    rv_p = _fresh_name("_rv_", left, right)   # prefix-safe for _rv_{c}
+    m_p = _fresh_name("_m_", left, right)     # prefix-safe for _m_{c}
+    right = right.filter(F.col(right_by).isNotNull())
     l_tag = left.select(
-        F.col(left_by).alias("_by"), F.col(left_on).alias("_t"),
-        F.lit(1).alias("_side"),
+        lby.alias(by_c), F.col(left_on).alias(t_c),
+        F.lit(1).alias(side_c),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}")
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{rv_p}{c}")
           for c in rv],
     )
     r_tag = right.select(
-        F.col(right_by).alias("_by"), F.col(right_on).alias("_t"),
-        F.lit(0).alias("_side"),
+        rby.alias(by_c), F.col(right_on).alias(t_c),
+        F.lit(0).alias(side_c),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in left.columns],
-        *[F.col(c).alias(f"_rv_{c}") for c in rv],
+        *[F.col(c).alias(f"{rv_p}{c}") for c in rv],
     )
-    w = (Window.partitionBy("_by")
-         .orderBy(F.col("_t").asc(), F.col("_side").asc(),
-                  *[F.col(f"_rv_{c}").asc() for c in rv])
+    w = (Window.partitionBy(by_c)
+         .orderBy(F.col(t_c).asc(), F.col(side_c).asc(),
+                  *[F.col(f"{rv_p}{c}").asc() for c in rv])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = l_tag.unionByName(r_tag).select(
         "*",
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+        *[F.last(f"{rv_p}{c}", ignorenulls=True).over(w).alias(f"{m_p}{c}")
           for c in rv],
-    ).where(F.col("_side") == 1)
+    ).where(F.col(side_c) == 1)
     keep = F.lit(True)
     if tolerance_expr is not None:
-        keep = (F.col(f"_m_{right_on}").isNotNull()
-                & (F.col("_t") - F.col(f"_m_{right_on}")
+        keep = (F.col(f"{m_p}{right_on}").isNotNull()
+                & (F.col(t_c) - F.col(f"{m_p}{right_on}")
                    <= F.expr(tolerance_expr)))
     out_cols = [F.col(c) for c in left.columns] + [
-        F.when(keep, F.col(f"_m_{c}")).alias(c) for c in rv]
+        F.when(keep, F.col(f"{m_p}{c}")).alias(c) for c in rv]
     return matched.select(*out_cols)
 
 

@@ -1249,3 +1249,131 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_dup_spans"),
                  F.sum(F.col("span_end") - F.col("span_start") + 1)
                   .alias("dup_chars")))
+
+
+# Messy-URL synthesis shared by dedup_url_canonical's two sides: the
+# documents table has no URL column, so (like scalar_url_functions) a
+# deterministic URL is derived from (doc_id, source, lang) — with every
+# mess class the canonicalizer must handle injected by doc_id residues:
+# uppercase scheme/host, a www. label, explicit DEFAULT ports, tracking
+# params (utm_* / gclid), a legitimate param that must SURVIVE, and
+# fragments.  Docs sharing (source, lang, parity, doc_id%40, %6, %5!=0,
+# %3-class) collapse to one canonical URL — real host-level dup mass.
+_URL_CANON_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || source || '.Example.COM'
+         || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                  WHEN doc_id % 4 = 1 THEN ':80' ELSE '' END)
+         || '/' || lang || '/Page' || CAST(doc_id % 40 AS VARCHAR)
+         || regexp_replace(
+              (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed&utm_medium=rss'
+                    WHEN doc_id % 3 = 1 THEN '&gclid=g' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END)
+              || (CASE WHEN doc_id % 5 <> 0
+                       THEN '&topic=' || CAST(doc_id % 6 AS VARCHAR)
+                       ELSE '' END),
+              '^&', '?')
+         || (CASE WHEN doc_id % 2 = 1
+                  THEN '#Sec' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END)
+           AS url
+  FROM documents
+),
+comp AS (
+  SELECT url,
+         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+         regexp_extract(nofrag, '\\?(.*)$', 1) AS qs
+  FROM (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM u)
+),
+norm AS (
+  SELECT url, scheme, raw_path, qs,
+         regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         array_to_string(list_sort(list_filter(string_split(qs, '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+             '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS kept
+  FROM comp
+),
+canon AS (
+  SELECT url, host,
+         scheme || '://' || host
+         || (CASE WHEN port <> ''
+                   AND NOT ((scheme = 'https' AND port = '443')
+                            OR (scheme = 'http' AND port = '80'))
+                  THEN ':' || port ELSE '' END)
+         || (CASE WHEN raw_path = '' THEN '/' ELSE raw_path END)
+         || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS curl
+  FROM norm
+)
+SELECT host,
+       count(*) AS n_docs,
+       count(DISTINCT url) AS n_urls,
+       count(DISTINCT curl) AS n_canonical,
+       round(1.0 - count(DISTINCT curl) / count(*), 4) AS dup_rate
+FROM canon GROUP BY host ORDER BY host
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=_URL_CANON_ORACLE,
+    doc="URL canonicalization + host-level dedup stats (the standard "
+        "web-corpus curation step upstream of every dedup family here: "
+        "CommonCrawl-style pipelines dedup BY canonical URL before any "
+        "content pass): lowercase scheme/host, strip www., default "
+        "ports, fragments and tracking params (utm_*/gclid/fbclid/ref), "
+        "SORT surviving params, then per-host doc counts, distinct raw "
+        "vs canonical URL counts and the dup rate.  Pure regexp/"
+        "higher-order-function column expressions "
+        "(functions/urlfn.py) — whole-stage codegen, no UDF; the agg "
+        "is one hash shuffle on ~|hosts| groups, so at 100 TB the "
+        "canonicalizer rides the scan for free and the shuffle carries "
+        "only (host, url-hash) pairs.  URLs are synthesized "
+        "deterministically from (doc_id, source, lang) exactly like "
+        "scalar_url_functions (no URL column in the fixture).",
+)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urlfn import canonicalize_url, url_host
+
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    www = F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    port = (F.when(did % 4 == 0, F.lit(":443"))
+            .when(did % 4 == 1, F.lit(":80"))
+            .otherwise(F.lit("")))
+    tracking = (
+        F.when(did % 3 == 0, F.lit("&utm_source=feed&utm_medium=rss"))
+        .when(did % 3 == 1, F.concat(F.lit("&gclid=g"), did.cast("string")))
+        .otherwise(F.lit("")))
+    topic = F.when(did % 5 != 0,
+                   F.concat(F.lit("&topic="), (did % 6).cast("string"))
+                   ).otherwise(F.lit(""))
+    query = F.regexp_replace(F.concat(tracking, topic), "^&", "?")
+    frag = F.when(did % 2 == 1,
+                  F.concat(F.lit("#Sec"), (did % 9).cast("string"))
+                  ).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), www, F.col("source"), F.lit(".Example.COM"),
+        port, F.lit("/"), F.col("lang"), F.lit("/Page"),
+        (did % 40).cast("string"), query, frag)
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        url.alias("url")
+    ).select(
+        "url",
+        url_host(F.col("url")).alias("host"),
+        canonicalize_url(F.col("url")).alias("curl"),
+    )
+    return (c.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("url").alias("n_urls"),
+                 F.countDistinct("curl").alias("n_canonical"))
+            .select("host", "n_docs", "n_urls", "n_canonical",
+                    F.round(F.lit(1.0) - F.col("n_canonical") / F.col("n_docs"),
+                            4).alias("dup_rate"))
+            .orderBy("host"))

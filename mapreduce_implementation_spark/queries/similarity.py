@@ -683,6 +683,12 @@ def q_embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (e.join(F.broadcast(st), "dim")
          .groupBy("vec_id")
          .agg(F.sum(F.pow(z, F.lit(2))).alias("d2")))
-    return (d.orderBy(F.round("d2", 6).desc(), F.col("vec_id"))
+    # 2-decimal output computed from an EXACT decimal(28,6) intermediate
+    # (r9 ADVICE: round(round(d2,6),2) re-rounds a double approximating
+    # the 6-decimal value, which can fall below an exact .xx5 tie that
+    # the oracle's DECIMAL path rounds up); the order-by key is the same
+    # decimal cast the oracle sorts on.
+    d2dec = F.col("d2").cast("decimal(28,6)")
+    return (d.orderBy(d2dec.desc(), F.col("vec_id"))
             .limit(20)
-            .select("vec_id", F.round(F.round("d2", 6), 2).alias("z2")))
+            .select("vec_id", F.round(d2dec, 2).cast("double").alias("z2")))

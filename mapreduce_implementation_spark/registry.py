@@ -75,54 +75,73 @@ _LOADED = False
 # round in registry iteration order.  Registrations stay FROZEN; only
 # this sample-order tuple moves each round.
 #
-# Round-9 policy (VERDICT r08 item 1): the window takes the stale
-# tail — all 38 queries whose latest driver row dates from r04, the
-# one NEW r9 registration (no driver row at all, so stalest of all),
-# plus the 11 alphabetically-first queries from the r05 block to fill
-# the 50 slots.  After this round no query's latest driver row
-# predates r05, which closes the systematic staleness debt entirely.
-#
-# Steady-state cadence from r10 on (VERDICT r08 item 7): each round the
-# window takes the ~50 queries whose latest driver row is OLDEST,
+# Steady-state cadence (VERDICT r08 item 7, r9 on): each round the
+# window takes the 50 queries whose latest driver row is OLDEST,
 # breaking ties alphabetically (new registrations have no row and sort
-# first).  With 235 registered queries and 50 slots per round, every
-# query gets a fresh driver row at least once every ceil(235/50) = 5
-# rounds, so freshness debt can never re-accumulate.  Pre-written r10
-# window: the 38 remaining r05-row queries (the r05 block minus the 11
-# rotated here), then the 12 alphabetically-first r06-row queries.
+# first).  With ~236 registered queries and 50 slots per round, every
+# query gets a fresh driver row at least once every ~5 rounds, so
+# freshness debt can never re-accumulate.
+#
+# Change-awareness (r9 ADVICE): a query whose OUTPUT-DETERMINING
+# registration changed — its impl, its oracle, or a behavior change in
+# an operator it calls — is treated as round-0 stale until a driver
+# row lands at-or-after the round of the change, recorded in
+# _CHANGED_IN_ROUND below.  Entries expire automatically once the
+# driver row arrives (latest[q] >= flagged round); prune expired
+# entries opportunistically at each rotation.  Mechanical refactors
+# verified behavior-identical by the suite do NOT flag (e.g. the r10
+# _by_key_cast helper extraction leaves scd2_point_in_time_join's plan
+# byte-identical — its keys are same-typed, so by_cast=None before and
+# after).
+#
 # Recompute per round as
 #   latest[q] = max round over CORRECTNESS_r0*.json containing q;
-#   window = sorted(queries, key=(latest[q], q))[:50].
+#   eff[q]    = 0 if latest[q] < _CHANGED_IN_ROUND.get(q, 0) else latest[q];
+#   window    = sorted(queries, key=(eff[q], q))[:50].
 # Machine-checked: tests/test_properties.py::
 # test_sample_window_is_the_stalest_fifty recomputes the window from
 # the checked-in CORRECTNESS files and fails once a new round's file
 # lands — fixing it IS the rotation step.
+#
+# r10 window: 1 new registration + 2 changed-this-round + the 38
+# remaining r05-row queries + the 9 alphabetically-first r06-row
+# queries.
+_CHANGED_IN_ROUND: dict[str, int] = {
+    # r10: z2 recomputed from an exact decimal(28,6) intermediate
+    # (r9 ADVICE rounding-boundary fix) — output expression changed
+    "embedding_outlier_zscore": 10,
+    # r10: asof_join_windowed hardened (NULL by-keys match nothing,
+    # by-key dtype normalization, uniquified temp names) — the operator
+    # this query is registered on changed behavior
+    "asof_join_tolerance": 10,
+}
+
 _SAMPLE_FIRST = (
-    # --- stale, latest driver row r04 (all 38) ---
-    "corpus_overlap_sources", "dedup_containment_overlap",
-    "dedup_minhash_estimate", "dedup_simhash_estimate",
-    "dedup_source_stats", "dq_rule_report", "events_markov_transitions",
-    "join_tpch_q12_shape", "join_tpch_q14_shape", "join_tpch_q8_shape",
-    "json_extract_events", "multimodal_audio_rms",
-    "multimodal_decode_png", "multimodal_image_dhash_pairs",
-    "pattern_sequence_detect", "pipeline_corpus_build",
-    "retrieval_rrf_fusion", "scd2_point_in_time_join",
-    "set_intersect_all", "similarity_maxsim_multivector",
-    "sketch_countmin_stopwords", "sketch_hll_rollup",
-    "source_python_datasource", "split_train_valid_hash",
-    "sql_recursive_cte_chain", "subq_tpch_q11_shape",
-    "subq_tpch_q16_shape", "subq_tpch_q17_shape", "subq_tpch_q20_shape",
-    "subq_tpch_q21_shape", "subq_tpch_q2_shape", "text_chunk_overlap",
-    "text_collocations_llr", "text_fingerprint", "text_lang_id",
-    "text_tfidf_top3", "timeseries_ewma_daily", "variant_json_surface",
-    # --- NEW registration this round (no driver row yet => stalest) ---
+    # --- round-0 stale: new registration + changed-this-round ---
+    "asof_join_tolerance", "dedup_url_canonical",
     "embedding_outlier_zscore",
-    # --- alphabetical head of the r05 block (11 fillers) ---
-    "agg_regression_price_qty", "agg_skew_kurtosis", "agg_trimmed_mean",
-    "agg_weighted_median", "agg_weighted_median_by_flag",
-    "cohort_retention", "corpus_length_quantiles_by_source",
-    "corpus_quality_deciles_by_source", "corpus_source_topp",
-    "dedup_embedding_lsh", "funnel_conversion",
+    # --- stale, latest driver row r05 (all 38 remaining) ---
+    "graph_pagerank_trade", "graph_sssp_weighted", "join_bloom_prefilter",
+    "multimodal_video_framesample", "pandas_udaf_rms_spend",
+    "pandas_udf_charge", "pipeline_budget_resample",
+    "pipeline_fingerprint_dedup", "rfm_segments",
+    "sample_weighted_systematic", "scd2_intervals",
+    "sessions_interval_overlap", "similarity_ann_ivf",
+    "similarity_ann_lsh", "sort_nulls_ordering", "subq_custdist",
+    "subq_exists_late_ship", "subq_in_large_orders",
+    "subq_scalar_anti_q22", "text_bigram_logprob", "text_bm25_top10",
+    "text_contamination_4gram", "text_dedup_exact_normalized",
+    "text_keyphrase_rake", "text_perplexity_buckets", "text_pmi_pairs",
+    "text_repetition_gopher", "text_zipf_alpha", "timeseries_gap_fill",
+    "udtf_order_years", "window_global_ntile", "window_lag_lead",
+    "window_moving_avg", "window_percent_rank_cume",
+    "window_range_frame", "window_rank", "window_row_number_topk",
+    "window_running_sum",
+    # --- alphabetical head of the r06 block (9 fillers) ---
+    "agg_conditional_filter", "agg_geometric_harmonic_means",
+    "agg_gini_spend", "agg_minmax_multi_key",
+    "agg_ols_normal_equations", "agg_percentiles", "agg_tpch_q1",
+    "array_functions", "asof_join_latest_order",
 )
 
 

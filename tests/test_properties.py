@@ -144,7 +144,11 @@ def test_sample_window_is_the_stalest_fifty():
     """``_SAMPLE_FIRST`` must equal the steady-state rotation policy
     documented above it in registry.py: the 50 queries whose latest
     checked-in driver row (CORRECTNESS_r*.json) is OLDEST, ties broken
-    alphabetically; a query with no row yet sorts first (round 0).
+    alphabetically; a query with no row yet sorts first (round 0), and
+    so does one whose registration changed since its last driver row
+    (``_CHANGED_IN_ROUND``, r9 ADVICE — a regression in changed code
+    must not ride driver-unchecked for up to 5 rounds on a fresh-but-
+    pre-change row).
 
     This test is MEANT to fail at the start of each round once the
     driver commits the new CORRECTNESS file — fixing it (recomputing
@@ -156,7 +160,7 @@ def test_sample_window_is_the_stalest_fifty():
     import re
 
     from mapreduce_implementation_spark.registry import (
-        _SAMPLE_FIRST, all_specs,
+        _CHANGED_IN_ROUND, _SAMPLE_FIRST, all_specs,
     )
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -166,7 +170,14 @@ def test_sample_window_is_the_stalest_fifty():
         for q in json.load(open(f)):
             latest[q] = max(latest.get(q, 0), rnd)
     names = sorted(all_specs())
-    want = sorted(names, key=lambda q: (latest.get(q, 0), q))[:50]
+    assert set(_CHANGED_IN_ROUND) <= set(names), (
+        "stale _CHANGED_IN_ROUND entry for an unregistered query")
+
+    def eff(q: str) -> int:
+        lat = latest.get(q, 0)
+        return 0 if lat < _CHANGED_IN_ROUND.get(q, 0) else lat
+
+    want = sorted(names, key=lambda q: (eff(q), q))[:50]
     assert sorted(_SAMPLE_FIRST) == sorted(want), (
         "rotate _SAMPLE_FIRST to the 50 stalest queries "
         "(see the policy comment in registry.py); "
@@ -738,20 +749,153 @@ def test_salted_topk_matches_plain_window_topk(spark, rows, k, buckets):
     assert got == want
 
 
+def test_asof_windowed_dtype_normalization_edges(spark):
+    """The r9 cogroup hardening, ported to asof_join_windowed (r10
+    VERDICT item 2) — same (a)-(h) family as
+    test_asof_join_dtype_normalization_edges where each class applies
+    to the declarative route (no pandas, so the Arrow float64 trap
+    becomes a plain exactness pin):
+    (a) string-vs-bigint by-keys match via the string fallback;
+    (b) integral by-keys stay exact above 2^53 with a NULL-by row in
+    the same frame; (c) caller columns literally named
+    '_by'/'_t'/'_side'/'_rv_<value>' survive untouched; (d)
+    date-vs-timestamp by-keys match per SQL's midnight cast; (e)
+    decimal mixed with non-decimal refuses loudly; (f) int-vs-double
+    by-keys match per SQL's double cast; (g) differently-shaped
+    decimals match exactly via the widened common decimal — and a
+    widening that would EXCEED 38 digits refuses loudly instead of
+    overflowing keys to NULL (r9 ADVICE, pinned on BOTH operators);
+    (h) bool-vs-string by-keys never match, and NULL by-keys follow
+    SQL equality semantics (left rows keep NULL payload, null-by right
+    rows match nobody)."""
+    import pytest as _pytest
+
+    from mapreduce_implementation_spark.operators.joins import (
+        asof_join, asof_join_windowed,
+    )
+
+    def run(left, right, **kw):
+        return {r["id"]: r["ots"]
+                for r in asof_join_windowed(
+                    left, right, left_on="ts", right_on="ots",
+                    left_by="user", right_by="user",
+                    right_values=["ots"], **kw).collect()}
+
+    # (a) string left key vs bigint right key
+    left = spark.createDataFrame(
+        [(1, "10", 100)], "id long, user string, ts long")
+    right = spark.createDataFrame([(10, 90)], "user long, ots long")
+    assert run(left, right) == {1: 90}
+
+    # (b) 2^53 + 1 must not alias onto 2^53, NULL-by row present
+    big, nxt = 2**53, 2**53 + 1
+    left = spark.createDataFrame(
+        [(1, big, 100), (2, nxt, 100), (3, None, 100)],
+        "id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(big, 90), (nxt, 77), (None, 55)], "user long, ots long")
+    assert run(left, right) == {1: 90, 2: 77, 3: None}
+
+    # (c) payload columns named like the temp names are not clobbered
+    # ('_rv_ots' exercises the PREFIX freshness: a fixed '_rv_' prefix
+    # would collide with it)
+    left = spark.createDataFrame(
+        [(1, 10, "keepme", 3, 4, "keep2", 100)],
+        "id long, user int, _by string, _t long, _side long, "
+        "_rv_ots string, ts long")
+    right = spark.createDataFrame([(10, 90)], "user long, ots long")
+    row = asof_join_windowed(left, right, left_on="ts", right_on="ots",
+                             left_by="user", right_by="user",
+                             right_values=["ots"]).collect()[0]
+    assert (row["_by"], row["_t"], row["_side"], row["_rv_ots"],
+            row["ots"]) == ("keepme", 3, 4, "keep2", 90)
+
+    # (d) date by-key vs timestamp by-key: midnight timestamps match
+    left = spark.createDataFrame(
+        [(1, "2024-03-10", 100)], "id long, d string, ts long"
+    ).select("id", F.to_date("d").alias("user"), "ts")
+    right = spark.createDataFrame(
+        [("2024-03-10 00:00:00", 90)], "u string, ots long"
+    ).select(F.to_timestamp("u").alias("user"), "ots")
+    assert run(left, right) == {1: 90}
+
+    # (e) decimal-vs-bigint by-keys raise instead of silently aliasing
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "id long, user long, ts long"
+    ).select("id", F.col("user").cast("decimal(20,0)").alias("user"), "ts")
+    right = spark.createDataFrame([(10, 90)], "user long, ots long")
+    with _pytest.raises(ValueError, match="DecimalType"):
+        asof_join_windowed(left, right, left_on="ts", right_on="ots",
+                           left_by="user", right_by="user",
+                           right_values=["ots"])
+
+    # (f) int-vs-double by-keys match per SQL's double cast
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "id long, user long, ts long")
+    right = spark.createDataFrame([(10.0, 90)], "user double, ots long")
+    assert run(left, right) == {1: 90}
+
+    # (g) decimal-vs-decimal widening is exact; >38-digit widening
+    # refuses loudly on BOTH operators (r9 ADVICE: min(p,38) capped the
+    # cast and overflowed 37-digit keys to NULL -> false NaN matches)
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "id long, user long, ts long"
+    ).select("id", F.col("user").cast("decimal(20,0)").alias("user"), "ts")
+    right = spark.createDataFrame(
+        [(10, 90)], "user long, ots long"
+    ).select(F.col("user").cast("decimal(10,2)").alias("user"), "ots")
+    assert run(left, right) == {1: 90}
+    wide_l = spark.createDataFrame(
+        [(1, 10, 100)], "id long, user long, ts long"
+    ).select("id", F.col("user").cast("decimal(38,0)").alias("user"), "ts")
+    wide_r = spark.createDataFrame(
+        [(10, 90)], "user long, ots long"
+    ).select(F.col("user").cast("decimal(10,2)").alias("user"), "ots")
+    for op in (asof_join, asof_join_windowed):
+        with _pytest.raises(ValueError, match="38"):
+            op(wide_l, wide_r, left_on="ts", right_on="ots",
+               left_by="user", right_by="user", right_values=["ots"])
+
+    # (h) bool true vs string 'True' never match; NULL by-keys follow
+    # SQL semantics (windowed is LEFT: NULL payload, never a match)
+    left = spark.createDataFrame([(1, True, 100)],
+                                 "id long, user boolean, ts long")
+    right = spark.createDataFrame([("True", 90)], "user string, ots long")
+    out = asof_join_windowed(left, right, left_on="ts", right_on="ots",
+                             left_by="user", right_by="user",
+                             right_values=["ots"]).collect()
+    assert [(r["id"], r["ots"]) for r in out] == [(1, None)]
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, None, 100)], "id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(10, 90), (None, 50)], "user long, ots long")
+    assert run(left, right) == {1: 90, 2: None}
+
+
 # --- windowed as-of == pandas-cogroup as-of ---------------------------------
 
-@settings(max_examples=10, deadline=None)
-@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),    # user
-                          st.integers(min_value=0, max_value=500)),  # ts sec
-                min_size=1, max_size=25, unique=True),
-       st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.one_of(st.none(),                        # user
+                                    st.integers(min_value=0, max_value=3)),
+                          st.integers(min_value=0, max_value=500)),   # ts sec
+                min_size=1, max_size=25),
+       st.lists(st.tuples(st.one_of(st.none(),
+                                    st.integers(min_value=0, max_value=3)),
                           st.integers(min_value=0, max_value=500)),
-                min_size=0, max_size=25, unique=True))
-def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords):
-    """asof_join_windowed (declarative union + keyed-window last) ==
-    asof_join (pd.merge_asof cogroup) with how='left' on arbitrary
-    interleavings, including equal timestamps (backward-inclusive),
-    users with no right rows, and a 100-second staleness budget."""
+                min_size=0, max_size=25),
+       st.booleans(),
+       st.sampled_from([1, 64]))
+def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords,
+                                              with_tol, num_buckets):
+    """The two as-of routes implement ONE contract (r10 VERDICT item 3
+    — the r9 NULL-semantics drift between them is exactly what this
+    pins): asof_join_windowed (declarative union + keyed-window last)
+    == asof_join (pd.merge_asof cogroup, how='left') on arbitrary
+    interleavings INCLUDING NULL by-keys on both sides (match nothing;
+    left rows keep NULL payload), equal timestamps
+    (backward-inclusive), duplicate (user, ts) rows, users with no
+    right rows, tolerance ON (100-second budget) and OFF, and both
+    num_buckets 1 (everything co-batched) and 64."""
     from mapreduce_implementation_spark.operators.joins import (
         asof_join, asof_join_windowed,
     )
@@ -766,15 +910,17 @@ def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords):
         "user long, off long",
     ).select("user", F.expr(f"timestamp'{base}' + make_interval(0,0,0,0,0,0,off)").alias("ots"))
 
-    win = asof_join_windowed(left, right, left_on="ts", right_on="ots",
-                             left_by="user", right_by="user",
-                             right_values=["ots"],
-                             tolerance_expr="INTERVAL 100 SECONDS")
-    pdc = asof_join(left, right, left_on="ts", right_on="ots",
-                    left_by="user", right_by="user",
-                    right_values=["ots"], tolerance="100s", how="left")
-    a = {(r["id"], str(r["ots"])) for r in win.collect()}
-    b = {(r["id"], str(r["ots"])) for r in pdc.collect()}
+    win = asof_join_windowed(
+        left, right, left_on="ts", right_on="ots",
+        left_by="user", right_by="user", right_values=["ots"],
+        tolerance_expr="INTERVAL 100 SECONDS" if with_tol else None)
+    pdc = asof_join(
+        left, right, left_on="ts", right_on="ots",
+        left_by="user", right_by="user", right_values=["ots"],
+        tolerance="100s" if with_tol else None, how="left",
+        num_buckets=num_buckets)
+    a = sorted((r["id"], str(r["ots"])) for r in win.collect())
+    b = sorted((r["id"], str(r["ots"])) for r in pdc.collect())
     assert a == b
 
 

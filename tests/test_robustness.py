@@ -124,6 +124,8 @@ _REPRESENTATIVES = [
     "agg_geometric_harmonic_means",# log-space means of nothing
     "scalar_url_functions",        # parse_url over zero docs
     "embedding_outlier_zscore",    # z-score outliers over zero vectors
+    # round-10 families
+    "dedup_url_canonical",         # host stats over zero URLs
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
