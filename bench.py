@@ -110,6 +110,10 @@ HEADLINE = [
     # graph_pagerank_trade (measured 1.60 vs 1.61 s same-session, 0.55x
     # its declarative chain)
     "graph_personalized_pagerank",
+    # round 10: URL canonicalization + host-level dedup stats (pure
+    # regexp/higher-order-fn expressions riding the scan, one ~|hosts|-
+    # group shuffle) — the suite total grows by its cost this round
+    "dedup_url_canonical",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -1369,9 +1369,19 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host(F.col("url")).alias("host"),
         canonicalize_url(F.col("url")).alias("curl"),
     )
-    return (c.groupBy("host")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.countDistinct("url").alias("n_urls"),
+    # Pre-group by (host, url, curl) instead of two countDistinct on
+    # (host): url DETERMINES curl, so after this agg `url` is distinct
+    # and n_canonical is the ONE remaining distinct — Spark plans a
+    # single-distinct agg without the Expand node that double-distinct
+    # costs (plan-audited: the naive form tripled every scanned row
+    # via Expand before the first shuffle; this form's map-side
+    # partial agg collapses duplicate URLs before any shuffle, so at
+    # 100 TB shuffle 1 carries one row per distinct URL, not 3x rows).
+    per_url = (c.groupBy("host", "url", "curl")
+               .agg(F.count(F.lit(1)).alias("_n")))
+    return (per_url.groupBy("host")
+            .agg(F.sum("_n").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_urls"),
                  F.countDistinct("curl").alias("n_canonical"))
             .select("host", "n_docs", "n_urls", "n_canonical",
                     F.round(F.lit(1.0) - F.col("n_canonical") / F.col("n_docs"),

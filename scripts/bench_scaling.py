@@ -103,6 +103,10 @@ PIPELINES = [
     # 64-row stats broadcast -> per-vector sum -> TakeOrdered top-20;
     # expect exponent ~linear on the explode, flat reduce state)
     "embedding_outlier_zscore",
+    # round-10: URL canonicalization + host-level dedup stats (regex
+    # expressions ride the scan; one shuffle carrying ~|hosts| groups'
+    # partial aggs — expect near-linear scan term, tiny absolute)
+    "dedup_url_canonical",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]
