@@ -150,6 +150,24 @@ def asof_join(
     the left timestamp is no match at all — the financial-data as-of
     idiom (a quote older than the staleness budget must not price a
     trade).  Requires datetime/numeric ``on`` keys, like merge_asof.
+
+    NULL ``on``-keys follow the same SQL rule as NULL by-keys (r10
+    review): a NULL timestamp satisfies no inequality, so null-on
+    right rows are dropped and null-on left rows are routed with the
+    null-by left rows (NULL payload for ``left``, dropped for
+    ``inner``).  Before r10 they CRASHED the cogroup — merge_asof
+    rejects null merge keys.
+
+    Tie rule (r10 review): right rows TIED on ``right_on`` within a
+    by-key resolve deterministically by the remaining ``right_values``
+    tuple — backward takes the greatest, forward the smallest (the row
+    adjacent to the left timestamp in the (on, values) ordering),
+    NULLS FIRST, matching asof_join_windowed's window order.  Without
+    the tie sort the winner was whichever row arrived LAST in the
+    Arrow batch — partition-order-dependent, nondeterministic run to
+    run on a cluster (reproduced: same query flipped payloads under
+    sortWithinPartitions).  Payload types pandas cannot compare
+    vectorized (arrays) fall back to a tuple-key sort.
     """
     left_cols = left.columns
     # Mixed by-key types are normalized IN SPARK — one cast column on
@@ -184,6 +202,17 @@ def asof_join(
     lsel = left_cols + ([by_tmp] if by_cast is not None else [])
     rcols = [rby, right_on] + [c for c in right_values
                                if c not in (right_on, rby)]
+    # deterministic tie order: stable-sort the right side by the FULL
+    # (on, values) tuple so merge_asof's pick among equal timestamps is
+    # a property of the DATA, not of Arrow batch arrival order
+    rsort = [right_on] + [c for c in right_values if c != right_on]
+
+    def _tuple_key(s: pd.Series) -> pd.Series:
+        # arrays arrive as np.ndarray (unsortable vectorized); tuples
+        # compare elementwise like Spark's array ordering
+        import numpy as np
+        return s.map(lambda v: tuple(v.tolist())
+                     if isinstance(v, np.ndarray) else v)
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf[lsel]
@@ -201,7 +230,13 @@ def asof_join(
         # by-key dtypes agree by construction (same Spark type, or the
         # shared Spark-side cast column), so no pandas-side casts
         lpdf = lpdf.sort_values(left_on, kind="mergesort")
-        rpdf = rpdf[rcols].sort_values(right_on, kind="mergesort")
+        rpdf = rpdf[rcols]
+        try:
+            rpdf = rpdf.sort_values(rsort, kind="mergesort",
+                                    na_position="first")
+        except (TypeError, ValueError):
+            rpdf = rpdf.sort_values(rsort, kind="mergesort",
+                                    na_position="first", key=_tuple_key)
         # match indicator: dropping on a payload column would wrongly
         # discard matched rows whose payload is legitimately NULL.
         rpdf = rpdf.assign(**{match_tmp: 1})
@@ -220,12 +255,17 @@ def asof_join(
     # integral column, aliasing >2^53 keys in the SAME batch before
     # any dtype fix could run): drop null-by right rows, and route
     # null-by left rows around the cogroup — dropped for inner,
-    # unioned back with NULL payload for left.  Filters read the
-    # ORIGINAL key column: the normalized cast never nulls a non-null
-    # key (widening casts only), so the two agree.
-    right = right.filter(F.col(right_by).isNotNull())
-    null_left = left.filter(F.col(left_by).isNull()) if how == "left" else None
-    left = left.filter(F.col(left_by).isNotNull())
+    # unioned back with NULL payload for left.  NULL ON-keys get the
+    # same routing (r10 review: a NULL timestamp satisfies no
+    # inequality — and merge_asof CRASHES on null merge keys, so
+    # before this they were a live error, not just a semantic gap).
+    # Filters read the ORIGINAL key columns: the normalized cast never
+    # nulls a non-null key (widening casts only), so the two agree.
+    l_null = F.col(left_by).isNull() | F.col(left_on).isNull()
+    right = right.filter(F.col(right_by).isNotNull()
+                         & F.col(right_on).isNotNull())
+    null_left = left.filter(l_null) if how == "left" else None
+    left = left.filter(~l_null)
 
     # Bucket on the SAME normalized column the merge keys on — one
     # canonical representation end-to-end, so keys that compare equal
@@ -272,25 +312,37 @@ def asof_join_windowed(
     ``"INTERVAL 30 DAYS"``) yields NULL right values.  Right rows tag
     0 and left rows tag 1, so a right row AT the left timestamp
     matches (backward-inclusive).  Ties among right rows on the
-    timestamp resolve by the ``right_values`` themselves (add a unique
-    right column to make arbitrary payloads deterministic).
+    timestamp resolve deterministically by the ``right_values`` tuple
+    (greatest wins, NULLS FIRST — the same rule the cogroup route
+    sorts by).
 
-    Same by-key contract as :func:`asof_join` (r10: the r9 cogroup
-    hardening ported here — the two operators implement ONE contract
-    and a differential property test pins them equal): NULL by-keys
-    match nothing — null-by RIGHT rows are filtered out before the
-    union, and null-by LEFT rows then fall out correct for free (their
-    window partition holds no right rows, so ``last(ignorenulls)``
-    yields NULL payload — no second scan of the left side, plan shape
+    The matched payload travels as ONE STRUCT column, not one window
+    expression per value column (r10 review, reproduced): per-column
+    ``last(_rv_c, ignorenulls=True)`` conflates the left rows'
+    placeholder NULLs with a right row's GENUINE NULL payload field,
+    so a latest-match row carrying a NULL field silently resurrected
+    the PREVIOUS match's value for that column — a Frankenstein row
+    mixing two right rows.  A struct from a right row is never NULL
+    even when every field is, so ``last(struct, ignorenulls=True)``
+    skips exactly the placeholders and preserves row unity.
+
+    Same key contract as :func:`asof_join` (the two operators
+    implement ONE contract; a differential property test pins them
+    equal): NULL by-keys AND NULL on-keys match nothing — null-keyed
+    RIGHT rows are filtered out before the union, and null-keyed LEFT
+    rows then fall out correct for free (a null by-key partitions
+    away from every right row; a null on-key sorts NULLS FIRST, before
+    any right row — either way no preceding right struct exists and
+    the payload is NULL; no second scan of the left side, plan shape
     unchanged at one exchange + one Window); mixed-dtype by-keys are
     normalized to the shared :func:`_by_key_cast` target so both
-    operators co-partition keys identically (previously left to
-    unionByName coercion); temp names are uniquified against caller
-    columns.  Caveat vs the cogroup route: if a LARGE fraction of left
-    rows carries NULL by-keys they all land in one window partition
-    (a skewed no-op sort) — the cogroup route filters them out
-    pre-shuffle; route around upstream if that's your data.
+    operators co-partition keys identically; temp names are uniquified
+    against caller columns.  Caveat vs the cogroup route: if a LARGE
+    fraction of left rows carries NULL keys they all land in one
+    window partition (a skewed no-op sort) — the cogroup route filters
+    them out pre-shuffle; route around upstream if that's your data.
     """
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     rv = [c for c in right_values]
@@ -305,39 +357,38 @@ def asof_join_windowed(
     by_c = _fresh_name("_by", left, right)
     t_c = _fresh_name("_t", left, right)
     side_c = _fresh_name("_side", left, right)
-    rv_p = _fresh_name("_rv_", left, right)   # prefix-safe for _rv_{c}
-    m_p = _fresh_name("_m_", left, right)     # prefix-safe for _m_{c}
-    right = right.filter(F.col(right_by).isNotNull())
+    rv_c = _fresh_name("_rv", left, right)
+    m_c = _fresh_name("_m", left, right)
+    rv_t = T.StructType([right.schema[c] for c in rv])
+    right = right.filter(F.col(right_by).isNotNull()
+                         & F.col(right_on).isNotNull())
     l_tag = left.select(
         lby.alias(by_c), F.col(left_on).alias(t_c),
         F.lit(1).alias(side_c),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{rv_p}{c}")
-          for c in rv],
+        F.lit(None).cast(rv_t).alias(rv_c),
     )
     r_tag = right.select(
         rby.alias(by_c), F.col(right_on).alias(t_c),
         F.lit(0).alias(side_c),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in left.columns],
-        *[F.col(c).alias(f"{rv_p}{c}") for c in rv],
+        F.struct(*[F.col(c).alias(c) for c in rv]).alias(rv_c),
     )
     w = (Window.partitionBy(by_c)
          .orderBy(F.col(t_c).asc(), F.col(side_c).asc(),
-                  *[F.col(f"{rv_p}{c}").asc() for c in rv])
+                  F.col(rv_c).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = l_tag.unionByName(r_tag).select(
-        "*",
-        *[F.last(f"{rv_p}{c}", ignorenulls=True).over(w).alias(f"{m_p}{c}")
-          for c in rv],
+    matched = l_tag.unionByName(r_tag, allowMissingColumns=False).select(
+        "*", F.last(rv_c, ignorenulls=True).over(w).alias(m_c),
     ).where(F.col(side_c) == 1)
     keep = F.lit(True)
     if tolerance_expr is not None:
-        keep = (F.col(f"{m_p}{right_on}").isNotNull()
-                & (F.col(t_c) - F.col(f"{m_p}{right_on}")
+        keep = (F.col(m_c).getField(right_on).isNotNull()
+                & (F.col(t_c) - F.col(m_c).getField(right_on)
                    <= F.expr(tolerance_expr)))
     out_cols = [F.col(c) for c in left.columns] + [
-        F.when(keep, F.col(f"{m_p}{c}")).alias(c) for c in rv]
+        F.when(keep, F.col(m_c).getField(c)).alias(c) for c in rv]
     return matched.select(*out_cols)
 
 

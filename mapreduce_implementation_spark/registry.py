@@ -103,23 +103,29 @@ _LOADED = False
 # the checked-in CORRECTNESS files and fails once a new round's file
 # lands — fixing it IS the rotation step.
 #
-# r10 window: 1 new registration + 2 changed-this-round + the 38
-# remaining r05-row queries + the 9 alphabetically-first r06-row
+# r10 window: 1 new registration + 4 changed-this-round + the 38
+# remaining r05-row queries + the 7 alphabetically-first r06-row
 # queries.
 _CHANGED_IN_ROUND: dict[str, int] = {
     # r10: z2 recomputed from an exact decimal(28,6) intermediate
     # (r9 ADVICE rounding-boundary fix) — output expression changed
     "embedding_outlier_zscore": 10,
-    # r10: asof_join_windowed hardened (NULL by-keys match nothing,
-    # by-key dtype normalization, uniquified temp names) — the operator
-    # this query is registered on changed behavior
+    # r10: asof_join_windowed hardened (NULL by/on-keys match nothing,
+    # by-key dtype normalization, uniquified temp names, struct-bundled
+    # payload) — the operator this query is registered on changed
     "asof_join_tolerance": 10,
+    # r10: asof_join (cogroup) changed behavior too — deterministic
+    # tie ordering on tied right timestamps, NULL on-key routing — so
+    # its registered consumers re-verify this round as well
+    "asof_join_latest_order": 10,
+    "scd2_point_in_time_join": 10,
 }
 
 _SAMPLE_FIRST = (
     # --- round-0 stale: new registration + changed-this-round ---
-    "asof_join_tolerance", "dedup_url_canonical",
-    "embedding_outlier_zscore",
+    "asof_join_latest_order", "asof_join_tolerance",
+    "dedup_url_canonical", "embedding_outlier_zscore",
+    "scd2_point_in_time_join",
     # --- stale, latest driver row r05 (all 38 remaining) ---
     "graph_pagerank_trade", "graph_sssp_weighted", "join_bloom_prefilter",
     "multimodal_video_framesample", "pandas_udaf_rms_spend",
@@ -137,11 +143,10 @@ _SAMPLE_FIRST = (
     "window_moving_avg", "window_percent_rank_cume",
     "window_range_frame", "window_rank", "window_row_number_topk",
     "window_running_sum",
-    # --- alphabetical head of the r06 block (9 fillers) ---
+    # --- alphabetical head of the r06 block (7 fillers) ---
     "agg_conditional_filter", "agg_geometric_harmonic_means",
     "agg_gini_spend", "agg_minmax_multi_key",
     "agg_ols_normal_equations", "agg_percentiles", "agg_tpch_q1",
-    "array_functions", "asof_join_latest_order",
 )
 
 

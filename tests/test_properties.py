@@ -872,16 +872,104 @@ def test_asof_windowed_dtype_normalization_edges(spark):
     assert run(left, right) == {1: 90, 2: None}
 
 
+def test_asof_join_row_unity_ties_and_null_on_keys(spark):
+    """The r10 review triple, pinned on BOTH as-of routes:
+
+    (1) ROW UNITY — a latest-match right row carrying a genuine NULL
+    payload field must be returned AS A UNIT, not mixed with the
+    previous match's value for that field (the windowed route's old
+    per-column last(ignorenulls) resurrected 'A' from the stale row —
+    reproduced before the struct fix);
+    (2) TIE DETERMINISM — right rows tied on the timestamp resolve by
+    the greatest right_values tuple on both routes, INDEPENDENT of
+    Arrow batch arrival order (pinned under an adversarial
+    sortWithinPartitions that flipped the cogroup's answer before the
+    tie sort), including array payloads via the tuple-key fallback;
+    (3) NULL ON-KEYS — a NULL timestamp satisfies no inequality: null-
+    on right rows match nobody, null-on left rows keep NULL payload
+    for how='left' and drop for inner (before r10 they CRASHED the
+    cogroup — pd.merge_asof rejects null merge keys)."""
+    from mapreduce_implementation_spark.operators.joins import (
+        asof_join, asof_join_windowed,
+    )
+
+    left = spark.createDataFrame([(1, 5, 100)], "id long, user long, ts long")
+
+    # (1) row unity
+    right = spark.createDataFrame(
+        [(5, 80, "A", 5), (5, 90, None, 7)],
+        "user long, ots long, tag string, x long")
+    for out in (
+        asof_join_windowed(left, right, left_on="ts", right_on="ots",
+                           left_by="user", right_by="user",
+                           right_values=["ots", "tag", "x"]),
+        asof_join(left, right, left_on="ts", right_on="ots",
+                  left_by="user", right_by="user",
+                  right_values=["ots", "tag", "x"], how="left"),
+    ):
+        assert [(r["ots"], r["tag"], r["x"]) for r in out.collect()] \
+            == [(90, None, 7)]
+
+    # (2) tie determinism under adversarial batch order
+    right = (spark.createDataFrame(
+        [(5, 90, "A"), (5, 90, "B"), (5, 90, "C")],
+        "user long, ots long, tag string")
+        .repartition(1).sortWithinPartitions(F.desc("tag")))
+    for out in (
+        asof_join_windowed(left, right, left_on="ts", right_on="ots",
+                           left_by="user", right_by="user",
+                           right_values=["ots", "tag"]),
+        asof_join(left, right, left_on="ts", right_on="ots",
+                  left_by="user", right_by="user",
+                  right_values=["ots", "tag"], how="left", num_buckets=1),
+    ):
+        assert [r["tag"] for r in out.collect()] == ["C"]
+    # array payload: pandas can't compare ndarrays vectorized — the
+    # tuple-key fallback must yield Spark's array ordering
+    right = (spark.createDataFrame(
+        [(5, 90, [1.0, 2.0]), (5, 90, [3.0, 1.0])],
+        "user long, ots long, emb array<double>")
+        .repartition(1).sortWithinPartitions(F.desc(F.col("emb")[0])))
+    for out in (
+        asof_join_windowed(left, right, left_on="ts", right_on="ots",
+                           left_by="user", right_by="user",
+                           right_values=["ots", "emb"]),
+        asof_join(left, right, left_on="ts", right_on="ots",
+                  left_by="user", right_by="user",
+                  right_values=["ots", "emb"], how="left", num_buckets=1),
+    ):
+        assert [list(r["emb"]) for r in out.collect()] == [[3.0, 1.0]]
+
+    # (3) NULL on-keys
+    left = spark.createDataFrame(
+        [(1, 5, 100), (2, 5, None)], "id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(5, 90), (5, None)], "user long, ots long")
+    args = dict(left_on="ts", right_on="ots", left_by="user",
+                right_by="user", right_values=["ots"])
+    got_w = sorted((r["id"], r["ots"]) for r in
+                   asof_join_windowed(left, right, **args).collect())
+    got_l = sorted((r["id"], r["ots"]) for r in
+                   asof_join(left, right, how="left", **args).collect())
+    got_i = sorted((r["id"], r["ots"]) for r in
+                   asof_join(left, right, how="inner", **args).collect())
+    assert got_w == [(1, 90), (2, None)]
+    assert got_l == [(1, 90), (2, None)]
+    assert got_i == [(1, 90)]
+
+
 # --- windowed as-of == pandas-cogroup as-of ---------------------------------
 
 @settings(max_examples=12, deadline=None)
 @given(st.lists(st.tuples(st.one_of(st.none(),                        # user
                                     st.integers(min_value=0, max_value=3)),
-                          st.integers(min_value=0, max_value=500)),   # ts sec
+                          st.integers(min_value=0, max_value=40)),    # ts sec
                 min_size=1, max_size=25),
        st.lists(st.tuples(st.one_of(st.none(),
                                     st.integers(min_value=0, max_value=3)),
-                          st.integers(min_value=0, max_value=500)),
+                          st.integers(min_value=0, max_value=40),
+                          st.one_of(st.none(),                        # payload
+                                    st.integers(min_value=0, max_value=5))),
                 min_size=0, max_size=25),
        st.booleans(),
        st.sampled_from([1, 64]))
@@ -892,9 +980,13 @@ def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords,
     pins): asof_join_windowed (declarative union + keyed-window last)
     == asof_join (pd.merge_asof cogroup, how='left') on arbitrary
     interleavings INCLUDING NULL by-keys on both sides (match nothing;
-    left rows keep NULL payload), equal timestamps
-    (backward-inclusive), duplicate (user, ts) rows, users with no
-    right rows, tolerance ON (100-second budget) and OFF, and both
+    left rows keep NULL payload), a NULLABLE payload column riding
+    right_values (the r10 Frankenstein class: a genuine NULL payload
+    field must not resurrect the previous match's value), TIED right
+    timestamps (the 0-40s offset range makes ties common; both routes
+    must pick the same greatest-(ots,val) row), equal left/right
+    timestamps (backward-inclusive), duplicate rows, users with no
+    right rows, tolerance ON (10-second budget) and OFF, and both
     num_buckets 1 (everything co-batched) and 64."""
     from mapreduce_implementation_spark.operators.joins import (
         asof_join, asof_join_windowed,
@@ -906,21 +998,21 @@ def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords,
         "id long, user long, off long",
     ).select("id", "user", F.expr(f"timestamp'{base}' + make_interval(0,0,0,0,0,0,off)").alias("ts"))
     right = spark.createDataFrame(
-        [(u, s) for (u, s) in rords] or [(99, 0)],
-        "user long, off long",
-    ).select("user", F.expr(f"timestamp'{base}' + make_interval(0,0,0,0,0,0,off)").alias("ots"))
+        [(u, s, v) for (u, s, v) in rords] or [(99, 0, None)],
+        "user long, off long, val long",
+    ).select("user", "val", F.expr(f"timestamp'{base}' + make_interval(0,0,0,0,0,0,off)").alias("ots"))
 
     win = asof_join_windowed(
         left, right, left_on="ts", right_on="ots",
-        left_by="user", right_by="user", right_values=["ots"],
-        tolerance_expr="INTERVAL 100 SECONDS" if with_tol else None)
+        left_by="user", right_by="user", right_values=["ots", "val"],
+        tolerance_expr="INTERVAL 10 SECONDS" if with_tol else None)
     pdc = asof_join(
         left, right, left_on="ts", right_on="ots",
-        left_by="user", right_by="user", right_values=["ots"],
-        tolerance="100s" if with_tol else None, how="left",
+        left_by="user", right_by="user", right_values=["ots", "val"],
+        tolerance="10s" if with_tol else None, how="left",
         num_buckets=num_buckets)
-    a = sorted((r["id"], str(r["ots"])) for r in win.collect())
-    b = sorted((r["id"], str(r["ots"])) for r in pdc.collect())
+    a = sorted((r["id"], str(r["ots"]), r["val"]) for r in win.collect())
+    b = sorted((r["id"], str(r["ots"]), r["val"]) for r in pdc.collect())
     assert a == b
 
 
