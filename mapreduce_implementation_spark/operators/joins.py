@@ -408,16 +408,17 @@ def range_join_bucketed(
     naive inequality join.
     """
     bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / window_seconds)  # noqa: E731
+    bkt = _fresh_name("_bkt", left, right)
     l = left.withColumn(
-        "_bkt", F.explode(F.array(bucket(left_ts), bucket(left_ts) + 1))
+        bkt, F.explode(F.array(bucket(left_ts), bucket(left_ts) + 1))
     )
-    r = right.withColumn("_bkt", bucket(right_ts))
+    r = right.withColumn(bkt, bucket(right_ts))
     lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     return (
         l.alias("l")
-        .join(r.alias("r"), on=[F.col("l._bkt") == F.col("r._bkt"), F.col(f"l.{key}") == F.col(f"r.{key}")])
+        .join(r.alias("r"), on=[F.col(f"l.{bkt}") == F.col(f"r.{bkt}"), F.col(f"l.{key}") == F.col(f"r.{key}")])
         .where((rcol > lcol) & (rcol <= lcol + F.expr(f"INTERVAL {window_seconds} SECONDS")))
-        .drop("_bkt")
+        .drop(bkt)
     )
 
 
@@ -450,15 +451,16 @@ def interval_overlap_join(
     def bkt(c: str):
         return F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
 
-    l = left.withColumn("_bkt", F.explode(F.sequence(bkt(l_start), bkt(l_end))))
-    r = right.withColumn("_bkt", F.explode(F.sequence(bkt(r_start), bkt(r_end))))
+    bkt_c = _fresh_name("_bkt", left, right)
+    l = left.withColumn(bkt_c, F.explode(F.sequence(bkt(l_start), bkt(l_end))))
+    r = right.withColumn(bkt_c, F.explode(F.sequence(bkt(r_start), bkt(r_end))))
     first_common = F.greatest(bkt(l_start), bkt(r_start))
     return (
-        l.join(r, "_bkt")
+        l.join(r, bkt_c)
         .where((F.col(l_start) <= F.col(r_end))
                & (F.col(r_start) <= F.col(l_end))
-               & (F.col("_bkt") == first_common))
-        .drop("_bkt")
+               & (F.col(bkt_c) == first_common))
+        .drop(bkt_c)
     )
 
 
@@ -509,6 +511,13 @@ def bloom_prefilter(fact: DataFrame, keys: DataFrame, fact_key: str,
             f"bloom_prefilter key types must match (or both be integral): "
             f"fact.{fact_key} is {ftype}, keys.{dim_key} is {dtype} — "
             "xxhash64 over mismatched types silently loses matches")
+    # probe-side temp names are uniquified against the fact schema: the
+    # broadcast map and the k probe positions land ON the caller's
+    # frame, where fixed '_bloom'/'_p{j}' names would clobber (and then
+    # drop) caller columns.  Build-side names (_pos/_w/_b/_bits) live
+    # only on derived select() frames — no caller exposure.
+    bloom_c = _fresh_name("_bloom", fact)
+    p = _fresh_name("_p", fact)  # prefix-safe for _p0.._p{k-1}
     pos = [F.pmod(F.xxhash64(dim_col, F.lit(j)), F.lit(m))
            for j in range(k)]
     bloom = (
@@ -519,15 +528,15 @@ def bloom_prefilter(fact: DataFrame, keys: DataFrame, fact_key: str,
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(_b AS INT)))")
              .alias("_bits"))
         .agg(F.map_from_entries(F.collect_list(F.struct("_w", "_bits")))
-             .alias("_bloom"))
+             .alias(bloom_c))
     )
     probes = " AND ".join(
-        f"((shiftright(coalesce(element_at(_bloom, shiftright(_p{j}, 6)),"
-        f" CAST(0 AS BIGINT)), CAST(pmod(_p{j}, 64) AS INT)) & 1) = 1)"
+        f"((shiftright(coalesce(element_at(`{bloom_c}`, shiftright(`{p}{j}`, 6)),"
+        f" CAST(0 AS BIGINT)), CAST(pmod(`{p}{j}`, 64) AS INT)) & 1) = 1)"
         for j in range(k))
     out = fact.crossJoin(F.broadcast(bloom))
     for j in range(k):
         out = out.withColumn(
-            f"_p{j}", F.pmod(F.xxhash64(fact_col, F.lit(j)), F.lit(m)))
+            f"{p}{j}", F.pmod(F.xxhash64(fact_col, F.lit(j)), F.lit(m)))
     return (out.where(F.expr(probes))
-            .drop("_bloom", *[f"_p{j}" for j in range(k)]))
+            .drop(bloom_c, *[f"{p}{j}" for j in range(k)]))

@@ -36,12 +36,18 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     Only inner/left are valid: right/full-outer would emit each
     unmatched right row once per salt replica.
     """
+    from .joins import _fresh_name
+
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports inner/left only, got {how!r}")
-    s = skewed.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
-    o = other.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
-    out = s.join(o, on=[key, "_salt"], how=how)
-    return out.drop("_salt")
+    # uniquified: a caller column literally named '_salt' must survive
+    # (r10 sweep of the fixed-temp-name clobber class the as-of
+    # operators fixed first)
+    salt_c = _fresh_name("_salt", skewed, other)
+    s = skewed.withColumn(salt_c, (F.rand(seed=42) * salt).cast("int"))
+    o = other.withColumn(salt_c, F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = s.join(o, on=[key, salt_c], how=how)
+    return out.drop(salt_c)
 
 
 def salted_aggregate(df: DataFrame, key: str, aggs: list[Column],
@@ -51,7 +57,10 @@ def salted_aggregate(df: DataFrame, key: str, aggs: list[Column],
     with ``aggs`` (aliased ``partial_aliases``), then groupBy(key) with
     ``final_aggs`` over the partials.  Only needed beyond Spark's built-in
     partial agg for pathological key distributions."""
-    salted = df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
-    partial = salted.groupBy(key, "_salt").agg(
+    from .joins import _fresh_name
+
+    salt_c = _fresh_name("_salt", df)
+    salted = df.withColumn(salt_c, (F.rand(seed=42) * salt).cast("int"))
+    partial = salted.groupBy(key, salt_c).agg(
         *[a.alias(n) for a, n in zip(aggs, partial_aliases)])
     return partial.groupBy(key).agg(*final_aggs)

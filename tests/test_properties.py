@@ -1016,6 +1016,71 @@ def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords,
     assert a == b
 
 
+def test_join_and_skew_operators_do_not_clobber_caller_temp_names(spark):
+    """r10 sweep of the fixed-temp-name clobber class across the
+    remaining library operators that mutate CALLER frames (the as-of
+    pair was fixed first; these had the identical latent trap): a
+    caller column literally named '_salt' / '_bkt' / '_bloom' / '_p0'
+    must pass through salted_join, salted_aggregate,
+    range_join_bucketed, interval_overlap_join and bloom_prefilter
+    untouched — previously withColumn REPLACED it and the trailing
+    drop() deleted it from the output."""
+    from mapreduce_implementation_spark.operators.joins import (
+        bloom_prefilter, interval_overlap_join, range_join_bucketed,
+    )
+    from mapreduce_implementation_spark.operators.skew import (
+        salted_aggregate, salted_join,
+    )
+
+    # salted_join: '_salt' on both sides survives with caller values
+    skewed = spark.createDataFrame(
+        [(1, "keep-l")], "k long, _salt string")
+    other = spark.createDataFrame([(1, 7)], "k long, v long")
+    row = salted_join(skewed, other, "k").collect()[0]
+    assert (row["_salt"], row["v"]) == ("keep-l", 7)
+
+    # salted_aggregate: '_salt' in the frame does not break the phases
+    df = spark.createDataFrame([(1, "x", 2), (1, "y", 3)],
+                               "k long, _salt string, v long")
+    got = salted_aggregate(
+        df, "k", [F.sum("v")], ["_part"],
+        [F.sum("_part").alias("total")]).collect()
+    assert [(r["k"], r["total"]) for r in got] == [(1, 5)]
+
+    # range_join_bucketed: caller '_bkt' on the left survives
+    l = spark.createDataFrame(
+        [(1, "keep", "2024-01-01 00:00:00")], "k long, _bkt string, ts string"
+    ).select("k", "_bkt", F.to_timestamp("ts").alias("ts"))
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "k long, rts string"
+    ).select("k", F.to_timestamp("rts").alias("rts"))
+    out = range_join_bucketed(l, r, "k", "ts", "rts", 3600).collect()
+    assert len(out) == 1 and out[0]["_bkt"] == "keep"
+
+    # interval_overlap_join: caller '_bkt' on the left survives
+    li = spark.createDataFrame(
+        [("keep", "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "_bkt string, s string, e string"
+    ).select("_bkt", F.to_timestamp("s").alias("s"),
+             F.to_timestamp("e").alias("e"))
+    ri = spark.createDataFrame(
+        [("2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+        "rs string, re string"
+    ).select(F.to_timestamp("rs").alias("rs"),
+             F.to_timestamp("re").alias("re"))
+    out = interval_overlap_join(li, ri, "s", "e", "rs", "re", 1800).collect()
+    assert len(out) == 1 and out[0]["_bkt"] == "keep"
+
+    # bloom_prefilter: caller '_bloom' and '_p0' survive; filter exact
+    fact = spark.createDataFrame(
+        [(1, "keepb", 11), (2, "keepb", 22)],
+        "k bigint, _bloom string, _p0 long")
+    dim = spark.createDataFrame([(1,)], "d bigint")
+    kept = bloom_prefilter(fact, dim, "k", "d", num_bits=1 << 10).collect()
+    assert {(r["k"], r["_bloom"], r["_p0"]) for r in kept} >= {(1, "keepb", 11)}
+    assert all(r["_bloom"] == "keepb" for r in kept)
+
+
 # --- bloom prefilter: transparency (never drops a true match) ---------------
 
 @settings(max_examples=10, deadline=None)
