@@ -29,12 +29,19 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 from .caching import tracked_persist
+from .joins import _fresh_name
 
 __all__ = ["ranked", "with_lag", "running_agg", "top_k_per_group",
            "top_k_per_group_salted",
            "global_ntile", "global_running_sum", "grouped_running_sum",
            "grouped_ntile", "exact_quantiles", "grouped_exact_quantiles",
            "global_order_stats", "shared_boundaries"]
+
+# Temp-name discipline (r10 sweep of the fixed-name clobber class): each
+# operator derives ONE prefix no caller column starts with via
+# _fresh_name, then builds every internal column name from it — a caller
+# column literally named '_bkt'/'_rn'/'_offset'/... passes through
+# untouched instead of being silently replaced and dropped.
 
 
 def _spec(partition_by: list[str], order_by: list[Column]) -> WindowSpec:
@@ -66,10 +73,11 @@ def top_k_per_group(df: DataFrame, partition_by: list[str],
                     order_by: list[Column], k: int) -> DataFrame:
     """Per-group top-k: window row_number + filter — the scalable idiom
     (no per-group sort materialization beyond the one shuffle)."""
+    rn = _fresh_name("_rn", df)
     return (
-        df.withColumn("_rn", F.row_number().over(_spec(partition_by, order_by)))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(_spec(partition_by, order_by)))
+        .filter(F.col(rn) <= k)
+        .drop(rn)
     )
 
 
@@ -91,17 +99,19 @@ def top_k_per_group_salted(df: DataFrame, partition_by: list[str],
     as the two-phase window family.  ``out_rank`` optionally emits the
     final 1-based rank.
     """
+    p = _fresh_name("_tk_", df)
+    salt_c, rn, grn = f"{p}salt", f"{p}rn", f"{p}grn"
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(salt_col), F.lit(buckets)))
+        salt_c, F.pmod(F.xxhash64(salt_col), F.lit(buckets)))
     local = (salted.withColumn(
-        "_rn", F.row_number().over(_spec([*partition_by, "_salt"], order_by)))
-        .filter(F.col("_rn") <= k))
+        rn, F.row_number().over(_spec([*partition_by, salt_c], order_by)))
+        .filter(F.col(rn) <= k))
     final = (local.withColumn(
-        "_grn", F.row_number().over(_spec(partition_by, order_by)))
-        .filter(F.col("_grn") <= k))
+        grn, F.row_number().over(_spec(partition_by, order_by)))
+        .filter(F.col(grn) <= k))
     if out_rank is not None:
-        final = final.withColumn(out_rank, F.col("_grn").cast("int"))
-    return final.drop("_salt", "_rn", "_grn")
+        final = final.withColumn(out_rank, F.col(grn).cast("int"))
+    return final.drop(salt_c, rn, grn)
 
 
 # --------------------------------------------------------------------------
@@ -154,10 +164,11 @@ def _sample_rows(df: DataFrame, names: list[str], S: int) -> list:
     same rows come back on every evaluation).  Depends only on row
     VALUES — never on input partitioning, task scheduling, or cache
     state.  Cost: one column-pruned pass collecting S tiny tuples."""
+    sel = df.select(*names)
+    tag = _fresh_name("_tag", sel)
     return (
-        df.select(*names)
-        .withColumn("_tag", F.xxhash64(*names))
-        .orderBy(F.col("_tag").asc(),
+        sel.withColumn(tag, F.xxhash64(*names))
+        .orderBy(F.col(tag).asc(),
                  *[F.col(n).asc_nulls_first() for n in names])
         .limit(S)
         .collect()
@@ -345,29 +356,32 @@ def global_ntile(df: DataFrame, order_by, n_tiles: int,
     base = tracked_persist(df)
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
-    local = ranked(bucketed, ["_bkt"], _sort_cols(keys),
-                   kind="row_number", out="_local_rn")
-    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_bkt").rowsBetween(
+    p = _fresh_name("_gt_", df)
+    bkt, lrn, off, nn, cnt = (f"{p}bkt", f"{p}lrn", f"{p}off", f"{p}n",
+                              f"{p}cnt")
+    bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
+    local = ranked(bucketed, [bkt], _sort_cols(keys),
+                   kind="row_number", out=lrn)
+    counts = bucketed.groupBy(bkt).agg(F.count(F.lit(1)).alias(cnt))
+    w_off = Window.orderBy(bkt).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(bkt).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
     offsets = counts.select(
-        "_bkt",
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
-        F.sum("_cnt").over(w_all).alias("_n"),
+        bkt,
+        F.coalesce(F.sum(cnt).over(w_off), F.lit(0)).alias(off),
+        F.sum(cnt).over(w_all).alias(nn),
     )
-    r = F.col("_local_rn") + F.col("_offset")
+    r = F.col(lrn) + F.col(off)
     k = F.lit(n_tiles).cast("long")
-    q = F.floor(F.col("_n") / k)
-    rem = F.col("_n") % k
+    q = F.floor(F.col(nn) / k)
+    rem = F.col(nn) % k
     cut = rem * (q + 1)
     tile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
         rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1)
     return (
-        local.join(F.broadcast(offsets), "_bkt")
+        local.join(F.broadcast(offsets), bkt)
         .withColumn(out, tile.cast("int"))
-        .drop("_bkt", "_local_rn", "_offset", "_n")
+        .drop(bkt, lrn, off, nn)
     )
 
 
@@ -397,20 +411,22 @@ def global_running_sum(df: DataFrame, value_col: str,
     base = tracked_persist(df)
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
+    p = _fresh_name("_gs_", df)
+    bkt, lcum, tot, off = f"{p}bkt", f"{p}lcum", f"{p}tot", f"{p}off"
+    bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
     local = bucketed.withColumn(
-        "_local_cum",
+        lcum,
         F.sum(value_col).over(
-            Window.partitionBy("_bkt").orderBy(*_sort_cols(keys))
+            Window.partitionBy(bkt).orderBy(*_sort_cols(keys))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    totals = bucketed.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    totals = bucketed.groupBy(bkt).agg(F.sum(value_col).alias(tot))
+    w_off = Window.orderBy(bkt).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "_bkt", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_offset"))
+        bkt, F.coalesce(F.sum(tot).over(w_off), F.lit(0)).alias(off))
     return (
-        local.join(F.broadcast(offsets), "_bkt")
-        .withColumn(out, F.col("_local_cum") + F.col("_offset"))
-        .drop("_bkt", "_local_cum", "_offset")
+        local.join(F.broadcast(offsets), bkt)
+        .withColumn(out, F.col(lcum) + F.col(off))
+        .drop(bkt, lcum, off)
     )
 
 
@@ -445,23 +461,25 @@ def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
     base = tracked_persist(df)
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
+    p = _fresh_name("_gr_", df)
+    bkt, lcum, tot, off = f"{p}bkt", f"{p}lcum", f"{p}tot", f"{p}off"
+    bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
     local = bucketed.withColumn(
-        "_local_cum",
+        lcum,
         F.sum(value_col).over(
-            Window.partitionBy("_bkt", *group_cols).orderBy(*_sort_cols(okeys))
+            Window.partitionBy(bkt, *group_cols).orderBy(*_sort_cols(okeys))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    totals = bucketed.groupBy("_bkt", *group_cols).agg(
-        F.sum(value_col).alias("_tot"))
-    w_off = (Window.partitionBy(*group_cols).orderBy("_bkt")
+    totals = bucketed.groupBy(bkt, *group_cols).agg(
+        F.sum(value_col).alias(tot))
+    w_off = (Window.partitionBy(*group_cols).orderBy(bkt)
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(
-        "_bkt", *group_cols,
-        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_offset"))
+        bkt, *group_cols,
+        F.coalesce(F.sum(tot).over(w_off), F.lit(0)).alias(off))
     return (
-        local.join(offsets, ["_bkt", *group_cols])
-        .withColumn(out, F.col("_local_cum") + F.col("_offset"))
-        .drop("_bkt", "_local_cum", "_offset")
+        local.join(offsets, [bkt, *group_cols])
+        .withColumn(out, F.col(lcum) + F.col(off))
+        .drop(bkt, lcum, off)
     )
 
 
@@ -497,32 +515,35 @@ def grouped_ntile(df: DataFrame, group_cols: list[str], order_by,
     base = tracked_persist(df)
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
-    local = ranked(bucketed, ["_bkt", *group_cols], _sort_cols(okeys),
-                   kind="row_number", out="_local_rn")
-    counts = bucketed.groupBy("_bkt", *group_cols).agg(
-        F.count(F.lit(1)).alias("_cnt"))
-    w_off = (Window.partitionBy(*group_cols).orderBy("_bkt")
+    p = _fresh_name("_gn_", df)
+    bkt, lrn, off, nn, cnt = (f"{p}bkt", f"{p}lrn", f"{p}off", f"{p}n",
+                              f"{p}cnt")
+    bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
+    local = ranked(bucketed, [bkt, *group_cols], _sort_cols(okeys),
+                   kind="row_number", out=lrn)
+    counts = bucketed.groupBy(bkt, *group_cols).agg(
+        F.count(F.lit(1)).alias(cnt))
+    w_off = (Window.partitionBy(*group_cols).orderBy(bkt)
              .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = (Window.partitionBy(*group_cols).orderBy("_bkt")
+    w_all = (Window.partitionBy(*group_cols).orderBy(bkt)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
     offsets = counts.select(
-        "_bkt", *group_cols,
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
-        F.sum("_cnt").over(w_all).alias("_n"),
+        bkt, *group_cols,
+        F.coalesce(F.sum(cnt).over(w_off), F.lit(0)).alias(off),
+        F.sum(cnt).over(w_all).alias(nn),
     )
-    r = F.col("_local_rn") + F.col("_offset")
+    r = F.col(lrn) + F.col(off)
     k = F.lit(n_tiles).cast("long")
-    q = F.floor(F.col("_n") / k)
-    rem = F.col("_n") % k
+    q = F.floor(F.col(nn) / k)
+    rem = F.col(nn) % k
     cut = rem * (q + 1)
     tile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
         rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1)
     return (
-        local.join(offsets, ["_bkt", *group_cols])
+        local.join(offsets, [bkt, *group_cols])
         .withColumn(out, tile.cast("int"))
-        .drop("_bkt", "_local_rn", "_offset", "_n")
+        .drop(bkt, lrn, off, nn)
     )
 
 
@@ -556,33 +577,39 @@ def exact_quantiles(df: DataFrame, value_col: str, probs: list[float],
         df.select(value_col).filter(F.col(value_col).isNotNull()))
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
-    local = ranked(bucketed, ["_bkt"], _sort_cols(keys),
-                   kind="row_number", out="_rn")
-    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_bkt").rowsBetween(
+    # fresh against the OUTPUT names too: out_names are caller-chosen
+    tp, taken = "_q_", set(base.columns) | set(names)
+    while any(c.startswith(tp) for c in taken):
+        tp += "_"
+    bkt, rn, off, nn, cnt = (f"{tp}bkt", f"{tp}rn", f"{tp}off", f"{tp}n",
+                             f"{tp}cnt")
+    bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
+    local = ranked(bucketed, [bkt], _sort_cols(keys),
+                   kind="row_number", out=rn)
+    counts = bucketed.groupBy(bkt).agg(F.count(F.lit(1)).alias(cnt))
+    w_off = Window.orderBy(bkt).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(bkt).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
     offsets = counts.select(
-        "_bkt",
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
-        F.sum("_cnt").over(w_all).alias("_n"),
+        bkt,
+        F.coalesce(F.sum(cnt).over(w_off), F.lit(0)).alias(off),
+        F.sum(cnt).over(w_all).alias(nn),
     )
-    r = (F.col("_rn") + F.col("_offset"))
+    r = (F.col(rn) + F.col(off))
     v = F.col(value_col).cast("double")
-    aggs = [F.max("_n").alias("_n")]
+    aggs = [F.max(nn).alias(nn)]
     for i, p in enumerate(probs):
-        pos = (F.col("_n") - 1) * F.lit(float(p))
+        pos = (F.col(nn) - 1) * F.lit(float(p))
         lo = F.floor(pos) + 1  # 1-based rank of the lower neighbor
-        aggs.append(F.sum(F.when(r == lo, v).otherwise(0.0)).alias(f"_lo{i}"))
-        aggs.append(F.sum(F.when(r == lo + 1, v).otherwise(0.0)).alias(f"_hi{i}"))
-    one = local.join(F.broadcast(offsets), "_bkt").agg(*aggs)
+        aggs.append(F.sum(F.when(r == lo, v).otherwise(0.0)).alias(f"{tp}lo{i}"))
+        aggs.append(F.sum(F.when(r == lo + 1, v).otherwise(0.0)).alias(f"{tp}hi{i}"))
+    one = local.join(F.broadcast(offsets), bkt).agg(*aggs)
     outs = []
     for i, (p, name) in enumerate(zip(probs, names)):
-        pos = (F.col("_n") - 1) * F.lit(float(p))
+        pos = (F.col(nn) - 1) * F.lit(float(p))
         frac = pos - F.floor(pos)
-        outs.append((F.col(f"_lo{i}")
-                     + (F.col(f"_hi{i}") - F.col(f"_lo{i}")) * frac)
+        outs.append((F.col(f"{tp}lo{i}")
+                     + (F.col(f"{tp}hi{i}") - F.col(f"{tp}lo{i}")) * frac)
                     .alias(name))
     return one.select(*outs)
 
@@ -625,39 +652,44 @@ def grouped_exact_quantiles(df: DataFrame, value_col: str,
         .filter(F.col(value_col).isNotNull()))
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    bucketed = base.withColumn("_bkt", _bucket_expr(base, keys, bounds))
-    local = ranked(bucketed, ["_bkt", *group_cols], _sort_cols(okeys),
-                   kind="row_number", out="_rn")
-    counts = bucketed.groupBy("_bkt", *group_cols).agg(
-        F.count(F.lit(1)).alias("_cnt"))
-    w_off = (Window.partitionBy(*group_cols).orderBy("_bkt")
+    tp, taken = "_gq_", set(base.columns) | set(names)
+    while any(c.startswith(tp) for c in taken):
+        tp += "_"
+    bkt, rn, off, nn, cnt = (f"{tp}bkt", f"{tp}rn", f"{tp}off", f"{tp}n",
+                             f"{tp}cnt")
+    bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
+    local = ranked(bucketed, [bkt, *group_cols], _sort_cols(okeys),
+                   kind="row_number", out=rn)
+    counts = bucketed.groupBy(bkt, *group_cols).agg(
+        F.count(F.lit(1)).alias(cnt))
+    w_off = (Window.partitionBy(*group_cols).orderBy(bkt)
              .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = (Window.partitionBy(*group_cols).orderBy("_bkt")
+    w_all = (Window.partitionBy(*group_cols).orderBy(bkt)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
     offsets = counts.select(
-        "_bkt", *group_cols,
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
-        F.sum("_cnt").over(w_all).alias("_n"),
+        bkt, *group_cols,
+        F.coalesce(F.sum(cnt).over(w_off), F.lit(0)).alias(off),
+        F.sum(cnt).over(w_all).alias(nn),
     )
-    joined = local.join(offsets, ["_bkt", *group_cols])
-    r = F.col("_rn") + F.col("_offset")
+    joined = local.join(offsets, [bkt, *group_cols])
+    r = F.col(rn) + F.col(off)
     v = F.col(value_col).cast("double")
-    aggs = [F.max("_n").alias("_n")]
+    aggs = [F.max(nn).alias(nn)]
     for i, p in enumerate(probs):
-        pos = (F.col("_n") - 1) * F.lit(float(p))  # per-row: _n is the group's n
+        pos = (F.col(nn) - 1) * F.lit(float(p))  # per-row: the group's n
         lo = F.floor(pos) + 1
-        aggs.append(F.sum(F.when(r == lo, v).otherwise(0.0)).alias(f"_lo{i}"))
-        aggs.append(F.sum(F.when(r == lo + 1, v).otherwise(0.0)).alias(f"_hi{i}"))
+        aggs.append(F.sum(F.when(r == lo, v).otherwise(0.0)).alias(f"{tp}lo{i}"))
+        aggs.append(F.sum(F.when(r == lo + 1, v).otherwise(0.0)).alias(f"{tp}hi{i}"))
     one = joined.groupBy(*group_cols).agg(*aggs)
     outs = [F.col(c) for c in group_cols]
     for i, (p, name) in enumerate(zip(probs, names)):
-        pos = (F.col("_n") - 1) * F.lit(float(p))
+        pos = (F.col(nn) - 1) * F.lit(float(p))
         frac = pos - F.floor(pos)
         # the last row of the group has no hi neighbor (frac == 0 there,
-        # so the hi term contributes nothing; _hi holds 0.0 from the sum)
-        outs.append((F.col(f"_lo{i}")
-                     + (F.col(f"_hi{i}") - F.col(f"_lo{i}")) * frac)
+        # so the hi term contributes nothing; hi holds 0.0 from the sum)
+        outs.append((F.col(f"{tp}lo{i}")
+                     + (F.col(f"{tp}hi{i}") - F.col(f"{tp}lo{i}")) * frac)
                     .alias(name))
     return one.select(*outs)
 
@@ -691,48 +723,55 @@ def global_order_stats(df: DataFrame, order_by,
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = _norm_keys(order_by)
     names = [k[0] for k in keys]
+    tp, taken = "_os_", set(df.columns) | {rank_col, dense_col,
+                                           pct_col, cume_col}
+    while any(c.startswith(tp) for c in taken):
+        tp += "_"
+    bkt, cnt, lc, lk = f"{tp}bkt", f"{tp}cnt", f"{tp}lc", f"{tp}lk"
+    tc, tk, oc, ok, nn = (f"{tp}tc", f"{tp}tk", f"{tp}oc", f"{tp}ok",
+                          f"{tp}n")
     keyed = tracked_persist(
-        df.groupBy(*names).agg(F.count(F.lit(1)).alias("_cnt")))
+        df.groupBy(*names).agg(F.count(F.lit(1)).alias(cnt)))
     if bounds is None:
         bounds = _boundaries(keyed, keys, parts)
-    bucketed = keyed.withColumn("_bkt", _bucket_expr(keyed, keys, bounds))
-    w_loc = (Window.partitionBy("_bkt").orderBy(*_sort_cols(keys))
+    bucketed = keyed.withColumn(bkt, _bucket_expr(keyed, keys, bounds))
+    w_loc = (Window.partitionBy(bkt).orderBy(*_sort_cols(keys))
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = (bucketed
-             .withColumn("_lc", F.sum("_cnt").over(w_loc))
-             .withColumn("_lk", F.row_number().over(
-                 Window.partitionBy("_bkt").orderBy(*_sort_cols(keys)))))
-    totals = bucketed.groupBy("_bkt").agg(
-        F.sum("_cnt").alias("_tc"), F.count(F.lit(1)).alias("_tk"))
-    w_off = (Window.orderBy("_bkt")
+             .withColumn(lc, F.sum(cnt).over(w_loc))
+             .withColumn(lk, F.row_number().over(
+                 Window.partitionBy(bkt).orderBy(*_sort_cols(keys)))))
+    totals = bucketed.groupBy(bkt).agg(
+        F.sum(cnt).alias(tc), F.count(F.lit(1)).alias(tk))
+    w_off = (Window.orderBy(bkt)
              .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = (Window.orderBy("_bkt")
+    w_all = (Window.orderBy(bkt)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
     offsets = totals.select(
-        "_bkt",
-        F.coalesce(F.sum("_tc").over(w_off), F.lit(0)).alias("_oc"),
-        F.coalesce(F.sum("_tk").over(w_off), F.lit(0)).alias("_ok"),
-        F.sum("_tc").over(w_all).alias("_n"))
-    cum = F.col("_lc") + F.col("_oc")
-    # stats keys renamed _k0.., so the join back to df (whose lineage
+        bkt,
+        F.coalesce(F.sum(tc).over(w_off), F.lit(0)).alias(oc),
+        F.coalesce(F.sum(tk).over(w_off), F.lit(0)).alias(ok),
+        F.sum(tc).over(w_all).alias(nn))
+    cum = F.col(lc) + F.col(oc)
+    # stats keys renamed {tp}k0.., so the join back to df (whose lineage
     # stats shares) is never an ambiguous self-join reference
     stats = (
-        local.join(F.broadcast(offsets), "_bkt")
+        local.join(F.broadcast(offsets), bkt)
         .select(
-            *[F.col(n).alias(f"_k{i}") for i, n in enumerate(names)],
-            (cum - F.col("_cnt") + 1).alias(rank_col),
-            (F.col("_lk") + F.col("_ok")).alias(dense_col),
-            F.when(F.col("_n") > 1,
-                   (cum - F.col("_cnt")).cast("double")
-                   / (F.col("_n") - 1).cast("double"))
+            *[F.col(n).alias(f"{tp}k{i}") for i, n in enumerate(names)],
+            (cum - F.col(cnt) + 1).alias(rank_col),
+            (F.col(lk) + F.col(ok)).alias(dense_col),
+            F.when(F.col(nn) > 1,
+                   (cum - F.col(cnt)).cast("double")
+                   / (F.col(nn) - 1).cast("double"))
             .otherwise(F.lit(0.0)).alias(pct_col),
-            (cum.cast("double") / F.col("_n").cast("double"))
+            (cum.cast("double") / F.col(nn).cast("double"))
             .alias(cume_col))
     )
     cond = None
     for i, n in enumerate(names):
-        c = F.col(n).eqNullSafe(F.col(f"_k{i}"))
+        c = F.col(n).eqNullSafe(F.col(f"{tp}k{i}"))
         cond = c if cond is None else (cond & c)
     return (df.join(stats, cond)
-            .drop(*[f"_k{i}" for i in range(len(names))]))
+            .drop(*[f"{tp}k{i}" for i in range(len(names))]))

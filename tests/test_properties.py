@@ -1080,6 +1080,35 @@ def test_join_and_skew_operators_do_not_clobber_caller_temp_names(spark):
     assert {(r["k"], r["_bloom"], r["_p0"]) for r in kept} >= {(1, "keepb", 11)}
     assert all(r["_bloom"] == "keepb" for r in kept)
 
+    # windows family: '_rn' / '_bkt' / '_offset' caller columns survive
+    # top_k_per_group and the two-phase global operators with exact
+    # results (the two-phase math is checked elsewhere; this pins
+    # pass-through)
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.windows import (
+        global_ntile, global_running_sum, top_k_per_group,
+    )
+
+    wdf = spark.createDataFrame(
+        [(1, 10, "a", 5, 100), (1, 20, "b", 6, 200), (2, 30, "c", 7, 300)],
+        "g long, v long, _rn string, _bkt long, _offset long")
+    try:
+        top = top_k_per_group(wdf, ["g"], [F.desc("v")], 1).collect()
+        assert {(r["g"], r["_rn"], r["_bkt"]) for r in top} \
+            == {(1, "b", 6), (2, "c", 7)}
+        cum = global_running_sum(wdf, "v", ["v"], out="cum",
+                                 partitions=3).collect()
+        assert {(r["v"], r["cum"], r["_offset"]) for r in cum} \
+            == {(10, 10, 100), (20, 30, 200), (30, 60, 300)}
+        tiles = global_ntile(wdf, ["v"], 3, out="tile",
+                             partitions=3).collect()
+        assert {(r["v"], r["tile"], r["_rn"]) for r in tiles} \
+            == {(10, 1, "a"), (20, 2, "b"), (30, 3, "c")}
+    finally:
+        release_persisted()
+
 
 # --- bloom prefilter: transparency (never drops a true match) ---------------
 
