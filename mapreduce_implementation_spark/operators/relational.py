@@ -95,13 +95,17 @@ def merge_upsert(snapshot: DataFrame, changes: DataFrame, keys: list[str],
     """
     from pyspark.sql.window import Window
 
+    from .joins import _fresh_name
+
     data_cols = list(snapshot.columns)
     ch = changes
     if seq_col is not None:
+        rn = _fresh_name("_rn", changes, snapshot)
         w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
-        ch = (ch.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+        ch = (ch.withColumn(rn, F.row_number().over(w))
+                .filter(F.col(rn) == 1).drop(rn))
     else:
+        dup = _fresh_name("_dupchk", changes, snapshot)
         wc = Window.partitionBy(*keys)
         guard = F.assert_true(
             F.count(F.lit(1)).over(wc) == 1,
@@ -109,9 +113,9 @@ def merge_upsert(snapshot: DataFrame, changes: DataFrame, keys: list[str],
                   "seq_col to order them — pass seq_col"))
         # assert_true yields NULL on success and raises on violation; the
         # filter keeps the guard column referenced so pruning can't drop it
-        ch = (ch.withColumn("_dupchk", guard)
-                .filter(F.col("_dupchk").isNull())
-                .drop("_dupchk"))
+        ch = (ch.withColumn(dup, guard)
+                .filter(F.col(dup).isNull())
+                .drop(dup))
     kept = snapshot.join(ch.select(*keys), keys, "left_anti")
     applied = ch.filter(F.col(op_col) != "D").select(*data_cols)
     return kept.unionByName(applied)
