@@ -1110,6 +1110,73 @@ def test_join_and_skew_operators_do_not_clobber_caller_temp_names(spark):
         release_persisted()
 
 
+# --- URL canonicalizer == component model ------------------------------------
+
+def test_canonicalize_url_matches_component_model(spark):
+    """functions/urlfn.canonicalize_url and url_host vs an independent
+    Python model of the documented rules, on ~200 seeded
+    component-built URLs covering: mixed-case schemes/hosts, www.
+    prefixes (incl. a 'www'-without-dot host that must NOT strip),
+    default and non-default ports on http/https/ftp, empty and cased
+    paths, tracking params (utm_*/gclid/fbclid/ref) mixed with
+    legitimate ones in random order, dangling '?', and fragments.
+    One Spark action for all cases."""
+    import random
+
+    from mapreduce_implementation_spark.functions.urlfn import (
+        canonicalize_url, url_host,
+    )
+
+    rng = random.Random(4210)
+    schemes = ["http", "https", "ftp"]
+    hosts = ["Ex-1.Test", "wwwx.test", "A.B.test", "site.test"]
+    tracking = ["utm_source", "utm_medium", "utm_x", "gclid", "fbclid", "ref"]
+    legit = ["topic", "a", "b", "id"]
+
+    def randcase(s, r):
+        return "".join(ch.upper() if r.random() < 0.5 else ch.lower()
+                       for ch in s)
+
+    cases = []
+    for i in range(200):
+        scheme = rng.choice(schemes)
+        host = rng.choice(hosts)
+        www = rng.random() < 0.4
+        port = rng.choice([None, "80", "443", "8080"])
+        path = rng.choice(["", "/", "/A/b", "/x/Y/z9"])
+        n_par = rng.randint(0, 4)
+        params = [(rng.choice(tracking + legit), str(rng.randint(0, 99)))
+                  for _ in range(n_par)]
+        dangling_q = n_par == 0 and rng.random() < 0.3
+        frag = rng.choice([None, "Sec1", "f"])
+        url = (randcase(scheme, rng) + "://"
+               + ("WWW." if www else "") + randcase(host, rng)
+               + (f":{port}" if port else "")
+               + path
+               + ("?" + "&".join(f"{k}={v}" for k, v in params)
+                  if params else ("?" if dangling_q else ""))
+               + (f"#{frag}" if frag else ""))
+        # independent model of the documented rules
+        mhost = host.lower()  # 'WWW.' prefix stripped; inner www kept
+        default = (scheme, port) in (("https", "443"), ("http", "80"))
+        mport = f":{port}" if port and not default else ""
+        mpath = path if path else "/"
+        kept = sorted(f"{k}={v}" for k, v in params
+                      if not (k.startswith("utm_")
+                              or k in ("gclid", "fbclid", "ref")))
+        mquery = "?" + "&".join(kept) if kept else ""
+        expect = f"{scheme}://{mhost}{mport}{mpath}{mquery}"
+        cases.append((i, url, expect, mhost))
+
+    df = spark.createDataFrame([(i, u) for i, u, _, _ in cases],
+                               "i long, url string")
+    got = {r["i"]: (r["c"], r["h"]) for r in df.select(
+        "i", canonicalize_url(F.col("url")).alias("c"),
+        url_host(F.col("url")).alias("h")).collect()}
+    for i, url, expect, mhost in cases:
+        assert got[i] == (expect, mhost), (url, got[i], (expect, mhost))
+
+
 # --- bloom prefilter: transparency (never drops a true match) ---------------
 
 @settings(max_examples=10, deadline=None)
