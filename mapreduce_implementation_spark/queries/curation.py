@@ -595,3 +595,43 @@ def q_pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(stage(2, "length_100_500", s2))
             .unionByName(stage(3, "mean_wordlen_3_12", s3))
             .unionByName(stage(4, "exact_dedup", s4, "rep_chars")))
+
+
+@register(
+    "curation_domain_cap",
+    oracle="""
+    SELECT doc_id, host, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT doc_id, host,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM (SELECT doc_id, source || '.example.com' AS host
+            FROM documents)
+    ) WHERE rn <= 25
+    """,
+    doc="Per-domain document cap (the C4/RefinedWeb curation step: keep "
+        "at most K documents per host so no single domain dominates the "
+        "training mix): rank each host's docs by a DETERMINISTIC "
+        "content-independent hash (md5 of the doc id — a seeded uniform "
+        "shuffle that is reproducible across runs/engines, unlike "
+        "rand()) and keep rank <= 25.  One hash exchange on host; the "
+        "rank<=K filter triggers Spark's WindowGroupLimit pushdown, so "
+        "each MAP task pre-trims to its local top-K per host BEFORE the "
+        "shuffle — at 100 TB the exchange carries at most "
+        "K x hosts x tasks rows, not the corpus (plan-pinned in "
+        "tests/test_plans.py).  Hosts are synthesized from source like "
+        "scalar_url_functions (no URL column in the fixture); md5 is "
+        "used (not xxhash64) because DuckDB computes the identical hex "
+        "so the ranking itself is hash-oracled.",
+)
+def q_curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"))
+    rk = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("host").orderBy(rk.asc(), F.col("doc_id").asc())
+    return (docs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 25)
+            .select("doc_id", "host", "rank"))

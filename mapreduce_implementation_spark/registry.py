@@ -103,8 +103,8 @@ _LOADED = False
 # the checked-in CORRECTNESS files and fails once a new round's file
 # lands — fixing it IS the rotation step.
 #
-# r10 window: 1 new registration + 4 changed-this-round + the 38
-# remaining r05-row queries + the 7 alphabetically-first r06-row
+# r10 window: 2 new registrations + 4 changed-this-round + the 38
+# remaining r05-row queries + the 6 alphabetically-first r06-row
 # queries.
 _CHANGED_IN_ROUND: dict[str, int] = {
     # r10: z2 recomputed from an exact decimal(28,6) intermediate
@@ -122,10 +122,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
 }
 
 _SAMPLE_FIRST = (
-    # --- round-0 stale: new registration + changed-this-round ---
+    # --- round-0 stale: new registrations + changed-this-round ---
     "asof_join_latest_order", "asof_join_tolerance",
-    "dedup_url_canonical", "embedding_outlier_zscore",
-    "scd2_point_in_time_join",
+    "curation_domain_cap", "dedup_url_canonical",
+    "embedding_outlier_zscore", "scd2_point_in_time_join",
     # --- stale, latest driver row r05 (all 38 remaining) ---
     "graph_pagerank_trade", "graph_sssp_weighted", "join_bloom_prefilter",
     "multimodal_video_framesample", "pandas_udaf_rms_spend",
@@ -143,10 +143,10 @@ _SAMPLE_FIRST = (
     "window_moving_avg", "window_percent_rank_cume",
     "window_range_frame", "window_rank", "window_row_number_topk",
     "window_running_sum",
-    # --- alphabetical head of the r06 block (7 fillers) ---
+    # --- alphabetical head of the r06 block (6 fillers) ---
     "agg_conditional_filter", "agg_geometric_harmonic_means",
     "agg_gini_spend", "agg_minmax_multi_key",
-    "agg_ols_normal_equations", "agg_percentiles", "agg_tpch_q1",
+    "agg_ols_normal_equations", "agg_percentiles",
 )
 
 

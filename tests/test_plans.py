@@ -174,6 +174,18 @@ def test_window_topk_single_shuffle(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_domain_cap_windowgrouplimit_single_shuffle(spark):
+    """The per-domain cap must ride WindowGroupLimit: each map task
+    pre-trims to its local top-K per host BEFORE the one hash exchange,
+    so the shuffle carries at most K x hosts x tasks rows at any corpus
+    size — the property that makes a per-domain cap viable at 100 TB."""
+    df = SPECS["curation_domain_cap"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_semi_join_no_row_explosion(spark):
     plan = plan_string(SPECS["join_semi"].fn(spark, SF_DIR_01))
     assert "LeftSemi" in plan, plan

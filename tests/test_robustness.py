@@ -126,6 +126,7 @@ _REPRESENTATIVES = [
     "embedding_outlier_zscore",    # z-score outliers over zero vectors
     # round-10 families
     "dedup_url_canonical",         # host stats over zero URLs
+    "curation_domain_cap",         # per-host cap over zero docs
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
