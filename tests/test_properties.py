@@ -987,7 +987,10 @@ def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords,
     must pick the same greatest-(ots,val) row), equal left/right
     timestamps (backward-inclusive), duplicate rows, users with no
     right rows, tolerance ON (10-second budget) and OFF, and both
-    num_buckets 1 (everything co-batched) and 64."""
+    num_buckets 1 (everything co-batched) and 64.  A third leg checks
+    the timestamp surface against DuckDB's NATIVE ASOF LEFT JOIN — a
+    fully independent engine — so the contract is pinned externally,
+    not just internally consistent."""
     from mapreduce_implementation_spark.operators.joins import (
         asof_join, asof_join_windowed,
     )
@@ -1014,6 +1017,34 @@ def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords,
     a = sorted((r["id"], str(r["ots"]), r["val"]) for r in win.collect())
     b = sorted((r["id"], str(r["ots"]), r["val"]) for r in pdc.collect())
     assert a == b
+
+    # third, fully independent implementation: DuckDB's native ASOF
+    # LEFT JOIN over the same frames (timestamp surface only — tied
+    # timestamps carry engine-chosen payloads, and generated on-keys
+    # are never NULL, where DuckDB's NULLS-LAST ordering would diverge
+    # from this repo's SQL-predicate NULL rule by design)
+    import duckdb
+    import pandas as pd
+
+    base_ts = pd.Timestamp("2024-01-01 00:00:00")
+    lpdf = pd.DataFrame({
+        "id": range(len(levts)),
+        "user": pd.array([u for u, _ in levts], dtype="Int64"),
+        "ts": [base_ts + pd.Timedelta(seconds=s) for _, s in levts]})
+    rr = rords or [(99, 0, None)]
+    rpdf = pd.DataFrame({
+        "user": pd.array([u for u, _, _ in rr], dtype="Int64"),
+        "ots": [base_ts + pd.Timedelta(seconds=s) for _, s, _ in rr]})
+    sel = ("CASE WHEN r.ots IS NOT NULL AND l.ts - r.ots <= "
+           "INTERVAL 10 SECOND THEN r.ots END" if with_tol else "r.ots")
+    con = duckdb.connect()
+    duck = sorted(
+        (int(i), str(pd.Timestamp(o)) if o is not None else "None")
+        for i, o in con.execute(
+            f"SELECT l.id, {sel} AS ots FROM lpdf l ASOF LEFT JOIN rpdf r "
+            "ON l.user = r.user AND r.ots <= l.ts").fetchall())
+    con.close()
+    assert sorted((r["id"], str(r["ots"])) for r in win.collect()) == duck
 
 
 def test_join_and_skew_operators_do_not_clobber_caller_temp_names(spark):
