@@ -107,6 +107,10 @@ PIPELINES = [
     # expressions ride the scan; one shuffle carrying ~|hosts| groups'
     # partial aggs — expect near-linear scan term, tiny absolute)
     "dedup_url_canonical",
+    # round-10: per-domain cap (WindowGroupLimit pre-trims each map
+    # task to K per host before the one exchange — expect flat: the
+    # shuffle carries <= K x hosts x tasks rows at any corpus size)
+    "curation_domain_cap",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]
