@@ -106,6 +106,13 @@ _LOADED = False
 # r10 window: 2 new registrations + 4 changed-this-round + the 38
 # remaining r05-row queries + the 6 alphabetically-first r06-row
 # queries.
+#
+# Pre-computed r11 window (assuming CORRECTNESS_r10 lands with the 50
+# above and r11 makes no new registrations / change flags): the 41
+# remaining r06-row queries + the 9 alphabetically-first r07-row
+# queries (agg_decimal_exact .. dedup_exact).  The guard test
+# recomputes the truth either way — treat this as a head start, not
+# an answer.
 _CHANGED_IN_ROUND: dict[str, int] = {
     # r10: z2 recomputed from an exact decimal(28,6) intermediate
     # (r9 ADVICE rounding-boundary fix) — output expression changed
