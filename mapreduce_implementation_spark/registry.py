@@ -103,57 +103,39 @@ _LOADED = False
 # the checked-in CORRECTNESS files and fails once a new round's file
 # lands — fixing it IS the rotation step.
 #
-# r10 window: 2 new registrations + 4 changed-this-round + the 38
-# remaining r05-row queries + the 6 alphabetically-first r06-row
-# queries.
-#
-# Pre-computed r11 window (assuming CORRECTNESS_r10 lands with the 50
-# above and r11 makes no new registrations / change flags): the 41
-# remaining r06-row queries + the 9 alphabetically-first r07-row
-# queries (agg_decimal_exact .. dedup_exact).  The guard test
-# recomputes the truth either way — treat this as a head start, not
-# an answer.
-_CHANGED_IN_ROUND: dict[str, int] = {
-    # r10: z2 recomputed from an exact decimal(28,6) intermediate
-    # (r9 ADVICE rounding-boundary fix) — output expression changed
-    "embedding_outlier_zscore": 10,
-    # r10: asof_join_windowed hardened (NULL by/on-keys match nothing,
-    # by-key dtype normalization, uniquified temp names, struct-bundled
-    # payload) — the operator this query is registered on changed
-    "asof_join_tolerance": 10,
-    # r10: asof_join (cogroup) changed behavior too — deterministic
-    # tie ordering on tied right timestamps, NULL on-key routing — so
-    # its registered consumers re-verify this round as well
-    "asof_join_latest_order": 10,
-    "scd2_point_in_time_join": 10,
-}
+# r11 window: the 41 remaining r06-row queries + the 9 alphabetically-
+# first r07-row queries (agg_decimal_exact .. dedup_exact), matching
+# the r10 pre-computation.  The 4 r10 _CHANGED_IN_ROUND entries all
+# received their r10 driver rows (green) and are pruned.  New r11
+# registrations / change flags are added below as the round's changes
+# land and the window is recomputed after each (the guard test is the
+# arbiter).
+_CHANGED_IN_ROUND: dict[str, int] = {}
 
 _SAMPLE_FIRST = (
-    # --- round-0 stale: new registrations + changed-this-round ---
-    "asof_join_latest_order", "asof_join_tolerance",
-    "curation_domain_cap", "dedup_url_canonical",
-    "embedding_outlier_zscore", "scd2_point_in_time_join",
-    # --- stale, latest driver row r05 (all 38 remaining) ---
-    "graph_pagerank_trade", "graph_sssp_weighted", "join_bloom_prefilter",
-    "multimodal_video_framesample", "pandas_udaf_rms_spend",
-    "pandas_udf_charge", "pipeline_budget_resample",
-    "pipeline_fingerprint_dedup", "rfm_segments",
-    "sample_weighted_systematic", "scd2_intervals",
-    "sessions_interval_overlap", "similarity_ann_ivf",
-    "similarity_ann_lsh", "sort_nulls_ordering", "subq_custdist",
-    "subq_exists_late_ship", "subq_in_large_orders",
-    "subq_scalar_anti_q22", "text_bigram_logprob", "text_bm25_top10",
-    "text_contamination_4gram", "text_dedup_exact_normalized",
-    "text_keyphrase_rake", "text_perplexity_buckets", "text_pmi_pairs",
-    "text_repetition_gopher", "text_zipf_alpha", "timeseries_gap_fill",
-    "udtf_order_years", "window_global_ntile", "window_lag_lead",
-    "window_moving_avg", "window_percent_rank_cume",
-    "window_range_frame", "window_rank", "window_row_number_topk",
-    "window_running_sum",
-    # --- alphabetical head of the r06 block (6 fillers) ---
-    "agg_conditional_filter", "agg_geometric_harmonic_means",
-    "agg_gini_spend", "agg_minmax_multi_key",
-    "agg_ols_normal_equations", "agg_percentiles",
+    # --- stale, latest driver row r06 (all 41 remaining) ---
+    "agg_tpch_q1", "array_functions", "corpus_datasheet", "cube_agg",
+    "date_arithmetic", "dedup_substring_spans", "embedding_dim_stats",
+    "embedding_pca_power", "embedding_random_projection",
+    "events_new_vs_returning", "events_top_paths", "graph_hits_trade",
+    "graph_kcore", "incremental_agg_merge", "join_band_broadcast",
+    "join_null_safe", "layout_zorder_key", "multimodal_audio_vad_spans",
+    "multimodal_image_resize", "pipeline_filter_funnel",
+    "pipeline_sequence_packing", "retrieval_hard_negatives",
+    "scalar_try_functions", "scalar_url_functions",
+    "sketch_hll_datasketches", "sketch_quantile_histogram",
+    "skyline_pareto_orders", "source_schema_evolution",
+    "sql_lateral_topn", "stats_ks_two_sample", "text_bpe_first_merges",
+    "text_heaps_law", "text_js_divergence_sources",
+    "text_ngram_novelty", "timeseries_cumulative_users",
+    "timeseries_cusum_changepoint", "timeseries_holt_linear",
+    "timeseries_wau_sliding", "window_global_rank_stats",
+    "window_range_trailing_7d", "window_session_builtin",
+    # --- alphabetical head of the r07 block (9 fillers) ---
+    "agg_decimal_exact", "agg_mode_per_group", "agg_percentiles_exact",
+    "agg_stat_moments", "anomaly_daily_zscore",
+    "dedup_cluster_representatives", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_exact",
 )
 
 
