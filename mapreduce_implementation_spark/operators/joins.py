@@ -330,17 +330,31 @@ def asof_join_windowed(
     implement ONE contract; a differential property test pins them
     equal): NULL by-keys AND NULL on-keys match nothing — null-keyed
     RIGHT rows are filtered out before the union, and null-keyed LEFT
-    rows then fall out correct for free (a null by-key partitions
-    away from every right row; a null on-key sorts NULLS FIRST, before
-    any right row — either way no preceding right struct exists and
-    the payload is NULL; no second scan of the left side, plan shape
-    unchanged at one exchange + one Window); mixed-dtype by-keys are
-    normalized to the shared :func:`_by_key_cast` target so both
-    operators co-partition keys identically; temp names are uniquified
-    against caller columns.  Caveat vs the cogroup route: if a LARGE
-    fraction of left rows carries NULL keys they all land in one
-    window partition (a skewed no-op sort) — the cogroup route filters
-    them out pre-shuffle; route around upstream if that's your data.
+    rows are filtered out too and unioned back AFTER the window with
+    NULL payload (the cogroup route's filter-and-pad idiom, adopted
+    here in r11 per the r10 verdict: before, null-keyed left rows
+    rode THROUGH the window — semantically correct, since a null
+    by-key partitions away from every right row, but every such row
+    landed in ONE window partition, a skewed no-op sort that turns a
+    90%-NULL-by corpus into a single hot task at scale).  The pad leg
+    is a second scan of the left input plus a Union — no extra
+    exchange, no extra Window, so the plan pin stays one exchange +
+    one Window.  Mixed-dtype by-keys are normalized to the shared
+    :func:`_by_key_cast` target so both operators co-partition keys
+    identically; temp names are uniquified against caller columns.
+
+    NaN tie order (r10 ADVICE): the tie-break ORDER key maps NaN in
+    top-level float/double payload fields to NULL (``nanvl``) before
+    the struct comparison, because the cogroup route's pandas sort
+    treats NaN as NA (``na_position='first'`` — smallest) while
+    Spark's raw struct ordering sorts NaN GREATER than any value —
+    without the normalization the two routes pick different rows among
+    timestamp ties.  The matched PAYLOAD still carries the original
+    NaN.  Residual, documented out of the tie contract: a NULL-payload
+    row and a NaN-payload row tied on everything else are
+    indistinguishable to pandas (Arrow conflates NULL/NaN in float
+    columns), so their relative order is unspecified on both routes;
+    NaN inside NESTED arrays is likewise not normalized.
     """
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
@@ -362,6 +376,13 @@ def asof_join_windowed(
     rv_t = T.StructType([right.schema[c] for c in rv])
     right = right.filter(F.col(right_by).isNotNull()
                          & F.col(right_on).isNotNull())
+    # null-keyed LEFT rows skip the shuffle+window entirely (they can
+    # never match) and are padded back with NULL payload post-window —
+    # same idiom as the cogroup route; avoids the one-hot-partition
+    # skew when a large left fraction carries NULL keys.
+    l_null = F.col(left_by).isNull() | F.col(left_on).isNull()
+    null_left = left.filter(l_null)
+    left = left.filter(~l_null)
     l_tag = left.select(
         lby.alias(by_c), F.col(left_on).alias(t_c),
         F.lit(1).alias(side_c),
@@ -375,9 +396,25 @@ def asof_join_windowed(
           for c in left.columns],
         F.struct(*[F.col(c).alias(c) for c in rv]).alias(rv_c),
     )
+    # Tie-break ORDER key: the payload struct with NaN in top-level
+    # float/double fields mapped to NULL (nanvl), so Spark's struct
+    # comparison ranks NaN smallest — matching the cogroup route's
+    # pandas sort (na_position='first' treats NaN as NA).  Raw Spark
+    # ordering would rank NaN GREATEST and the two routes would pick
+    # different rows among timestamp ties (r10 ADVICE).  The payload
+    # column itself is untouched.  (For LEFT rows the key becomes a
+    # struct of NULLs instead of a NULL struct — irrelevant: the side
+    # tag already separates sides, and tied left rows are order-
+    # insensitive, each being its own output row.)
+    flt = (T.FloatType, T.DoubleType)
+    rv_ord = F.struct(*[
+        (F.nanvl(F.col(rv_c).getField(f.name),
+                 F.lit(None).cast(f.dataType)) if isinstance(f.dataType, flt)
+         else F.col(rv_c).getField(f.name)).alias(f.name)
+        for f in rv_t.fields])
     w = (Window.partitionBy(by_c)
          .orderBy(F.col(t_c).asc(), F.col(side_c).asc(),
-                  F.col(rv_c).asc())
+                  rv_ord.asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = l_tag.unionByName(r_tag, allowMissingColumns=False).select(
         "*", F.last(rv_c, ignorenulls=True).over(w).alias(m_c),
@@ -389,7 +426,11 @@ def asof_join_windowed(
                    <= F.expr(tolerance_expr)))
     out_cols = [F.col(c) for c in left.columns] + [
         F.when(keep, F.col(m_c).getField(c)).alias(c) for c in rv]
-    return matched.select(*out_cols)
+    out = matched.select(*out_cols)
+    pad = null_left.select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rv])
+    return out.unionByName(pad)
 
 
 def range_join_bucketed(

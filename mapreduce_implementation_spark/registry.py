@@ -110,10 +110,18 @@ _LOADED = False
 # registrations / change flags are added below as the round's changes
 # land and the window is recomputed after each (the guard test is the
 # arbiter).
-_CHANGED_IN_ROUND: dict[str, int] = {}
+_CHANGED_IN_ROUND: dict[str, int] = {
+    # r11: asof_join_windowed changed — null-keyed LEFT rows now route
+    # around the window via a pad Union leg (skew fix), and the tie-
+    # break ORDER key NaN-normalizes float payload fields — the
+    # operator behind this query changed, so it re-verifies this round
+    "asof_join_tolerance": 11,
+}
 
 _SAMPLE_FIRST = (
-    # --- stale, latest driver row r06 (all 41 remaining) ---
+    # --- round-0 stale: changed-this-round ---
+    "asof_join_tolerance",
+    # --- stale, latest driver row r06 (41, minus the last filler) ---
     "agg_tpch_q1", "array_functions", "corpus_datasheet", "cube_agg",
     "date_arithmetic", "dedup_substring_spans", "embedding_dim_stats",
     "embedding_pca_power", "embedding_random_projection",
@@ -131,11 +139,11 @@ _SAMPLE_FIRST = (
     "timeseries_cusum_changepoint", "timeseries_holt_linear",
     "timeseries_wau_sliding", "window_global_rank_stats",
     "window_range_trailing_7d", "window_session_builtin",
-    # --- alphabetical head of the r07 block (9 fillers) ---
+    # --- alphabetical head of the r07 block (8 fillers) ---
     "agg_decimal_exact", "agg_mode_per_group", "agg_percentiles_exact",
     "agg_stat_moments", "anomaly_daily_zscore",
     "dedup_cluster_representatives", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_exact",
+    "dedup_embedding_cosine",
 )
 
 

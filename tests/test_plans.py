@@ -628,6 +628,9 @@ def test_asof_tolerance_windowed_single_shuffle_no_python(spark):
     assert plan.count("Window") == 1, plan
     assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead"), plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # r11: null-keyed left rows ride a pad Union leg AROUND the window
+    # (no extra exchange — the skew fix is exchange-free by design)
+    assert plan.count("Union") == 2, plan
 
 
 def test_kcore_peels_with_semi_joins_no_python(spark):

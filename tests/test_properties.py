@@ -1047,6 +1047,74 @@ def test_asof_windowed_matches_pandas_cogroup(spark, levts, rords,
     assert sorted((r["id"], str(r["ots"])) for r in win.collect()) == duck
 
 
+def test_asof_windowed_null_left_rows_bypass_window(spark):
+    """r10 VERDICT item 2: a left corpus that is 90% NULL-keyed must
+    NOT funnel those rows into one window partition (every NULL by-key
+    hashes to the same partition — a single hot task at scale).  The
+    r11 fix routes null-keyed left rows AROUND the shuffle+window via
+    the cogroup route's filter-and-pad idiom, so the skew guarantee is
+    structural: the optimized plan shows the null rows filtered out
+    BELOW the window leg (they can never reach the exchange) and
+    re-attached by a second, exchange-free Union leg.  Semantics are
+    unchanged: null-keyed rows keep NULL payload, non-null rows match
+    as before."""
+    from mapreduce_implementation_spark.operators.joins import (
+        asof_join_windowed,
+    )
+
+    rows = [(i, 5 if i % 10 == 0 else None, 100 + i) for i in range(1000)]
+    left = spark.createDataFrame(rows, "id long, user long, ts long")
+    right = spark.createDataFrame([(5, 90, 7)],
+                                  "user long, ots long, val long")
+    out = asof_join_windowed(left, right, left_on="ts", right_on="ots",
+                             left_by="user", right_by="user",
+                             right_values=["ots", "val"])
+    got = {(r["id"], r["val"]) for r in out.collect()}
+    assert len(got) == 1000
+    assert all(v == (7 if i % 10 == 0 else None) for i, v in got)
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # two Unions: the operator's internal left/right tag union feeding
+    # the Window, plus the NEW outer pad union (pre-fix plans had one)
+    assert plan.count("Union") == 2, plan
+    # the window leg's left input filters null keys out BEFORE any
+    # exchange; the pad leg keeps exactly the complement
+    assert "isnotnull(user" in plan and "isnotnull(ts" in plan, plan
+    assert "isnull(user" in plan and "isnull(ts" in plan, plan
+    # still exactly one Window
+    assert plan.count("Window") == 1, plan
+
+
+def test_asof_nan_payload_tie_order_matches(spark):
+    """r10 ADVICE: right rows TIED on the timestamp with a float
+    payload containing NaN must resolve the same on both routes.  The
+    cogroup route's pandas sort treats NaN as NA (sorts smallest);
+    Spark's raw struct ordering sorts NaN GREATER than any value, so
+    pre-fix the windowed route picked the NaN row among ties while the
+    cogroup route picked the non-NaN row.  r11 normalizes the windowed
+    ORDER key with nanvl (NaN -> NULL, smallest) — both routes now
+    pick the greatest-by-(payload-with-NaN-as-NA) row.  (NULL-vs-NaN
+    ties remain out of contract — Arrow conflates them in float
+    columns — so the fixture uses a NaN/non-NaN pair, not NULL.)"""
+    from mapreduce_implementation_spark.operators.joins import (
+        asof_join, asof_join_windowed,
+    )
+
+    left = spark.createDataFrame([(1, 5, 100)], "id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(5, 90, float("nan"), "nan_row"), (5, 90, 2.0, "num_row")],
+        "user long, ots long, price double, rid string")
+    args = dict(left_on="ts", right_on="ots", left_by="user",
+                right_by="user", right_values=["ots", "price", "rid"])
+    got_w = asof_join_windowed(left, right, **args).collect()
+    got_c = asof_join(left, right, how="left", **args).collect()
+    # pandas sort key (ots, price, rid) with NaN-as-NA-first: num_row
+    # is the greatest tuple -> backward picks it; windowed must agree
+    assert [r["rid"] for r in got_w] == ["num_row"]
+    assert [r["rid"] for r in got_c] == ["num_row"]
+    assert got_w[0]["price"] == 2.0 and got_c[0]["price"] == 2.0
+
+
 def test_join_and_skew_operators_do_not_clobber_caller_temp_names(spark):
     """r10 sweep of the fixed-temp-name clobber class across the
     remaining library operators that mutate CALLER frames (the as-of
