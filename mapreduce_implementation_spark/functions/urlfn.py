@@ -9,6 +9,11 @@ no UDFs, a free rider on the scan at 100 TB.  The grammar is the
 pragmatic crawl-dedup canon, NOT full RFC 3986 resolution:
 
 * scheme and host lowercase (RFC 3986 §6.2.2.1 case normalization);
+* userinfo (``user:pass@``) is DROPPED from the authority — it is
+  client state, not document identity, and keeping it both splits
+  host-level dedup groups and leaks credentials into the canonical key
+  (r10 ADVICE: pre-fix, 'https://User@WWW.Example.com/x' grouped under
+  'user@www.example.com' with the www. not stripped);
 * a leading ``www.`` label is stripped (host aliasing convention);
 * default ports are dropped (``https:443`` / ``http:80``), any other
   explicit port is kept;
@@ -37,9 +42,12 @@ TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
 
 
 def url_host(url: Column) -> Column:
-    """Canonical host: lowercase, port stripped, leading ``www.`` label
-    removed.  The grouping key for host-level corpus stats."""
+    """Canonical host: userinfo stripped, lowercase, port stripped,
+    leading ``www.`` label removed.  The grouping key for host-level
+    corpus stats.  Userinfo cannot contain an unencoded ``@`` (RFC 3986
+    §3.2.1), so stripping through the FIRST ``@`` is exact."""
     hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
     host = F.lower(F.regexp_replace(hostport, r":[0-9]+$", ""))
     return F.regexp_replace(host, r"^www\.", "")
 
@@ -56,6 +64,9 @@ def canonicalize_url(url: Column) -> Column:
     nofrag = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    # userinfo is dropped from the canonical form (module doc; the
+    # port/host reads below then see the bare host[:port])
+    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
     host = F.regexp_replace(
         F.lower(F.regexp_replace(hostport, r":[0-9]+$", "")), r"^www\.", "")
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)

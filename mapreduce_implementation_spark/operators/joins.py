@@ -47,12 +47,17 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on=on, how="left_anti")
 
 
-def _fresh_name(base: str, *dfs: DataFrame) -> str:
+def _fresh_name(base: str, *dfs: DataFrame, extra: tuple = ()) -> str:
     """A temp-column name (or prefix) no caller column starts with —
     prefix-safe so derived names like ``f"{p}{c}"`` can't clobber either
     (r9 review: fixed '_by'/'_bkt'/'_matched' names shadowed caller
-    data; the windowed twin's '_rv_*' family needs the prefix form)."""
-    cols = {c for df in dfs for c in df.columns}
+    data; the windowed twin's '_rv_*' family needs the prefix form).
+    ``extra`` folds caller-chosen OUTPUT names into the taken set: an
+    operator that later does ``withColumn(out, ...)`` must not derive a
+    temp name the out-column collides with, or the trailing drop()
+    deletes the caller's output (r10 ADVICE: an out like '_gt_bkt'
+    collided with global_ntile's internal bucket column)."""
+    cols = {c for df in dfs for c in df.columns} | set(extra)
     name = base
     while any(c.startswith(name) for c in cols):
         name += "_"

@@ -356,7 +356,7 @@ def global_ntile(df: DataFrame, order_by, n_tiles: int,
     base = tracked_persist(df)
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    p = _fresh_name("_gt_", df)
+    p = _fresh_name("_gt_", df, extra=(out,))
     bkt, lrn, off, nn, cnt = (f"{p}bkt", f"{p}lrn", f"{p}off", f"{p}n",
                               f"{p}cnt")
     bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
@@ -411,7 +411,7 @@ def global_running_sum(df: DataFrame, value_col: str,
     base = tracked_persist(df)
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    p = _fresh_name("_gs_", df)
+    p = _fresh_name("_gs_", df, extra=(out,))
     bkt, lcum, tot, off = f"{p}bkt", f"{p}lcum", f"{p}tot", f"{p}off"
     bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
     local = bucketed.withColumn(
@@ -461,7 +461,7 @@ def grouped_running_sum(df: DataFrame, value_col: str, group_cols: list[str],
     base = tracked_persist(df)
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    p = _fresh_name("_gr_", df)
+    p = _fresh_name("_gr_", df, extra=(out,))
     bkt, lcum, tot, off = f"{p}bkt", f"{p}lcum", f"{p}tot", f"{p}off"
     bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
     local = bucketed.withColumn(
@@ -515,7 +515,7 @@ def grouped_ntile(df: DataFrame, group_cols: list[str], order_by,
     base = tracked_persist(df)
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    p = _fresh_name("_gn_", df)
+    p = _fresh_name("_gn_", df, extra=(out,))
     bkt, lrn, off, nn, cnt = (f"{p}bkt", f"{p}lrn", f"{p}off", f"{p}n",
                               f"{p}cnt")
     bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))

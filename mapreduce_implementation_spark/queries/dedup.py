@@ -1255,14 +1255,16 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents table has no URL column, so (like scalar_url_functions) a
 # deterministic URL is derived from (doc_id, source, lang) — with every
 # mess class the canonicalizer must handle injected by doc_id residues:
-# uppercase scheme/host, a www. label, explicit DEFAULT ports, tracking
-# params (utm_* / gclid), a legitimate param that must SURVIVE, and
-# fragments.  Docs sharing (source, lang, parity, doc_id%40, %6, %5!=0,
+# uppercase scheme/host, userinfo (user:pw@ — dropped from host AND
+# canonical form, r10 ADVICE), a www. label, explicit DEFAULT ports,
+# tracking params (utm_* / gclid), a legitimate param that must
+# SURVIVE, and fragments.  Docs sharing (source, lang, parity, doc_id%40, %6, %5!=0,
 # %3-class) collapse to one canonical URL — real host-level dup mass.
 _URL_CANON_ORACLE = """
 WITH u AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+         || (CASE WHEN doc_id % 7 = 0 THEN 'User:Pw@' ELSE '' END)
          || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
          || source || '.Example.COM'
          || (CASE WHEN doc_id % 4 = 0 THEN ':443'
@@ -1291,9 +1293,11 @@ comp AS (
 ),
 norm AS (
   SELECT url, scheme, raw_path, qs,
-         regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+         regexp_replace(lower(regexp_replace(
+             regexp_replace(hostport, '^[^@]*@', ''), ':[0-9]+$', '')),
                         '^www\\.', '') AS host,
-         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_extract(regexp_replace(hostport, '^[^@]*@', ''),
+                        ':([0-9]+)$', 1) AS port,
          array_to_string(list_sort(list_filter(string_split(qs, '&'),
            x -> x <> '' AND NOT regexp_matches(x,
              '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS kept
@@ -1342,6 +1346,7 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     did = F.col("doc_id")
     scheme = F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    userinfo = F.when(did % 7 == 0, F.lit("User:Pw@")).otherwise(F.lit(""))
     www = F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
     port = (F.when(did % 4 == 0, F.lit(":443"))
             .when(did % 4 == 1, F.lit(":80"))
@@ -1358,7 +1363,8 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat(F.lit("#Sec"), (did % 9).cast("string"))
                   ).otherwise(F.lit(""))
     url = F.concat(
-        scheme, F.lit("://"), www, F.col("source"), F.lit(".Example.COM"),
+        scheme, F.lit("://"), userinfo, www,
+        F.col("source"), F.lit(".Example.COM"),
         port, F.lit("/"), F.col("lang"), F.lit("/Page"),
         (did % 40).cast("string"), query, frag)
     docs = load_table(spark, sf_dir, "documents")

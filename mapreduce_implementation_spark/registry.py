@@ -116,11 +116,14 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # break ORDER key NaN-normalizes float payload fields — the
     # operator behind this query changed, so it re-verifies this round
     "asof_join_tolerance": 11,
+    # r11: urlfn userinfo strip (r10 ADVICE) + a userinfo mess class in
+    # the synthesized URL surface — output changed on both sides
+    "dedup_url_canonical": 11,
 }
 
 _SAMPLE_FIRST = (
     # --- round-0 stale: changed-this-round ---
-    "asof_join_tolerance",
+    "asof_join_tolerance", "dedup_url_canonical",
     # --- stale, latest driver row r06 (41, minus the last filler) ---
     "agg_tpch_q1", "array_functions", "corpus_datasheet", "cube_agg",
     "date_arithmetic", "dedup_substring_spans", "embedding_dim_stats",
@@ -139,11 +142,10 @@ _SAMPLE_FIRST = (
     "timeseries_cusum_changepoint", "timeseries_holt_linear",
     "timeseries_wau_sliding", "window_global_rank_stats",
     "window_range_trailing_7d", "window_session_builtin",
-    # --- alphabetical head of the r07 block (8 fillers) ---
+    # --- alphabetical head of the r07 block (7 fillers) ---
     "agg_decimal_exact", "agg_mode_per_group", "agg_percentiles_exact",
     "agg_stat_moments", "anomaly_daily_zscore",
     "dedup_cluster_representatives", "dedup_clusters",
-    "dedup_embedding_cosine",
 )
 
 

@@ -1115,6 +1115,47 @@ def test_asof_nan_payload_tie_order_matches(spark):
     assert got_w[0]["price"] == 2.0 and got_c[0]["price"] == 2.0
 
 
+def test_two_phase_window_operators_accept_colliding_out_names(spark):
+    """r10 ADVICE: global_ntile / global_running_sum /
+    grouped_running_sum / grouped_ntile derived their temp prefix from
+    df.columns only — an ``out`` like '_gt_bkt' collided with the
+    internal bucket column, so withColumn(out, ...) REPLACED it and
+    the trailing drop() deleted the caller's output.  The fresh-name
+    set now folds ``out`` in (the exact_quantiles guard, generalized
+    via _fresh_name(extra=)); each call below picks the exact out-name
+    that used to collide and asserts the output survives with correct
+    values."""
+    from mapreduce_implementation_spark.operators.windows import (
+        global_ntile, global_running_sum, grouped_ntile,
+        grouped_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, i % 3) for i in range(12)], "g string, k long, v long")
+
+    out = global_ntile(df, ["k"], 4, out="_gt_bkt")
+    assert "_gt_bkt" in out.columns
+    assert sorted((r["k"], r["_gt_bkt"]) for r in out.collect()) == [
+        (i, i // 3 + 1) for i in range(12)]
+
+    out = global_running_sum(df, "v", ["k"], out="_gs_bkt")
+    assert "_gs_bkt" in out.columns
+    exp, acc = [], 0
+    for i in range(12):
+        acc += i % 3
+        exp.append((i, acc))
+    assert sorted((r["k"], r["_gs_bkt"]) for r in out.collect()) == exp
+
+    out = grouped_running_sum(df, "v", ["g"], ["k"], out="_gr_bkt")
+    assert "_gr_bkt" in out.columns
+    assert sorted((r["k"], r["_gr_bkt"]) for r in out.collect()) == exp
+
+    out = grouped_ntile(df, ["g"], ["k"], 4, out="_gn_bkt")
+    assert "_gn_bkt" in out.columns
+    assert sorted((r["k"], r["_gn_bkt"]) for r in out.collect()) == [
+        (i, i // 3 + 1) for i in range(12)]
+
+
 def test_join_and_skew_operators_do_not_clobber_caller_temp_names(spark):
     """r10 sweep of the fixed-temp-name clobber class across the
     remaining library operators that mutate CALLER frames (the as-of
@@ -1218,8 +1259,10 @@ def test_canonicalize_url_matches_component_model(spark):
     prefixes (incl. a 'www'-without-dot host that must NOT strip),
     default and non-default ports on http/https/ftp, empty and cased
     paths, tracking params (utm_*/gclid/fbclid/ref) mixed with
-    legitimate ones in random order, dangling '?', and fragments.
-    One Spark action for all cases."""
+    legitimate ones in random order, dangling '?', fragments, and
+    userinfo ('User:Pw@' — dropped from host and canonical form, r10
+    ADVICE: pre-fix the www-strip/port-strip ran on the
+    userinfo-prefixed string).  One Spark action for all cases."""
     import random
 
     from mapreduce_implementation_spark.functions.urlfn import (
@@ -1240,6 +1283,7 @@ def test_canonicalize_url_matches_component_model(spark):
     for i in range(200):
         scheme = rng.choice(schemes)
         host = rng.choice(hosts)
+        userinfo = rng.choice([None, None, None, "User:Pw", "u"])
         www = rng.random() < 0.4
         port = rng.choice([None, "80", "443", "8080"])
         path = rng.choice(["", "/", "/A/b", "/x/Y/z9"])
@@ -1249,6 +1293,7 @@ def test_canonicalize_url_matches_component_model(spark):
         dangling_q = n_par == 0 and rng.random() < 0.3
         frag = rng.choice([None, "Sec1", "f"])
         url = (randcase(scheme, rng) + "://"
+               + (f"{userinfo}@" if userinfo else "")
                + ("WWW." if www else "") + randcase(host, rng)
                + (f":{port}" if port else "")
                + path
