@@ -635,3 +635,156 @@ def q_curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= 25)
             .select("doc_id", "host", "rank"))
+
+
+# PII-bearing text synthesis shared by pii_scrub_multi's two sides: the
+# documents fixture carries no real PII, so deterministic contact lines
+# (an email, a phone, an IPv4) are appended to `text` by doc_id residue
+# classes — the same idiom dedup_url_canonical uses for URLs.  Both
+# engines build the IDENTICAL augmented text and run the IDENTICAL
+# regexes, so the scrub itself is hash-oracled end to end.
+_PII_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN ' Contact alice' || CAST(doc_id AS VARCHAR)
+                       || '@Mail.Example.org for info.'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 1
+                  THEN ' Call (555) '
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' today.'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN ' Served from 10.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                       || CAST((doc_id * 13) % 256 AS VARCHAR)
+                       || ' internally.'
+                  ELSE '' END) AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT *, regexp_replace(t1, '\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}',
+                           '<PHONE>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         regexp_replace(t2,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           '<IP>', 'g') AS t3,
+         length(t)
+         - length(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+             '\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}', '', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '', 'g'))
+           AS pii_len
+  FROM s2
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+         AS n_email,
+       CAST(length(regexp_extract_all(t1,
+         '\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}')) AS INTEGER)
+         AS n_phone,
+       CAST(length(regexp_extract_all(t2,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER)
+         AS n_ip,
+       CAST(pii_len AS INTEGER) AS pii_chars,
+       CAST(floor(1000.0 * pii_len / greatest(length(t), 1)) AS INTEGER)
+         AS pii_permille,
+       md5(t3) AS scrub_md5
+FROM s3
+"""
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}"
+_PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pii_scrub_multi",
+    oracle=_PII_ORACLE,
+    doc="Multi-class PII scrub (the C4/Dolma curation step, r10 VERDICT "
+        "item 3 — pii_mask_digits was the only PII query): emails, "
+        "phone numbers and IPv4 addresses are redacted to <EMAIL>/"
+        "<PHONE>/<IP> tokens in a FIXED order (email first — its local "
+        "part can contain digit runs the phone/IP classes would "
+        "otherwise partially claim), with per-doc match counts, total "
+        "redacted characters, and a PII-density stat (permille of the "
+        "document, floor()ed: an exact int ratio through IEEE division "
+        "is bit-identical in both engines, where round() tie-breaking "
+        "is not — the r8 residual class).  The scrubbed text is pinned "
+        "by md5 so the oracle checks the REDACTION ITSELF, not just the "
+        "counts.  Pure regexp_replace/regexp_extract_all column "
+        "expressions — whole-stage codegen, zero UDF, zero shuffle: at "
+        "100 TB the scrub rides the scan (the counts are per-row, not "
+        "aggregated), which is exactly how a curation pass wants it.  "
+        "PII lines are synthesized deterministically from doc_id "
+        "residues (the fixture has no real PII) on BOTH sides, like "
+        "dedup_url_canonical's URL mess classes.",
+)
+def q_pii_scrub_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    did = F.col("doc_id")
+    email_part = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" Contact alice"), did.cast("string"),
+                 F.lit("@Mail.Example.org for info."))).otherwise(F.lit(""))
+    phone_part = F.when(
+        did % 3 == 1,
+        F.concat(F.lit(" Call (555) "),
+                 F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0"),
+                 F.lit(" today."))).otherwise(F.lit(""))
+    ip_part = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" Served from 10."),
+                 (did % 256).cast("string"), F.lit("."),
+                 ((did * 7) % 256).cast("string"), F.lit("."),
+                 ((did * 13) % 256).cast("string"),
+                 F.lit(" internally."))).otherwise(F.lit(""))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), email_part, phone_part, ip_part).alias("t"))
+
+    def scrubbed(col, pat, token):
+        return F.regexp_replace(col, pat, token)
+
+    def n_matches(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+    t = F.col("t")
+    staged = docs.select(
+        "doc_id", "t",
+        scrubbed(t, _PII_EMAIL_RE, "<EMAIL>").alias("t1"),
+    ).select(
+        "*", scrubbed(F.col("t1"), _PII_PHONE_RE, "<PHONE>").alias("t2"),
+    ).select(
+        "*", scrubbed(F.col("t2"), _PII_IP_RE, "<IP>").alias("t3"),
+        (F.length("t") - F.length(
+            scrubbed(scrubbed(scrubbed(t, _PII_EMAIL_RE, ""),
+                              _PII_PHONE_RE, ""),
+                     _PII_IP_RE, ""))).alias("pii_len"),
+    )
+    return staged.select(
+        "doc_id",
+        n_matches(t, _PII_EMAIL_RE).cast("int").alias("n_email"),
+        n_matches(F.col("t1"), _PII_PHONE_RE).cast("int").alias("n_phone"),
+        n_matches(F.col("t2"), _PII_IP_RE).cast("int").alias("n_ip"),
+        F.col("pii_len").cast("int").alias("pii_chars"),
+        F.floor(F.lit(1000.0) * F.col("pii_len")
+                / F.greatest(F.length("t"), F.lit(1)))
+         .cast("int").alias("pii_permille"),
+        F.md5(F.col("t3").cast("binary")).alias("scrub_md5"),
+    )

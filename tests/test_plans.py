@@ -705,3 +705,16 @@ def test_wau_fanout_is_map_side(spark):
     assert "Generate explode" in p or "Generate" in p, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_pii_scrub_multi_rides_the_scan(spark):
+    """The multi-class PII scrub must be a pure map: no Exchange (the
+    counts are per-row, nothing aggregates), no Python evaluation
+    (regexp_replace/regexp_extract_all are JVM expressions), and only
+    the three needed columns read from the documents scan — at 100 TB
+    the scrub's cost is the scan itself."""
+    df = SPECS["pii_scrub_multi"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert_read_schema_only(df, {"doc_id", "text"})

@@ -127,6 +127,8 @@ _REPRESENTATIVES = [
     # round-10 families
     "dedup_url_canonical",         # host stats over zero URLs
     "curation_domain_cap",         # per-host cap over zero docs
+    # round-11 families
+    "pii_scrub_multi",             # multi-class scrub over zero docs
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
