@@ -1663,3 +1663,98 @@ def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("d", 6).alias("ks_d"),
                     F.round(crit, 6).alias("crit_05"),
                     (F.col("d") > crit).alias("reject_same_dist")))
+
+
+# Fixed tiny BPE merge table for text_token_budget_bpe — ordered like a
+# trained merges.txt (earlier = higher priority; 'th e'/'an d' build on
+# the 't h'/'a n' outputs).  Applying each merge as ONE global
+# leftmost-nonoverlapping replace over the space-separated symbol
+# stream IS full BPE application of that merge: the pattern contains a
+# space and the replacement does not, so a replacement can never create
+# a fresh occurrence of its own pattern.  Shared by both engines so the
+# encoder is hash-oracled.
+_BPE_MERGES = [
+    ("t h", "th"), ("i n", "in"), ("a n", "an"), ("r e", "re"),
+    ("o n", "on"), ("e r", "er"), ("a t", "at"), ("e n", "en"),
+    ("o r", "or"), ("e s", "es"), ("th e", "the"), ("an d", "and"),
+]
+
+_TOKEN_BUDGET = 50_000  # per-source token budget (tokens, not chars)
+
+
+def _bpe_budget_oracle() -> str:
+    enc = ("regexp_replace(lower(regexp_replace(text, '[^A-Za-z ]', '', "
+           "'g')), '(.)', '\\1 ', 'g')")
+    for a, b in _BPE_MERGES:
+        enc = f"replace({enc}, '{a}', '{b}')"
+    return f"""
+    WITH perdoc AS (
+      SELECT source,
+             length(regexp_extract_all(lower(regexp_replace(
+                 text, '[^A-Za-z ]', '', 'g')), '[A-Za-z]+')) AS ws,
+             length(regexp_extract_all({enc}, '[^ ]+')) AS bpe
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(floor(sum(bpe) * 1.0 / count(*)) AS BIGINT) AS bpe_per_doc,
+           CAST(floor(1000.0 * least(1.0,
+                {_TOKEN_BUDGET}.0 / greatest(sum(bpe), 1))) AS INTEGER)
+             AS keep_permille,
+           CAST(floor(count(*) * least(1.0,
+                {_TOKEN_BUDGET}.0 / greatest(sum(bpe), 1))) AS BIGINT)
+             AS est_docs_kept
+    FROM perdoc GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "text_token_budget_bpe",
+    oracle=_bpe_budget_oracle(),
+    doc="Tokenizer-aware token budgeting (r10 VERDICT item 6): per-doc "
+        "token counts under a REAL subword scheme — each doc is "
+        "BPE-encoded against a fixed 12-entry merge table (the encoder "
+        "side of text_bpe_first_merges' trainer; Sennrich et al. 2016) "
+        "and the per-source BPE-token totals drive a token-based keep "
+        "fraction against a 50k-token budget, the quantity an actual "
+        "pretraining mix is budgeted by (char- and doc-count budgets "
+        "misprice sources with different token densities; the ws_tokens "
+        "column shows the whitespace-token count the naive budget would "
+        "use).  The encoder is PURE line-level expressions: normalize, "
+        "space-separate every char (one regexp at line level — NOT "
+        "inside a HOF/post-explode lambda, the documented JIT-stall "
+        "shape), then one literal replace() per merge in priority "
+        "order, then count symbol runs.  No explode, no UDF, no Python: "
+        "per-doc encoding rides the scan and the only shuffle is the "
+        "|sources|-row budget aggregate.  Fractions are floor()ed "
+        "permille/doc-counts (exact IEEE division both engines — the "
+        "r8 round() tie residual never applies).",
+)
+def q_text_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""))
+    enc = F.regexp_replace(norm, "(.)", "$1 ")
+    for a, b in _BPE_MERGES:
+        enc = F.replace(enc, F.lit(a), F.lit(b))
+    perdoc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(norm, F.lit("[A-Za-z]+"), F.lit(0)))
+         .alias("ws"),
+        F.size(F.regexp_extract_all(enc, F.lit("[^ ]+"), F.lit(0)))
+         .alias("bpe"),
+    )
+    budget = F.lit(float(_TOKEN_BUDGET))
+    frac = F.least(F.lit(1.0), budget / F.greatest(F.sum("bpe"), F.lit(1)))
+    return (perdoc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ws").cast("bigint").alias("ws_tokens"),
+                 F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+                 F.floor(F.sum("bpe") * F.lit(1.0) / F.count(F.lit(1)))
+                  .cast("bigint").alias("bpe_per_doc"),
+                 F.floor(F.lit(1000.0) * frac).cast("int")
+                  .alias("keep_permille"),
+                 F.floor(F.count(F.lit(1)) * frac).cast("bigint")
+                  .alias("est_docs_kept"))
+            .orderBy("source"))

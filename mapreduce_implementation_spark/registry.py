@@ -124,6 +124,7 @@ _CHANGED_IN_ROUND: dict[str, int] = {
 _SAMPLE_FIRST = (
     # --- round-0 stale: new registrations + changed-this-round ---
     "asof_join_tolerance", "dedup_url_canonical", "pii_scrub_multi",
+    "text_token_budget_bpe",
     # --- stale, latest driver row r06 (41, minus the last filler) ---
     "agg_tpch_q1", "array_functions", "corpus_datasheet", "cube_agg",
     "date_arithmetic", "dedup_substring_spans", "embedding_dim_stats",
@@ -142,10 +143,9 @@ _SAMPLE_FIRST = (
     "timeseries_cusum_changepoint", "timeseries_holt_linear",
     "timeseries_wau_sliding", "window_global_rank_stats",
     "window_range_trailing_7d", "window_session_builtin",
-    # --- alphabetical head of the r07 block (6 fillers) ---
+    # --- alphabetical head of the r07 block (5 fillers) ---
     "agg_decimal_exact", "agg_mode_per_group", "agg_percentiles_exact",
     "agg_stat_moments", "anomaly_daily_zscore",
-    "dedup_cluster_representatives",
 )
 
 

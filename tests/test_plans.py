@@ -718,3 +718,15 @@ def test_pii_scrub_multi_rides_the_scan(spark):
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
     assert_read_schema_only(df, {"doc_id", "text"})
+
+
+def test_token_budget_bpe_single_tiny_shuffle(spark):
+    """The BPE encoder must be map-only expressions (no Python, no
+    explode-generated regex) with map-side partial aggregation, so the
+    single exchange carries |sources| partial rows, not per-doc data."""
+    df = SPECS["text_token_budget_bpe"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    assert "Python" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert_partial_aggregate(df)
+    assert_read_schema_only(df, {"source", "text"})

@@ -129,6 +129,7 @@ _REPRESENTATIVES = [
     "curation_domain_cap",         # per-host cap over zero docs
     # round-11 families
     "pii_scrub_multi",             # multi-class scrub over zero docs
+    "text_token_budget_bpe",       # BPE budget over zero docs
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
