@@ -20,7 +20,12 @@ Methodology:
   plan change;
 * headline set spans every family: scan+agg, sort, joins, windows,
   dedup, similarity, text analysis — the queries a 100 TB deployment
-  would actually be sized by.
+  would actually be sized by;
+* an IDLE PROBE gates the recorded run (r10: the 85 s headline was
+  container contention, not code): 3x word_count must land within +30%
+  of steady-state or the harness waits and retries; the outcome is
+  recorded in both payloads (``idle_probe_ok``) so a noisy-box bench
+  is marked on its face.
 """
 
 from __future__ import annotations
@@ -114,6 +119,11 @@ HEADLINE = [
     # regexp/higher-order-fn expressions riding the scan, one ~|hosts|-
     # group shuffle) — the suite total grows by its cost this round
     "dedup_url_canonical",
+    # round 11: multi-class PII scrub (map-only regexp redaction) and
+    # BPE token budgeting (line-level subword encode + |sources|-row
+    # rollup) — suite total grows by their cost this round
+    "pii_scrub_multi",
+    "text_token_budget_bpe",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-
@@ -170,6 +180,29 @@ def main() -> None:
     _materialize(warm)
     _materialize(specs["word_count"].fn(spark, sf_dir).limit(5))
 
+    # Idle probe (r10 VERDICT item 4): BENCH_r10's 85 s headline was
+    # pure container contention — identical plans measured 2-30x apart
+    # run to run — so a recorded suite carries no signal unless the
+    # machine is demonstrably quiet first.  Gate: the min of 3
+    # word_count runs must land within +30% of its SCALE.md
+    # steady-state (overridable via SPARK_GRAFT_IDLE_PROBE_REF) before
+    # the recorded run starts; otherwise wait 15 s and retry, up to 10
+    # attempts.  The probe outcome is recorded in both payloads so a
+    # bench taken on a noisy box says so on its face.
+    probe_ref = float(os.environ.get("SPARK_GRAFT_IDLE_PROBE_REF", "0.45"))
+    probe_ok, probe_mins = False, []
+    for _ in range(10):
+        pr = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(specs["word_count"].fn(spark, sf_dir))
+            pr.append(time.perf_counter() - t0)
+        probe_mins.append(round(min(pr), 3))
+        if min(pr) <= probe_ref * 1.3:
+            probe_ok = True
+            break
+        time.sleep(15)
+
     from mapreduce_implementation_spark.operators.caching import release_persisted
 
     timings: dict[str, float] = {}
@@ -214,6 +247,9 @@ def main() -> None:
             "sf": sf,
             "runs_per_query": 3,
             "headline_is": "min_of_warm_runs_2_3",
+            "idle_probe_ok": probe_ok,
+            "idle_probe_ref_sec": probe_ref,
+            "idle_probe_attempt_mins": probe_mins,
         }, fh, indent=1)
 
     payload = json.dumps({
@@ -221,6 +257,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "idle_probe_ok": probe_ok,
         "queries": {n: round(t, 2) for n, t in timings.items()},
     }, separators=(",", ":"))
     assert len(payload) < 1900, (

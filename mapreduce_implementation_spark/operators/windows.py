@@ -99,7 +99,8 @@ def top_k_per_group_salted(df: DataFrame, partition_by: list[str],
     as the two-phase window family.  ``out_rank`` optionally emits the
     final 1-based rank.
     """
-    p = _fresh_name("_tk_", df)
+    p = _fresh_name("_tk_", df,
+                    extra=(out_rank,) if out_rank is not None else ())
     salt_c, rn, grn = f"{p}salt", f"{p}rn", f"{p}grn"
     salted = df.withColumn(
         salt_c, F.pmod(F.xxhash64(salt_col), F.lit(buckets)))
@@ -578,9 +579,7 @@ def exact_quantiles(df: DataFrame, value_col: str, probs: list[float],
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
     # fresh against the OUTPUT names too: out_names are caller-chosen
-    tp, taken = "_q_", set(base.columns) | set(names)
-    while any(c.startswith(tp) for c in taken):
-        tp += "_"
+    tp = _fresh_name("_q_", base, extra=tuple(names))
     bkt, rn, off, nn, cnt = (f"{tp}bkt", f"{tp}rn", f"{tp}off", f"{tp}n",
                              f"{tp}cnt")
     bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
@@ -652,9 +651,7 @@ def grouped_exact_quantiles(df: DataFrame, value_col: str,
         .filter(F.col(value_col).isNotNull()))
     if bounds is None:
         bounds = _boundaries(base, keys, parts)
-    tp, taken = "_gq_", set(base.columns) | set(names)
-    while any(c.startswith(tp) for c in taken):
-        tp += "_"
+    tp = _fresh_name("_gq_", base, extra=tuple(names))
     bkt, rn, off, nn, cnt = (f"{tp}bkt", f"{tp}rn", f"{tp}off", f"{tp}n",
                              f"{tp}cnt")
     bucketed = base.withColumn(bkt, _bucket_expr(base, keys, bounds))
@@ -723,10 +720,8 @@ def global_order_stats(df: DataFrame, order_by,
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = _norm_keys(order_by)
     names = [k[0] for k in keys]
-    tp, taken = "_os_", set(df.columns) | {rank_col, dense_col,
-                                           pct_col, cume_col}
-    while any(c.startswith(tp) for c in taken):
-        tp += "_"
+    tp = _fresh_name("_os_", df,
+                     extra=(rank_col, dense_col, pct_col, cume_col))
     bkt, cnt, lc, lk = f"{tp}bkt", f"{tp}cnt", f"{tp}lc", f"{tp}lk"
     tc, tk, oc, ok, nn = (f"{tp}tc", f"{tp}tk", f"{tp}oc", f"{tp}ok",
                           f"{tp}n")

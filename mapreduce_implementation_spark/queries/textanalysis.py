@@ -1666,17 +1666,27 @@ def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Fixed tiny BPE merge table for text_token_budget_bpe — ordered like a
-# trained merges.txt (earlier = higher priority; 'th e'/'an d' build on
-# the 't h'/'a n' outputs).  Applying each merge as ONE global
-# leftmost-nonoverlapping replace over the space-separated symbol
-# stream IS full BPE application of that merge: the pattern contains a
-# space and the replacement does not, so a replacement can never create
-# a fresh occurrence of its own pattern.  Shared by both engines so the
-# encoder is hash-oracled.
+# trained merges.txt (earlier = higher priority; ('th','e')/('an','d')
+# build on the ('t','h')/('a','n') outputs).  Encoding representation
+# (r11 review fix): every symbol is WRAPPED in spaces (" t  h  e ", two
+# spaces between adjacent symbols), and merge (a, b) is ONE literal
+# leftmost-nonoverlapping replace of " a  b " with " ab ".  The wrap
+# makes the replace exactly full BPE application of that merge: the
+# pattern's leading " a " can only match a COMPLETE symbol a (a space
+# precedes and follows it), and " b " a complete symbol b — so a merge
+# can never span a symbol boundary; and since the replacement " ab "
+# is a single symbol, it can't recreate its own pattern.  (The first
+# cut separated symbols with ONE space, where " e r" matched symbol e
+# followed by the PREFIX of symbol "re" — "there" wrongly collapsed to
+# one token; a 3000-case fuzz vs a reference BPE encoder over random
+# merge tables pins the wrapped form, tests/test_graph_text.py.)
+# Word separators become 5+ spaces after the wrap, unreachable by any
+# 2-space pattern.  Shared by both engines so the encoder is
+# hash-oracled.
 _BPE_MERGES = [
-    ("t h", "th"), ("i n", "in"), ("a n", "an"), ("r e", "re"),
-    ("o n", "on"), ("e r", "er"), ("a t", "at"), ("e n", "en"),
-    ("o r", "or"), ("e s", "es"), ("th e", "the"), ("an d", "and"),
+    ("t", "h"), ("i", "n"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("e", "r"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("th", "e"), ("an", "d"),
 ]
 
 _TOKEN_BUDGET = 50_000  # per-source token budget (tokens, not chars)
@@ -1684,9 +1694,9 @@ _TOKEN_BUDGET = 50_000  # per-source token budget (tokens, not chars)
 
 def _bpe_budget_oracle() -> str:
     enc = ("regexp_replace(lower(regexp_replace(text, '[^A-Za-z ]', '', "
-           "'g')), '(.)', '\\1 ', 'g')")
+           "'g')), '(.)', ' \\1 ', 'g')")
     for a, b in _BPE_MERGES:
-        enc = f"replace({enc}, '{a}', '{b}')"
+        enc = f"replace({enc}, ' {a}  {b} ', ' {a}{b} ')"
     return f"""
     WITH perdoc AS (
       SELECT source,
@@ -1723,10 +1733,13 @@ def _bpe_budget_oracle() -> str:
         "misprice sources with different token densities; the ws_tokens "
         "column shows the whitespace-token count the naive budget would "
         "use).  The encoder is PURE line-level expressions: normalize, "
-        "space-separate every char (one regexp at line level — NOT "
+        "wrap every char in spaces (one regexp at line level — NOT "
         "inside a HOF/post-explode lambda, the documented JIT-stall "
-        "shape), then one literal replace() per merge in priority "
-        "order, then count symbol runs.  No explode, no UDF, no Python: "
+        "shape), then one literal ' a  b '->' ab ' replace() per merge "
+        "in priority order (the space-wrap anchors both symbols whole, "
+        "so the replace is EXACTLY full BPE application of that merge "
+        "— fuzz-pinned vs a reference encoder), then count symbol "
+        "runs.  No explode, no UDF, no Python: "
         "per-doc encoding rides the scan and the only shuffle is the "
         "|sources|-row budget aggregate.  Fractions are floor()ed "
         "permille/doc-counts (exact IEEE division both engines — the "
@@ -1735,9 +1748,9 @@ def _bpe_budget_oracle() -> str:
 def q_text_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""))
-    enc = F.regexp_replace(norm, "(.)", "$1 ")
+    enc = F.regexp_replace(norm, "(.)", " $1 ")
     for a, b in _BPE_MERGES:
-        enc = F.replace(enc, F.lit(a), F.lit(b))
+        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
     perdoc = docs.select(
         "source",
         F.size(F.regexp_extract_all(norm, F.lit("[A-Za-z]+"), F.lit(0)))

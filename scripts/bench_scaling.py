@@ -111,6 +111,12 @@ PIPELINES = [
     # task to K per host before the one exchange — expect flat: the
     # shuffle carries <= K x hosts x tasks rows at any corpus size)
     "curation_domain_cap",
+    # round-11: multi-class PII scrub (map-only regexes, zero shuffle —
+    # expect near-linear on the scan term, tiny absolute) and BPE token
+    # budgeting (line-level subword encode + |sources|-row rollup —
+    # near-linear scan term, flat reduce state)
+    "pii_scrub_multi",
+    "text_token_budget_bpe",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -713,3 +713,58 @@ def test_lpa_float_weights_auto_route_declarative(spark):
                 == {r["v"]: r["label"] for r in li.collect()})
     finally:
         release_persisted()
+
+
+def test_bpe_replace_encoder_matches_reference(spark):
+    """text_token_budget_bpe's expression encoder vs an independent
+    Python BPE reference (leftmost-greedy full application of each
+    merge in table order, the standard encode loop), on 200 seeded
+    random words plus the r11-review counterexamples ('there' collapsed
+    to ONE token under the first, single-space-separated cut: ' e r'
+    matched symbol e followed by the PREFIX of symbol 're').  The
+    space-WRAPPED representation (' a  b ' -> ' ab ') anchors both
+    symbols whole, making one literal replace per merge exactly full
+    BPE application — this test pins that equivalence on the real Spark
+    expression, one action for all cases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.queries.textanalysis import (
+        _BPE_MERGES,
+    )
+
+    def bpe_ref(word):
+        syms = list(word)
+        for a, b in _BPE_MERGES:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    rng = random.Random(4211)
+    words = ["there", "then", "other", "the", "and", "rere", "thther",
+             "eses", "interesting", "and then there were none"]
+    words += ["".join(rng.choice("theranois") for _ in range(rng.randint(1, 14)))
+              for _ in range(200)]
+
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "i long, text string")
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""))
+    enc = F.regexp_replace(norm, "(.)", " $1 ")
+    for a, b in _BPE_MERGES:
+        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    got = {r["i"]: (r["n"], r["toks"]) for r in df.select(
+        "i",
+        F.size(F.regexp_extract_all(enc, F.lit("[^ ]+"), F.lit(0))).alias("n"),
+        F.regexp_extract_all(enc, F.lit("[^ ]+"), F.lit(0)).alias("toks"),
+    ).collect()}
+    for i, w in enumerate(words):
+        ref = [t for part in w.split() for t in bpe_ref(part)]
+        assert got[i] == (len(ref), ref), (w, got[i], ref)

@@ -1155,6 +1155,20 @@ def test_two_phase_window_operators_accept_colliding_out_names(spark):
     assert sorted((r["k"], r["_gn_bkt"]) for r in out.collect()) == [
         (i, i // 3 + 1) for i in range(12)]
 
+    # the r11 review found a FIFTH site the same sweep missed:
+    # top_k_per_group_salted's out_rank ('_tk_grn' used to collide with
+    # the internal global-rank column and be dropped)
+    from mapreduce_implementation_spark.operators.windows import (
+        top_k_per_group_salted,
+    )
+
+    out = top_k_per_group_salted(
+        df, ["g"], [F.col("k").desc()], 3, salt_col=F.col("k"),
+        buckets=4, out_rank="_tk_grn")
+    assert "_tk_grn" in out.columns
+    assert sorted((r["k"], r["_tk_grn"]) for r in out.collect()) == [
+        (9, 3), (10, 2), (11, 1)]
+
 
 def test_join_and_skew_operators_do_not_clobber_caller_temp_names(spark):
     """r10 sweep of the fixed-temp-name clobber class across the
