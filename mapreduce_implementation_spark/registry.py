@@ -78,7 +78,7 @@ _LOADED = False
 # Steady-state cadence (VERDICT r08 item 7, r9 on): each round the
 # window takes the 50 queries whose latest driver row is OLDEST,
 # breaking ties alphabetically (new registrations have no row and sort
-# first).  With ~236 registered queries and 50 slots per round, every
+# first).  With ~239 registered queries and 50 slots per round, every
 # query gets a fresh driver row at least once every ~5 rounds, so
 # freshness debt can never re-accumulate.
 #
@@ -134,7 +134,7 @@ _SAMPLE_FIRST = (
     # --- round-0 stale: new registrations + changed-this-round ---
     "asof_join_tolerance", "dedup_url_canonical", "pii_scrub_multi",
     "text_token_budget_bpe",
-    # --- stale, latest driver row r06 (41, minus the last filler) ---
+    # --- stale, latest driver row r06 (all 41 remaining) ---
     "agg_tpch_q1", "array_functions", "corpus_datasheet", "cube_agg",
     "date_arithmetic", "dedup_substring_spans", "embedding_dim_stats",
     "embedding_pca_power", "embedding_random_projection",
