@@ -456,6 +456,50 @@ def test_interval_overlap_join_matches_bruteforce(spark, lraw, rraw, bucket):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=2),      # key
+                          st.integers(min_value=0, max_value=40_000)),  # ms
+                min_size=1, max_size=16),
+       st.lists(st.tuples(st.integers(min_value=0, max_value=2),
+                          st.integers(min_value=0, max_value=40_000)),
+                min_size=1, max_size=16),
+       st.sampled_from([5, 7, 60]))
+def test_range_join_bucketed_matches_bruteforce(spark, lraw, rraw, win):
+    """range_join_bucketed == the naive all-pairs (same key,
+    l.ts < r.ts <= l.ts + window) check, on MILLISECOND-granular
+    timestamps (r11 gap: the operator had no differential test, and
+    its 2-bucket coverage argument is subtle under sub-second
+    components — unix_timestamp() TRUNCATES to seconds, so coverage
+    holds only because window_seconds is integral:
+    trunc(r) <= trunc(l) + window exactly when r <= l + window).
+    Exercises boundary-exact pairs (r.ts == l.ts + window must MATCH,
+    r.ts == l.ts must not — strict lower bound), duplicate
+    timestamps, and windows smaller and larger than the spread."""
+    import datetime as dt
+
+    from mapreduce_implementation_spark.operators.joins import (
+        range_join_bucketed,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda ms: base + dt.timedelta(milliseconds=ms)  # noqa: E731
+    lrows = [(i, k, mk(ms)) for i, (k, ms) in enumerate(lraw)]
+    rrows = [(j, k, mk(ms)) for j, (k, ms) in enumerate(rraw)]
+    l = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    r = spark.createDataFrame(rrows, "rid long, k long, rts timestamp")
+    got = {(row["lid"], row["rid"])
+           for row in range_join_bucketed(
+               l, r, key="k", left_ts="ts", right_ts="rts",
+               window_seconds=win)
+           .select(F.col("l.lid").alias("lid"), F.col("r.rid").alias("rid"))
+           .collect()}
+    want = {(i, j)
+            for i, (k1, m1) in enumerate(lraw)
+            for j, (k2, m2) in enumerate(rraw)
+            if k1 == k2 and m1 < m2 <= m1 + win * 1000}
+    assert got == want
+
+
 # --- weighted SSSP vs a pure-Python Bellman-Ford model ----------------------
 
 @settings(max_examples=8, deadline=None)
