@@ -128,6 +128,13 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # r11: urlfn userinfo strip (r10 ADVICE) + a userinfo mess class in
     # the synthesized URL surface — output changed on both sides
     "dedup_url_canonical": 11,
+    # r11: power-iteration rounds 5 -> 40 (the numpy.linalg.eigh
+    # reference test caught 5 rounds stopping at ~85% of lambda1 on the
+    # near-isotropic fixture spectrum) — output changed on both sides.
+    # Already in the r11 window via its stale r06 row, so the set is
+    # unchanged; the flag records WHY its r11 driver row must be green
+    # against the new output.
+    "embedding_pca_power": 11,
 }
 
 _SAMPLE_FIRST = (
