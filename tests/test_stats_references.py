@@ -275,3 +275,190 @@ def test_embedding_outlier_zscore_matches_numpy(spark):
     assert [g[0] for g in got] == [w[0] for w in want], (got[:5], want[:5])
     for (gi, gz), (wi, wz) in zip(got, want):
         assert abs(gz - wz) < 0.02, (gi, gz, wz)
+
+
+def test_chi2_matches_numpy(spark):
+    """stats_chi2_event_dow's contingency chi-square (identical
+    marginal/expected formulation on both engine sides) vs direct
+    numpy arithmetic on a pandas-built contingency table."""
+    e = _pdf("events")
+    # Spark dayofweek(): 1=Sunday..7=Saturday; pandas: 0=Monday..6=Sunday
+    dow = (e["ts"].dt.dayofweek.to_numpy() + 1) % 7 + 1
+    tab: dict[tuple[str, int], int] = {}
+    for et, d in zip(e["event_type"], dow):
+        tab[(et, int(d))] = tab.get((et, int(d)), 0) + 1
+    types = sorted({k[0] for k in tab})
+    dows = sorted({k[1] for k in tab})
+    obs = np.array([[tab.get((t, d), 0) for d in dows] for t in types],
+                   dtype=float)
+    rn = obs.sum(axis=1, keepdims=True)
+    cn = obs.sum(axis=0, keepdims=True)
+    exp = rn * cn / obs.sum()
+    # the query sums only over OBSERVED cells (obs built from groupBy);
+    # zero-count cells contribute exp, not 0 — replicate exactly
+    mask = obs > 0
+    chi2_ref = float((((obs - exp) ** 2 / exp)[mask]).sum())
+    dof_ref = (len(types) - 1) * (len(dows) - 1)
+
+    row = SPECS["stats_chi2_event_dow"].fn(spark, SF_DIR_001).collect()[0]
+    assert row["dof"] == dof_ref
+    assert abs(row["chi2"] - chi2_ref) < 1e-3, (row["chi2"], chi2_ref)
+
+
+def test_anomaly_zscore_matches_python(spark):
+    """anomaly_daily_zscore's 2-sigma day flags vs pandas daily counts
+    + numpy sample-stddev z-scores, fully independent of both engines'
+    SQL."""
+    e = _pdf("events")
+    day = e["ts"].dt.strftime("%Y-%m-%d")
+    counts: dict[tuple[str, str], int] = {}
+    for et, d in zip(e["event_type"], day):
+        counts[(et, d)] = counts.get((et, d), 0) + 1
+    series: dict[str, list[tuple[str, int]]] = {}
+    for (et, d), n in counts.items():
+        series.setdefault(et, []).append((d, n))
+    want = {}
+    for et, pairs in series.items():
+        ns = np.array([n for _, n in pairs], dtype=float)
+        mu, sd = ns.mean(), ns.std(ddof=1)
+        if sd <= 0:
+            continue
+        for d, n in pairs:
+            z = (n - mu) / sd
+            if abs(z) > 2:
+                want[(et, d)] = (n, z)
+
+    got = {(r["event_type"], r["day"]): (r["n_events"], r["zscore"])
+           for r in SPECS["anomaly_daily_zscore"].fn(spark, SF_DIR_001)
+           .collect()}
+    assert set(got) == set(want), (
+        sorted(set(got) ^ set(want))[:5])
+    for k, (n, z) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - z) < 1e-4, (k, got[k][1], z)
+
+
+def test_anomaly_mad_matches_numpy(spark, daily_series):
+    """anomaly_daily_mad's robust z (median/MAD with the 1.4826
+    consistency constant) vs numpy percentile arithmetic over the same
+    Spark-computed daily revenue series."""
+    rows = {(r["event_type"], r["day"]): (r["revenue"], r["robust_z"])
+            for r in SPECS["anomaly_daily_mad"].fn(spark, SF_DIR_001)
+            .collect()}
+    flagged = set()
+    for et, vs in daily_series.items():
+        v = np.array(vs, dtype=float)
+        m = float(np.percentile(v, 50))
+        mad = float(np.percentile(np.abs(v - m), 50))
+        if mad <= 0:
+            continue
+        for x in v:
+            z = (x - m) / (1.4826 * mad)
+            if abs(z) > 2.5:
+                flagged.add((et, round(float(x), 2), round(z, 4)))
+    got = {(et, round(float(rev), 2), robust)
+           for (et, _day), (rev, robust) in rows.items()}
+    assert got == flagged, (sorted(got - flagged)[:3],
+                            sorted(flagged - got)[:3])
+
+
+def test_geometric_harmonic_means_match_numpy(spark):
+    """agg_geometric_harmonic_means' log-space GM and reciprocal HM
+    (the same single-pass formulation both engine sides) vs numpy."""
+    li = _pdf("lineitem")
+    li = li[li["l_extendedprice"] > 0]
+    rows = {r["l_returnflag"]: r for r in
+            SPECS["agg_geometric_harmonic_means"].fn(spark, SF_DIR_001)
+            .collect()}
+    for flag, g in li.groupby("l_returnflag"):
+        x = g["l_extendedprice"].to_numpy(dtype=float)
+        am = float(x.mean())
+        gm = float(np.exp(np.log(x).mean()))
+        hm = float(len(x) / np.sum(1.0 / x))
+        r = rows[flag]
+        assert r["n"] == len(x)
+        assert abs(r["mean_arith"] - am) < 1e-3
+        assert abs(r["mean_geom"] - gm) < 1e-3
+        assert abs(r["mean_harm"] - hm) < 1e-3
+        assert r["am_gm_hm_holds"] == (gm <= am and hm <= gm) is True
+
+
+def test_trimmed_winsorized_mean_match_numpy(spark):
+    """agg_trimmed_mean's p10/p90 bounds, two-sided trimmed mean and
+    winsorized mean vs numpy.percentile (linear interpolation — the
+    quantile_cont/percentile() definition both engines share)."""
+    li = _pdf("lineitem")
+    x = li["l_extendedprice"].to_numpy(dtype=float)
+    p10, p90 = np.percentile(x, [10, 90])
+    kept = x[(x >= p10) & (x <= p90)]
+    trimmed = float(kept.mean())
+    winsor = float(np.clip(x, p10, p90).mean())
+
+    row = SPECS["agg_trimmed_mean"].fn(spark, SF_DIR_001).collect()[0]
+    assert row["n_kept"] == len(kept)
+    assert abs(row["p10"] - p10) < 1e-2
+    assert abs(row["p90"] - p90) < 1e-2
+    assert abs(row["trimmed_mean"] - trimmed) < 1e-2
+    assert abs(row["winsorized_mean"] - winsor) < 1e-2
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.sub(r"[^A-Za-z ]", "", text).lower().split(" ")
+            if t]
+
+
+def test_pmi_matches_python(spark):
+    """text_pmi_pairs' document-event PMI (same inverted-index
+    formulation both engine sides) vs a pure-Python co-occurrence
+    count: PMI = ln(c_ab * N / (c_a * c_b)) over the df>=0.2N vocab
+    with c_ab >= 0.3N."""
+    d = _pdf("documents")
+    doc_toks = {int(i): set(_py_tokens(t))
+                for i, t in zip(d["doc_id"], d["text"])}
+    n = len(doc_toks)
+    df: dict[str, int] = {}
+    for toks in doc_toks.values():
+        for t in toks:
+            df[t] = df.get(t, 0) + 1
+    vocab = {t for t, c in df.items() if c >= 0.2 * n}
+    co: dict[tuple[str, str], int] = {}
+    for toks in doc_toks.values():
+        keep = sorted(toks & vocab)
+        for i in range(len(keep)):
+            for j in range(i + 1, len(keep)):
+                co[(keep[i], keep[j])] = co.get((keep[i], keep[j]), 0) + 1
+    want = {pair: (c, math.log(c * n / (df[pair[0]] * df[pair[1]])))
+            for pair, c in co.items() if c >= 0.3 * n}
+
+    got = {(r["w1"], r["w2"]): (r["c_ab"], r["pmi"]) for r in
+           SPECS["text_pmi_pairs"].fn(spark, SF_DIR_001).collect()}
+    assert set(got) == set(want), (sorted(set(got) ^ set(want))[:5])
+    for pair, (c, pmi) in want.items():
+        assert got[pair][0] == c
+        assert abs(got[pair][1] - pmi) < 1e-5, (pair, got[pair][1], pmi)
+
+
+def test_bigram_logprob_matches_python(spark):
+    """text_bigram_logprob's corpus-trained MLE bigram model and
+    per-doc mean log-probability vs a pure-Python count model."""
+    d = _pdf("documents")
+    doc_bigrams: dict[int, list[tuple[str, str]]] = {}
+    c12: dict[tuple[str, str], int] = {}
+    c1: dict[str, int] = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = _py_tokens(t)
+        bgs = list(zip(toks, toks[1:]))
+        doc_bigrams[int(i)] = bgs
+        for bg in bgs:
+            c12[bg] = c12.get(bg, 0) + 1
+            c1[bg[0]] = c1.get(bg[0], 0) + 1
+    want = {i: (len(bgs),
+                sum(math.log(c12[bg] / c1[bg[0]]) for bg in bgs) / len(bgs))
+            for i, bgs in doc_bigrams.items() if bgs}
+
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in
+           SPECS["text_bigram_logprob"].fn(spark, SF_DIR_001).collect()}
+    assert set(got) == set(want)
+    for i, (nb, lp) in want.items():
+        assert got[i][0] == nb, (i, got[i][0], nb)
+        assert abs(got[i][1] - lp) < 1e-5, (i, got[i][1], lp)
