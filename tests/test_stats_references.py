@@ -462,3 +462,80 @@ def test_bigram_logprob_matches_python(spark):
     for i, (nb, lp) in want.items():
         assert got[i][0] == nb, (i, got[i][0], nb)
         assert abs(got[i][1] - lp) < 1e-5, (i, got[i][1], lp)
+
+
+def test_js_divergence_matches_python(spark):
+    """text_js_divergence_sources' pairwise JSD over source unigram
+    distributions vs a pure-Python entropy computation."""
+    d = _pdf("documents")
+    cnt: dict[str, dict[str, int]] = {}
+    for src, t in zip(d["source"], d["text"]):
+        m = cnt.setdefault(src, {})
+        for tok in _py_tokens(t):
+            m[tok] = m.get(tok, 0) + 1
+    probs = {s: {t: c / sum(m.values()) for t, c in m.items()}
+             for s, m in cnt.items()}
+    want = {}
+    srcs = sorted(probs)
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            p, q = probs[srcs[i]], probs[srcs[j]]
+            vocab = set(p) | set(q)
+            jsd = 0.0
+            for t in vocab:
+                p1, p2 = p.get(t, 0.0), q.get(t, 0.0)
+                m = (p1 + p2) / 2
+                jsd += (0.5 * (p1 * math.log(p1) if p1 > 0 else 0.0)
+                        + 0.5 * (p2 * math.log(p2) if p2 > 0 else 0.0)
+                        - m * math.log(m))
+            want[(srcs[i], srcs[j])] = (len(vocab), jsd)
+
+    got = {(r["s1"], r["s2"]): (r["n_words"], r["jsd_nats"], r["jsd_bits"])
+           for r in SPECS["text_js_divergence_sources"].fn(spark, SF_DIR_001)
+           .collect()}
+    assert set(got) == set(want)
+    for pair, (nv, jsd) in want.items():
+        assert got[pair][0] == nv, (pair, got[pair][0], nv)
+        assert abs(got[pair][1] - jsd) < 1e-5, (pair, got[pair][1], jsd)
+        assert abs(got[pair][2] - jsd / math.log(2)) < 1e-5
+        # JSD bounds: symmetric, in [0, ln 2]
+        assert 0.0 <= got[pair][1] <= math.log(2) + 1e-9
+
+
+def test_heaps_law_matches_python(spark):
+    """text_heaps_law's cumulative vocabulary curve and fitted beta vs
+    pure-Python trigram accounting.  The decile boundary doc_ids are
+    taken FROM the query output (the percentile_disc convention is
+    engine-defined); everything downstream — cumulative gram counts,
+    first-seen vocabulary sizes at each boundary, and the log-log OLS
+    slope — is recomputed independently."""
+    d = _pdf("documents")
+    per_doc: dict[int, int] = {}
+    first_doc: dict[tuple[str, str, str], int] = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = _py_tokens(t)
+        grams = list(zip(toks, toks[1:], toks[2:]))
+        if not grams:
+            continue
+        per_doc[int(i)] = len(grams)
+        for g in grams:
+            if g not in first_doc or first_doc[g] > int(i):
+                first_doc[g] = int(i)
+
+    rows = sorted(SPECS["text_heaps_law"].fn(spark, SF_DIR_001).collect(),
+                  key=lambda r: r["decile"])
+    assert len(rows) == 10
+    xs, ys = [], []
+    for r in rows:
+        b = r["boundary_doc"]
+        cum = sum(n for i, n in per_doc.items() if i <= b)
+        voc = sum(1 for fd in first_doc.values() if fd <= b)
+        assert r["cum_tokens"] == cum, (r["decile"], r["cum_tokens"], cum)
+        assert r["vocab_size"] == voc, (r["decile"], r["vocab_size"], voc)
+        xs.append(math.log(cum))
+        ys.append(math.log(voc))
+    slope, _ = np.polyfit(np.array(xs), np.array(ys), 1)
+    assert abs(rows[0]["heaps_beta"] - slope) < 1e-3, (
+        rows[0]["heaps_beta"], slope)
+    # intent: a natural-ish corpus grows sub-linearly but non-trivially
+    assert 0.1 < slope < 1.0
