@@ -539,3 +539,113 @@ def test_heaps_law_matches_python(spark):
         rows[0]["heaps_beta"], slope)
     # intent: a natural-ish corpus grows sub-linearly but non-trivially
     assert 0.1 < slope < 1.0
+
+
+def test_markov_transitions_match_python(spark):
+    """events_markov_transitions' first-order transition matrix vs a
+    pure-Python per-user sequence walk (ordered by the same
+    second-formatted-ts, event_id total order)."""
+    e = _pdf("events")
+    rows = sorted(
+        zip(e["user_id"], e["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            e["event_id"], e["event_type"]),
+        key=lambda r: (r[0], r[1], r[2]))
+    trans: dict[tuple[str, str], int] = {}
+    prev_user, prev_type = None, None
+    for uid, _ts, _eid, et in rows:
+        if uid == prev_user:
+            trans[(prev_type, et)] = trans.get((prev_type, et), 0) + 1
+        prev_user, prev_type = uid, et
+    tot: dict[str, int] = {}
+    for (cur, _nxt), n in trans.items():
+        tot[cur] = tot.get(cur, 0) + n
+
+    got = {(r["cur_type"], r["next_type"]): (r["n_trans"], r["p"]) for r in
+           SPECS["events_markov_transitions"].fn(spark, SF_DIR_001).collect()}
+    assert set(got) == set(trans)
+    for pair, n in trans.items():
+        assert got[pair][0] == n, (pair, got[pair][0], n)
+        assert abs(got[pair][1] - n / tot[pair[0]]) < 1e-6
+    # intent: rows of the transition matrix are probability distributions
+    psum: dict[str, float] = {}
+    for (cur, _), (_, p) in got.items():
+        psum[cur] = psum.get(cur, 0.0) + p
+    for cur, s in psum.items():
+        assert abs(s - 1.0) < 1e-4, (cur, s)
+
+
+def test_repetition_gopher_matches_python(spark):
+    """text_repetition_gopher's duplicate-bigram fraction, top-bigram
+    mass and keep flag (Rae et al. 2021 SA1.1 thresholds) vs a
+    pure-Python bigram count per document."""
+    d = _pdf("documents")
+    got = {r["doc_id"]: r for r in
+           SPECS["text_repetition_gopher"].fn(spark, SF_DIR_001).collect()}
+    checked = 0
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = _py_tokens(t)
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            assert int(i) not in got
+            continue
+        cnt: dict[tuple[str, str], int] = {}
+        for bg in bgs:
+            cnt[bg] = cnt.get(bg, 0) + 1
+        n, top, nd = len(bgs), max(cnt.values()), len(cnt)
+        dup, tfrac = 1 - nd / n, top / n
+        r = got[int(i)]
+        assert r["n_bigrams"] == n
+        assert abs(r["dup_bigram_frac"] - dup) < 1e-6
+        assert abs(r["top_bigram_frac"] - tfrac) < 1e-6
+        assert r["keep"] == int(tfrac <= 0.18 and dup <= 0.6)
+        checked += 1
+    assert checked == len(got)
+
+
+def test_rake_matches_python_reference(spark):
+    """text_keyphrase_rake vs a pure-Python RAKE (Rose et al. 2010):
+    stopword-delimited candidate phrases, corpus word scores
+    deg(w)/freq(w) with deg = sum of containing-phrase lengths, phrase
+    score = sum of member word scores, support cut n_occ >= 3 on
+    >= 2-word phrases."""
+    from mapreduce_implementation_spark.operators.textstats import (
+        EN_STOPWORDS,
+    )
+
+    d = _pdf("documents")
+    stop = set(EN_STOPWORDS)
+    phrases: list[list[str]] = []  # every phrase occurrence, all lengths
+    for t in d["text"]:
+        cur: list[str] = []
+        for tok in _py_tokens(t):
+            if tok in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            phrases.append(cur)
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for ph in phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ph)
+    want: dict[str, tuple[int, int, float]] = {}
+    for ph in phrases:
+        if len(ph) < 2:
+            continue
+        text = " ".join(ph)
+        score = sum(deg[w] / freq[w] for w in ph)
+        n, _nw, _s = want.get(text, (0, len(ph), score))
+        want[text] = (n + 1, len(ph), score)
+    want = {k: v for k, v in want.items() if v[0] >= 3}
+
+    got = {r["phrase"]: (r["n_occ"], r["n_words"], r["rake_score"]) for r in
+           SPECS["text_keyphrase_rake"].fn(spark, SF_DIR_001).collect()}
+    assert set(got) == set(want), (sorted(set(got) ^ set(want))[:5])
+    for ph, (n, nw, s) in want.items():
+        assert got[ph][0] == n, (ph, got[ph][0], n)
+        assert got[ph][1] == nw
+        assert abs(got[ph][2] - s) < 1e-3, (ph, got[ph][2], s)
