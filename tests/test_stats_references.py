@@ -649,3 +649,48 @@ def test_rake_matches_python_reference(spark):
         assert got[ph][0] == n, (ph, got[ph][0], n)
         assert got[ph][1] == nw
         assert abs(got[ph][2] - s) < 1e-3, (ph, got[ph][2], s)
+
+
+def test_weighted_median_matches_python(spark):
+    """agg_weighted_median's half-total crossing row vs a pure-Python
+    cumulative walk over the identically-ordered rows."""
+    li = _pdf("lineitem")
+    rows = sorted(zip(li["l_extendedprice"], li["l_quantity"],
+                      li["l_orderkey"], li["l_linenumber"]),
+                  key=lambda r: (r[0], r[2], r[3]))
+    total = float(sum(r[1] for r in rows))
+    acc = 0.0
+    med = None
+    for price, qty, _, _ in rows:
+        acc += qty
+        if acc >= total / 2:
+            med = round(float(price), 2)
+            break
+
+    r = SPECS["agg_weighted_median"].fn(spark, SF_DIR_001).collect()[0]
+    assert r["total_weight"] == int(total)
+    assert abs(r["weighted_median"] - med) < 1e-9, (r["weighted_median"], med)
+
+
+def test_systematic_sampling_matches_python(spark):
+    """sample_weighted_systematic's PPS crossings vs a pure-Python
+    integer cumulative walk — selection iff the cumulative weight
+    crosses a multiple of step = total DIV 50."""
+    d = _pdf("documents")
+    rows = sorted(zip(d["doc_id"], d["n_chars"]), key=lambda r: r[0])
+    total = int(sum(n for _, n in rows))
+    step = total // 50
+    want = {}
+    acc = 0
+    for i, n in rows:
+        prev = acc
+        acc += int(n)
+        if acc // step > prev // step:
+            want[int(i)] = acc // step
+
+    got = {r["doc_id"]: r["sel_idx"] for r in
+           SPECS["sample_weighted_systematic"].fn(spark, SF_DIR_001)
+           .collect()}
+    assert got == want, (sorted(set(got) ^ set(want))[:5])
+    # intent: ~50 picks, each doc at most once, probability ~ weight
+    assert 40 <= len(got) <= 51
