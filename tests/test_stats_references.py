@@ -694,3 +694,56 @@ def test_systematic_sampling_matches_python(spark):
     assert got == want, (sorted(set(got) ^ set(want))[:5])
     # intent: ~50 picks, each doc at most once, probability ~ weight
     assert 40 <= len(got) <= 51
+
+
+def test_source_topp_matches_python(spark):
+    """corpus_source_topp's nucleus cut (keep largest docs while the
+    EXCLUSIVE cumulative offset is under half the source's mass) vs a
+    pure-Python sorted walk per source."""
+    d = _pdf("documents")
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for src, i, n in zip(d["source"], d["doc_id"], d["n_chars"]):
+        per_src.setdefault(src, []).append((int(n), int(i)))
+    want = {}
+    for src, docs in per_src.items():
+        total = sum(n for n, _ in docs)
+        acc, kept_n, kept_chars = 0, 0, 0
+        for n, i in sorted(docs, key=lambda x: (-x[0], x[1])):
+            if acc < 0.5 * total:
+                kept_n += 1
+                kept_chars += n
+            acc += n
+        want[src] = (kept_n, kept_chars, round(kept_chars / total, 4))
+
+    got = {r["source"]: (r["n_docs_kept"], r["chars_kept"], r["share"])
+           for r in SPECS["corpus_source_topp"].fn(spark, SF_DIR_001)
+           .collect()}
+    assert got == want, (sorted(got.items())[:2], sorted(want.items())[:2])
+    # intent: the nucleus covers at least half of each source's mass,
+    # and removing the crossing doc would drop it under half
+    for src, (_kn, kc, _sh) in want.items():
+        assert kc * 2 >= sum(n for n, _ in per_src[src])
+
+
+def test_wau_sliding_matches_python(spark):
+    """timeseries_wau_sliding's fan-out identity vs a direct per-day
+    set-union of the trailing 7 days' active users."""
+    e = _pdf("events")
+    base = np.datetime64("2024-01-01")
+    dday = ((e["ts"].dt.normalize().to_numpy() - base)
+            / np.timedelta64(1, "D")).astype(int)
+    active: dict[int, set] = {}
+    for d_, u in zip(dday, e["user_id"]):
+        active.setdefault(int(d_), set()).add(u)
+    lo, hi = min(active), max(active)
+    want = {}
+    for day in range(lo, hi + 1):
+        users = set()
+        for back in range(7):
+            users |= active.get(day - back, set())
+        if users:
+            want[day] = len(users)
+
+    got = {r["dday"]: r["wau"] for r in
+           SPECS["timeseries_wau_sliding"].fn(spark, SF_DIR_001).collect()}
+    assert got == want, (sorted(set(got) ^ set(want))[:5])
