@@ -747,3 +747,69 @@ def test_wau_sliding_matches_python(spark):
     got = {r["dday"]: r["wau"] for r in
            SPECS["timeseries_wau_sliding"].fn(spark, SF_DIR_001).collect()}
     assert got == want, (sorted(set(got) ^ set(want))[:5])
+
+
+def test_quality_score_matches_python(spark):
+    """text_quality_score's band-weighted heuristic (token-count,
+    mean-word-length and stopword bands + raw-text alpha ratio) vs a
+    pure-Python recomputation over the same token rules."""
+    from mapreduce_implementation_spark.operators.textstats import (
+        EN_STOPWORDS,
+    )
+
+    d = _pdf("documents")
+    got = {r["doc_id"]: r for r in
+           SPECS["text_quality_score"].fn(spark, SF_DIR_001).collect()}
+    stop = set(EN_STOPWORDS)
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = _py_tokens(t)
+        n_tok = len(toks)
+        mean_wlen = (sum(len(w) for w in toks) / n_tok) if toks else 0.0
+        n_stop = sum(1 for w in toks if w in stop)
+        stop_ratio = n_stop / max(n_tok, 1)
+        alpha = len(re.sub(r"[^A-Za-z]", "", t)) / max(len(t), 1)
+        score = (0.3 * (1.0 if 20 <= n_tok <= 1000 else 0.3)
+                 + 0.25 * (1.0 if 3 <= mean_wlen <= 10 else 0.4)
+                 + 0.25 * (1.0 if stop_ratio >= 0.02 else 0.5)
+                 + 0.2 * alpha)
+        r = got[int(i)]
+        assert r["n_tokens"] == n_tok
+        assert abs(r["alpha_ratio"] - alpha) < 1e-6
+        assert abs(r["stopword_ratio"] - stop_ratio) < 1e-6
+        assert abs(r["mean_word_len"] - mean_wlen) < 1e-6
+        assert abs(r["quality_score"] - score) < 1e-6, (i, r["quality_score"],
+                                                        score)
+
+
+def test_lang_id_matches_python(spark):
+    """text_lang_id's stopword-profile argmax (with the 'und' floor and
+    the en>de>fr>es tie order) vs a pure-Python recomputation."""
+    from mapreduce_implementation_spark.operators.textstats import (
+        EN_STOPWORDS,
+    )
+
+    profiles = {
+        "en": set(EN_STOPWORDS),
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein"},
+        "fr": {"le", "la", "les", "et", "est", "un", "une"},
+        "es": {"el", "la", "los", "y", "es", "un", "una"},
+    }
+    d = _pdf("documents")
+    got = {r["doc_id"]: (r["score_en"], r["predicted_lang"]) for r in
+           SPECS["text_lang_id"].fn(spark, SF_DIR_001).collect()}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = _py_tokens(t)
+        n = max(len(toks), 1)
+        r = {lang: sum(1 for w in toks if w in s) / n
+             for lang, s in profiles.items()}
+        best = max(r.values())
+        if best < 0.01:
+            lang = "und"
+        else:
+            lang = next(k for k in ("en", "de", "fr", "es")
+                        if r[k] == best)
+        if int(i) not in got:
+            assert not toks, i  # zero-token docs drop out of the join
+            continue
+        assert abs(got[int(i)][0] - r["en"]) < 1e-6
+        assert got[int(i)][1] == lang, (i, got[int(i)][1], lang, r)
