@@ -189,9 +189,15 @@ def main() -> None:
     # the recorded run starts; otherwise wait 15 s and retry, up to 10
     # attempts.  The probe outcome is recorded in both payloads so a
     # bench taken on a noisy box says so on its face.
-    probe_ref = float(os.environ.get("SPARK_GRAFT_IDLE_PROBE_REF", "0.45"))
+    # Default ref scales with sf above the fixed-overhead floor: at
+    # sf0.1 word_count's steady state is ~0.45 s, roughly linear in sf
+    # beyond that, but at tiny SFs session overhead (~0.35 s) dominates
+    # — a purely linear ref would make the gate unpassable at sf0.01
+    # and trivial at sf1 (r11 review).
+    probe_ref = float(os.environ.get(
+        "SPARK_GRAFT_IDLE_PROBE_REF", str(max(0.45 * sf / 0.1, 0.35))))
     probe_ok, probe_mins = False, []
-    for _ in range(10):
+    for attempt in range(10):
         pr = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -201,7 +207,8 @@ def main() -> None:
         if min(pr) <= probe_ref * 1.3:
             probe_ok = True
             break
-        time.sleep(15)
+        if attempt < 9:  # no point sleeping after the final attempt
+            time.sleep(15)
 
     from mapreduce_implementation_spark.operators.caching import release_persisted
 

@@ -1692,6 +1692,18 @@ _BPE_MERGES = [
 _TOKEN_BUDGET = 50_000  # per-source token budget (tokens, not chars)
 
 
+def _bpe_encode(col):
+    """Space-wrapped BPE encoding of a text column under _BPE_MERGES —
+    the PRODUCTION expression, shared with the reference-equivalence
+    test (tests/test_graph_text.py) so the intent pin can never detach
+    from what the query actually runs (r11 review)."""
+    norm = F.lower(F.regexp_replace(col, "[^A-Za-z ]", ""))
+    enc = F.regexp_replace(norm, "(.)", " $1 ")
+    for a, b in _BPE_MERGES:
+        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return enc
+
+
 def _bpe_budget_oracle() -> str:
     enc = ("regexp_replace(lower(regexp_replace(text, '[^A-Za-z ]', '', "
            "'g')), '(.)', ' \\1 ', 'g')")
@@ -1748,9 +1760,7 @@ def _bpe_budget_oracle() -> str:
 def q_text_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""))
-    enc = F.regexp_replace(norm, "(.)", " $1 ")
-    for a, b in _BPE_MERGES:
-        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    enc = _bpe_encode(F.col("text"))
     perdoc = docs.select(
         "source",
         F.size(F.regexp_extract_all(norm, F.lit("[A-Za-z]+"), F.lit(0)))

@@ -104,20 +104,23 @@ _LOADED = False
 # lands — fixing it IS the rotation step.
 #
 # r11 window (final form, after the round's registrations and flags):
-# 4 round-0-stale slots (2 new registrations pii_scrub_multi /
-# text_token_budget_bpe + 2 change-flagged below) + all 41 remaining
-# r06-row queries + the 5 alphabetically-first r07-row queries
-# (agg_decimal_exact .. anomaly_daily_zscore).  The r10 pre-computation
-# (41 r06 + 9 r07 fillers ending at dedup_exact) held until the new
-# registrations displaced the last 4 r07 fillers.  The 4 r10
-# _CHANGED_IN_ROUND entries all received their r10 driver rows (green)
-# and are pruned.
+# 5 round-0-stale slots (2 new registrations pii_scrub_multi /
+# text_token_budget_bpe + 3 change-flagged below — note
+# embedding_pca_power sits in the r06 tuple section below but its flag
+# makes it round-0 under eff(), so the recomputed buckets read
+# 5 / 40 / 5) + 40 remaining r06-row queries + the 5 alphabetically-
+# first r07-row queries (agg_decimal_exact .. anomaly_daily_zscore).
+# The r10 pre-computation (41 r06 + 9 r07 fillers ending at
+# dedup_exact) held until the new registrations displaced the last 4
+# r07 fillers.  The 4 r10 _CHANGED_IN_ROUND entries all received their
+# r10 driver rows (green) and are pruned.
 #
 # Pre-computed r12 window (assuming CORRECTNESS_r11 lands with the 50
 # below and r12 makes no new registrations / change flags): the 43
 # remaining r07-row queries (dedup_cluster_representatives ..
-# window_running_sum) + the 7 alphabetically-first r08-row queries
-# (agg_approx_stats .. dedup_chunk_signature).  The guard test
+# word_count — word_count sorts AFTER window_running_sum; r11 review
+# caught the tail misnamed) + the 7 alphabetically-first r08-row
+# queries (agg_approx_stats .. dedup_chunk_signature).  The guard test
 # recomputes the truth either way — a head start, not an answer.
 _CHANGED_IN_ROUND: dict[str, int] = {
     # r11: asof_join_windowed changed — null-keyed LEFT rows now route

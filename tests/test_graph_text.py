@@ -754,12 +754,15 @@ def test_bpe_replace_encoder_matches_reference(spark):
     words += ["".join(rng.choice("theranois") for _ in range(rng.randint(1, 14)))
               for _ in range(200)]
 
+    from mapreduce_implementation_spark.queries.textanalysis import (
+        _bpe_encode,
+    )
+
     df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
                                "i long, text string")
-    norm = F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""))
-    enc = F.regexp_replace(norm, "(.)", " $1 ")
-    for a, b in _BPE_MERGES:
-        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    # the PRODUCTION encoder expression — not a local copy, so an edit
+    # to the query's encoder is judged by this reference test too
+    enc = _bpe_encode(F.col("text"))
     got = {r["i"]: (r["n"], r["toks"]) for r in df.select(
         "i",
         F.size(F.regexp_extract_all(enc, F.lit("[^ ]+"), F.lit(0))).alias("n"),

@@ -219,7 +219,8 @@ def test_ewma_matches_python_fold(spark, daily_series):
 
 def test_pca_power_matches_numpy(spark):
     """embedding_pca_power vs numpy, two claims: (1) the distributed
-    BLAS-partial covariance + 5 power iterations reproduce the SAME
+    BLAS-partial covariance + _PCA_POWER_ITERS power iterations
+    reproduce the SAME
     numbers as numpy running the identical recipe on raw parquet
     vectors (pins covariance_matrix / power_iteration_top exactly);
     (2) the recipe's output approximates the TRUE leading eigenpair
