@@ -814,3 +814,56 @@ def test_lang_id_matches_python(spark):
             continue
         assert abs(got[int(i)][0] - r["en"]) < 1e-6
         assert got[int(i)][1] == lang, (i, got[int(i)][1], lang, r)
+
+
+def test_streaks_matches_python(spark):
+    """streaks_gaps_islands' longest consecutive-day streak (island
+    trick on both engine sides) vs a pure-Python day-set walk."""
+    e = _pdf("events")
+    days: dict[int, set] = {}
+    for u, d_ in zip(e["user_id"], e["ts"].dt.normalize()):
+        days.setdefault(int(u), set()).add(d_.date())
+    want = {}
+    one = np.timedelta64  # noqa: F841 (kept simple below)
+    import datetime as dt
+    for u, ds in days.items():
+        best_len, best_start = 0, None
+        for d_ in sorted(ds):
+            if d_ - dt.timedelta(days=1) in ds:
+                continue  # not a streak start
+            ln = 1
+            while d_ + dt.timedelta(days=ln) in ds:
+                ln += 1
+            # longest wins; earliest start breaks ties
+            if ln > best_len:
+                best_len, best_start = ln, d_
+        want[u] = (best_len, str(best_start))
+
+    got = {r["user_id"]: (r["longest_streak_days"], r["streak_start"])
+           for r in SPECS["streaks_gaps_islands"].fn(spark, SF_DIR_001)
+           .collect()}
+    assert got == want, (sorted(set(got) ^ set(want))[:3])
+
+
+def test_new_vs_returning_matches_python(spark):
+    """events_new_vs_returning's daily growth decomposition vs a
+    pure-Python first-seen walk; pins active = new + returning."""
+    e = _pdf("events")
+    act: dict[str, set] = {}
+    first: dict[int, str] = {}
+    for u, d_ in zip(e["user_id"], e["ts"].dt.strftime("%Y-%m-%d")):
+        act.setdefault(d_, set()).add(int(u))
+        if int(u) not in first or d_ < first[int(u)]:
+            first[int(u)] = d_
+    want = {}
+    for d_, users in act.items():
+        new = sum(1 for u in users if first[u] == d_)
+        want[d_] = (len(users), new, len(users) - new)
+
+    got = {r["day"]: (r["active_users"], r["new_users"],
+                      r["returning_users"])
+           for r in SPECS["events_new_vs_returning"].fn(spark, SF_DIR_001)
+           .collect()}
+    assert got == want, (sorted(set(got) ^ set(want))[:3])
+    for d_, (a, n, r_) in got.items():
+        assert a == n + r_
