@@ -867,3 +867,28 @@ def test_new_vs_returning_matches_python(spark):
     assert got == want, (sorted(set(got) ^ set(want))[:3])
     for d_, (a, n, r_) in got.items():
         assert a == n + r_
+
+
+def test_cumulative_users_matches_python(spark):
+    """timeseries_cumulative_users' first-occurrence growth curve vs a
+    pure-Python expanding distinct-user walk; the final cumulative
+    value must equal the total distinct-user count."""
+    e = _pdf("events")
+    first: dict[int, str] = {}
+    for u, d_ in zip(e["user_id"], e["ts"].dt.strftime("%Y-%m-%d")):
+        if int(u) not in first or d_ < first[int(u)]:
+            first[int(u)] = d_
+    new_per_day: dict[str, int] = {}
+    for d_ in first.values():
+        new_per_day[d_] = new_per_day.get(d_, 0) + 1
+    want = {}
+    acc = 0
+    for d_ in sorted(new_per_day):
+        acc += new_per_day[d_]
+        want[d_] = (new_per_day[d_], acc)
+
+    got = {r["day"]: (r["new_users"], r["cumulative_users"]) for r in
+           SPECS["timeseries_cumulative_users"].fn(spark, SF_DIR_001)
+           .collect()}
+    assert got == want, (sorted(set(got) ^ set(want))[:3])
+    assert max(c for _, c in got.values()) == len(first)
