@@ -196,15 +196,29 @@ def main() -> None:
     # and trivial at sf1 (r11 review).
     probe_ref = float(os.environ.get(
         "SPARK_GRAFT_IDLE_PROBE_REF", str(max(0.45 * sf / 0.1, 0.35))))
-    probe_ok, probe_mins = False, []
+    # Second probe leg (r11 VERDICT item 2): word_count is scan+agg
+    # shaped, but the r11 58.8-vs-71.8 s spread concentrated in the
+    # shuffle-heavy queries (dedup_minhash_lsh ran 10.0 s uniformly
+    # across all 3 driver runs vs 6.6 s same-code on the builder's box
+    # — residual load the scan probe missed).  join_shuffle_facts is
+    # the cheapest shuffle-dominated headline query (~0.8 s steady at
+    # sf0.1), so the gate now requires BOTH shapes quiet.
+    probe_ref2 = float(os.environ.get(
+        "SPARK_GRAFT_IDLE_PROBE_REF2", str(max(0.80 * sf / 0.1, 0.40))))
+    probe_ok, probe_mins, probe_mins2 = False, [], []
     for attempt in range(10):
-        pr = []
+        pr, pr2 = [], []
         for _ in range(3):
             t0 = time.perf_counter()
             _materialize(specs["word_count"].fn(spark, sf_dir))
             pr.append(time.perf_counter() - t0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(specs["join_shuffle_facts"].fn(spark, sf_dir))
+            pr2.append(time.perf_counter() - t0)
         probe_mins.append(round(min(pr), 3))
-        if min(pr) <= probe_ref * 1.3:
+        probe_mins2.append(round(min(pr2), 3))
+        if min(pr) <= probe_ref * 1.3 and min(pr2) <= probe_ref2 * 1.3:
             probe_ok = True
             break
         if attempt < 9:  # no point sleeping after the final attempt
@@ -257,6 +271,8 @@ def main() -> None:
             "idle_probe_ok": probe_ok,
             "idle_probe_ref_sec": probe_ref,
             "idle_probe_attempt_mins": probe_mins,
+            "idle_probe2_ref_sec": probe_ref2,
+            "idle_probe2_attempt_mins": probe_mins2,
         }, fh, indent=1)
 
     payload = json.dumps({

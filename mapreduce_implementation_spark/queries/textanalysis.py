@@ -1678,8 +1678,9 @@ def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is a single symbol, it can't recreate its own pattern.  (The first
 # cut separated symbols with ONE space, where " e r" matched symbol e
 # followed by the PREFIX of symbol "re" — "there" wrongly collapsed to
-# one token; a 3000-case fuzz vs a reference BPE encoder over random
-# merge tables pins the wrapped form, tests/test_graph_text.py.)
+# one token; the wrapped form is pinned by ~210 fixed-table cases PLUS
+# a seeded fuzz over RANDOM merge tables vs an independent reference
+# encoder, both in tests/test_graph_text.py.)
 # Word separators become 5+ spaces after the wrap, unreachable by any
 # 2-space pattern.  Shared by both engines so the encoder is
 # hash-oracled.
@@ -1692,16 +1693,109 @@ _BPE_MERGES = [
 _TOKEN_BUDGET = 50_000  # per-source token budget (tokens, not chars)
 
 
-def _bpe_encode(col):
-    """Space-wrapped BPE encoding of a text column under _BPE_MERGES —
-    the PRODUCTION expression, shared with the reference-equivalence
-    test (tests/test_graph_text.py) so the intent pin can never detach
-    from what the query actually runs (r11 review)."""
+def _bpe_encode(col, merges=None):
+    """Space-wrapped BPE encoding of a text column under ``merges``
+    (default _BPE_MERGES) — the PRODUCTION expression, shared with the
+    reference-equivalence tests (tests/test_graph_text.py: fixed-table
+    cases + a random-merge-table fuzz) so the intent pin can never
+    detach from what the query actually runs (r11 review).
+
+    Scale caveat (documented r11 VERDICT): one chained ``F.replace``
+    per merge is O(|merges|) PLAN DEPTH — exact and fully codegen'd at
+    a fixture-sized table (12 merges), but not viable at a real 50k-
+    merge vocab (analysis time / codegen limits grow with every merge).
+    For vocabulary-scale tokenization use ``bpe_encode_batched``
+    (mapInPandas, broadcast merge table, parity-pinned against this
+    form) — see the crossover rule in its docstring."""
     norm = F.lower(F.regexp_replace(col, "[^A-Za-z ]", ""))
     enc = F.regexp_replace(norm, "(.)", " $1 ")
-    for a, b in _BPE_MERGES:
+    for a, b in (merges if merges is not None else _BPE_MERGES):
         enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
     return enc
+
+
+def _bpe_encode_word(word: str, merges) -> list[str]:
+    """Sequential full application of each merge in table order to one
+    word — the same semantics as ``_bpe_encode``'s chained replaces,
+    expressed imperatively.  Shared by the batched executor path and
+    the test reference so the two can never drift."""
+    syms = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_batched(df: DataFrame, text_col: str, merges=None,
+                       out: str = "bpe_tokens") -> DataFrame:
+    """Vocabulary-scale BPE encoder: ``mapInPandas`` over Arrow batches
+    with the merge table captured once in the task closure (a list of
+    string pairs — a few MB even at 50k merges, broadcast with the task
+    binary) and a per-batch unique-word memo (Zipf makes the cache hit
+    rate high, so each distinct word is encoded once per batch).
+
+    Crossover rule vs ``_bpe_encode`` (the pure-expression form),
+    MEASURED on this box (SCALE.md r12): the expression is one chained
+    ``F.replace`` PER MERGE — O(|merges|) expression-tree depth — and
+    the driver's recursive column-node conversion throws a hard
+    ``StackOverflowError`` at ~300 merges (250 analyzes fine in ~0.4 s;
+    300 fails before a single task runs).  Use the expression form for
+    fixture-sized tables (≤~100 merges to leave headroom — it stays
+    whole-stage-codegen and is the DuckDB-oracle-able twin); use THIS
+    path for real vocabularies (1k–50k merges, where the expression
+    form cannot even be PLANNED), with per-row cost
+    O(word_len · |merges|) amortized by the unique-word memo and plan
+    depth O(1) — at 1,000 merges this path runs in under a second on
+    the same input that kills the expression at plan time.
+    Parity-pinned against ``_bpe_encode`` and an independent reference
+    on random merge tables in tests/test_graph_text.py.
+
+    Output: the input schema plus ``out`` as ``array<string>`` BPE
+    tokens of the normalized (lowercased, alpha+space only) text.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    table = list(merges if merges is not None else _BPE_MERGES)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {out} array<string>"
+    import re as _re
+
+    def encode_batches(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+
+        def enc_doc(text):
+            if text is None or (isinstance(text, float) and pd.isna(text)):
+                return None  # NULL in -> NULL out, like the expression form
+            # strip-then-lower, matching _bpe_encode's expression order
+            # (lower('İ') is 'i'+U+0307 — lowering FIRST would leak an
+            # ASCII 'i' the expression path never sees)
+            norm = _re.sub("[^A-Za-z ]", "", str(text)).lower()
+            toks: list[str] = []
+            for w in norm.split():
+                hit = memo.get(w)
+                if hit is None:
+                    hit = memo[w] = _bpe_encode_word(w, table)
+                toks.extend(hit)
+            return toks
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = pdf[text_col].map(enc_doc)
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=schema)
 
 
 def _bpe_budget_oracle() -> str:

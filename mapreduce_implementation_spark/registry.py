@@ -103,68 +103,48 @@ _LOADED = False
 # the checked-in CORRECTNESS files and fails once a new round's file
 # lands — fixing it IS the rotation step.
 #
-# r11 window (final form, after the round's registrations and flags):
-# 5 round-0-stale slots (2 new registrations pii_scrub_multi /
-# text_token_budget_bpe + 3 change-flagged below — note
-# embedding_pca_power sits in the r06 tuple section below but its flag
-# makes it round-0 under eff(), so the recomputed buckets read
-# 5 / 40 / 5) + 40 remaining r06-row queries + the 5 alphabetically-
-# first r07-row queries (agg_decimal_exact .. anomaly_daily_zscore).
-# The r10 pre-computation (41 r06 + 9 r07 fillers ending at
-# dedup_exact) held until the new registrations displaced the last 4
-# r07 fillers.  The 4 r10 _CHANGED_IN_ROUND entries all received their
-# r10 driver rows (green) and are pruned.
+# r12 window: CORRECTNESS_r11 landed 50/50 green (all full hash
+# matches), exactly as pre-computed last round, so the 3 r11
+# _CHANGED_IN_ROUND entries (asof_join_tolerance, dedup_url_canonical,
+# embedding_pca_power — all r11-green) are pruned.  The window is the
+# 43 remaining r07-row queries (dedup_cluster_representatives ..
+# word_count) + the 7 alphabetically-first r08-row queries
+# (agg_approx_stats .. dedup_chunk_signature), matching the r11
+# pre-computation verbatim.  New r12 registrations / change flags sort
+# round-0 and displace the r08 tail — re-run the guard test after any.
 #
-# Pre-computed r12 window (assuming CORRECTNESS_r11 lands with the 50
-# below and r12 makes no new registrations / change flags): the 43
-# remaining r07-row queries (dedup_cluster_representatives ..
-# word_count — word_count sorts AFTER window_running_sum; r11 review
-# caught the tail misnamed) + the 7 alphabetically-first r08-row
-# queries (agg_approx_stats .. dedup_chunk_signature).  The guard test
-# recomputes the truth either way — a head start, not an answer.
+# Pre-computed r13 window (assuming CORRECTNESS_r12 lands with the 50
+# below and r13 makes no new registrations / change flags): the 43
+# remaining r08-row queries (dedup_incremental_batch ..
+# unpivot_lineitem_measures) + the 7 alphabetically-first r09-row
+# queries (agg_regression_price_qty .. cohort_retention).  The guard
+# test recomputes the truth either way — a head start, not an answer.
 _CHANGED_IN_ROUND: dict[str, int] = {
-    # r11: asof_join_windowed changed — null-keyed LEFT rows now route
-    # around the window via a pad Union leg (skew fix), and the tie-
-    # break ORDER key NaN-normalizes float payload fields — the
-    # operator behind this query changed, so it re-verifies this round
-    "asof_join_tolerance": 11,
-    # r11: urlfn userinfo strip (r10 ADVICE) + a userinfo mess class in
-    # the synthesized URL surface — output changed on both sides
-    "dedup_url_canonical": 11,
-    # r11: power-iteration rounds 5 -> 40 (the numpy.linalg.eigh
-    # reference test caught 5 rounds stopping at ~85% of lambda1 on the
-    # near-isotropic fixture spectrum) — output changed on both sides.
-    # Already in the r11 window via its stale r06 row, so the set is
-    # unchanged; the flag records WHY its r11 driver row must be green
-    # against the new output.
-    "embedding_pca_power": 11,
 }
 
 _SAMPLE_FIRST = (
-    # --- round-0 stale: new registrations + changed-this-round ---
-    "asof_join_tolerance", "dedup_url_canonical", "pii_scrub_multi",
-    "text_token_budget_bpe",
-    # --- stale, latest driver row r06 (all 41 remaining) ---
-    "agg_tpch_q1", "array_functions", "corpus_datasheet", "cube_agg",
-    "date_arithmetic", "dedup_substring_spans", "embedding_dim_stats",
-    "embedding_pca_power", "embedding_random_projection",
-    "events_new_vs_returning", "events_top_paths", "graph_hits_trade",
-    "graph_kcore", "incremental_agg_merge", "join_band_broadcast",
-    "join_null_safe", "layout_zorder_key", "multimodal_audio_vad_spans",
-    "multimodal_image_resize", "pipeline_filter_funnel",
-    "pipeline_sequence_packing", "retrieval_hard_negatives",
-    "scalar_try_functions", "scalar_url_functions",
-    "sketch_hll_datasketches", "sketch_quantile_histogram",
-    "skyline_pareto_orders", "source_schema_evolution",
-    "sql_lateral_topn", "stats_ks_two_sample", "text_bpe_first_merges",
-    "text_heaps_law", "text_js_divergence_sources",
-    "text_ngram_novelty", "timeseries_cumulative_users",
-    "timeseries_cusum_changepoint", "timeseries_holt_linear",
-    "timeseries_wau_sliding", "window_global_rank_stats",
-    "window_range_trailing_7d", "window_session_builtin",
-    # --- alphabetical head of the r07 block (5 fillers) ---
-    "agg_decimal_exact", "agg_mode_per_group", "agg_percentiles_exact",
-    "agg_stat_moments", "anomaly_daily_zscore",
+    # --- stale, latest driver row r07 (all 43 remaining) ---
+    "dedup_cluster_representatives", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix", "dedup_semantic_kmeans",
+    "dedup_tfidf_cosine", "distinct_rows", "distributed_sort",
+    "distributed_sort_desc", "grouping_sets_sql", "join_anti",
+    "join_broadcast_dims", "join_full_outer", "join_left_outer",
+    "join_semi", "join_shuffle_facts", "join_tpch_q5_shape",
+    "multimodal_binary_meta", "multimodal_decode_stub",
+    "null_handling", "partitioned_scan_events_week",
+    "pivot_linestatus", "range_join_sessions", "rollup_agg",
+    "scalar_date_functions", "scalar_string_math",
+    "sessionize_events", "set_except", "set_intersect",
+    "set_union_distinct", "similarity_cosine_topk",
+    "sql_correlated_subquery", "stats_chi2_event_dow",
+    "stream_join_attribution", "tokenize", "top_k",
+    "union_all_counts", "window_first_last",
+    "window_sliding_events", "window_tumbling_events", "word_count",
+    # --- alphabetical head of the r08 block (7 fillers) ---
+    "agg_approx_stats", "agg_hll_distinct", "agg_tpch_q6_forecast",
+    "anomaly_daily_mad", "basket_lift_pairs", "cdc_merge_upsert",
+    "dedup_chunk_signature",
 )
 
 

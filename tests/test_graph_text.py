@@ -771,3 +771,97 @@ def test_bpe_replace_encoder_matches_reference(spark):
     for i, w in enumerate(words):
         ref = [t for part in w.split() for t in bpe_ref(part)]
         assert got[i] == (len(ref), ref), (w, got[i], ref)
+
+
+def _random_wellformed_merges(rng, n_merges, alphabet="theranois"):
+    """A random BPE-style merge table built the way training builds one:
+    each merge pairs two symbols already in the pool (chars + earlier
+    merge outputs) and its output is a NEW string not yet in the pool —
+    the well-formedness property real merges.txt files have."""
+    pool = list(alphabet)
+    seen = set(pool)
+    merges = []
+    while len(merges) < n_merges:
+        a, b = rng.choice(pool), rng.choice(pool)
+        if a + b in seen or len(a + b) > 8:
+            continue
+        merges.append((a, b))
+        pool.append(a + b)
+        seen.add(a + b)
+    return merges
+
+
+def _bpe_ref_seq(word, merges):
+    """Independent sequential-full-application reference (table order,
+    leftmost non-overlapping) — deliberately NOT the production helper."""
+    syms = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_replace_encoder_random_merge_tables(spark):
+    """The ADVICE-r11 fuzz, committed: the space-wrapped chained-replace
+    encoder vs the independent reference over RANDOM well-formed merge
+    tables (not just the fixed _BPE_MERGES fixture), so the wrap-form
+    equivalence is pinned as a property of the representation, not of
+    one lucky table.  8 seeded tables x 150 words = 1,200 cases, one
+    Spark action per table."""
+    import random
+
+    from mapreduce_implementation_spark.queries.textanalysis import (
+        _bpe_encode,
+    )
+
+    rng = random.Random(1211)
+    for table_i in range(8):
+        merges = _random_wellformed_merges(rng, rng.randint(4, 20))
+        words = ["".join(rng.choice("theranois")
+                         for _ in range(rng.randint(1, 12)))
+                 for _ in range(148)] + ["there", "and then there were none"]
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "i long, text string")
+        enc = _bpe_encode(F.col("text"), merges=merges)
+        got = {r["i"]: r["toks"] for r in df.select(
+            "i", F.regexp_extract_all(
+                enc, F.lit("[^ ]+"), F.lit(0)).alias("toks")).collect()}
+        for i, w in enumerate(words):
+            ref = [t for part in w.split() for t in _bpe_ref_seq(part, merges)]
+            assert got[i] == ref, (table_i, merges, w, got[i], ref)
+
+
+def test_bpe_batched_parity_with_expression(spark):
+    """bpe_encode_batched (the vocab-scale mapInPandas path) must agree
+    token-for-token with the oracle-able expression form on the fixture
+    table AND on random well-formed tables, including None/empty/
+    punctuation-bearing text — the crossover contract in its docstring."""
+    import random
+
+    from mapreduce_implementation_spark.queries.textanalysis import (
+        _BPE_MERGES, _bpe_encode, bpe_encode_batched,
+    )
+
+    rng = random.Random(907)
+    texts = ["There, THEN: other!", "", None, "İstanbul naïve reëntry",
+             "and then there were none", "x" * 40]
+    texts += ["".join(rng.choice("theranois .,!")
+                      for _ in range(rng.randint(0, 30))) for _ in range(80)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string")
+    for merges in (_BPE_MERGES, _random_wellformed_merges(rng, 15)):
+        expr_toks = F.regexp_extract_all(
+            _bpe_encode(F.col("text"), merges=merges),
+            F.lit("[^ ]+"), F.lit(0))
+        want = {r["i"]: r["toks"]
+                for r in df.select("i", expr_toks.alias("toks")).collect()}
+        got_df = bpe_encode_batched(df, "text", merges=merges, out="toks")
+        got = {r["i"]: r["toks"] for r in got_df.collect()}
+        assert got == want

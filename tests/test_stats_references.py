@@ -892,3 +892,161 @@ def test_cumulative_users_matches_python(spark):
            .collect()}
     assert got == want, (sorted(set(got) ^ set(want))[:3])
     assert max(c for _, c in got.values()) == len(first)
+
+
+# --- r12: the text-retrieval statistics the r11 program skipped ---
+# (VERDICT r11 item 3: BM25, TF-IDF weights, LLR pair scores, and the
+# MinHash Jaccard ESTIMATE — all shared-formulation oracle twins until
+# now, exactly the shape the BPE lesson warns about.)
+
+
+def test_tfidf_matches_python(spark):
+    """text_tfidf_top3's weights (tf=n/len, idf=ln(N/df)) and per-doc
+    top-3 selection vs a pure-Python fold over the parquet text."""
+    d = _pdf("documents")
+    doc_toks = {int(i): _py_tokens(t) for i, t in zip(d["doc_id"], d["text"])}
+    doc_toks = {i: ts for i, ts in doc_toks.items() if ts}  # docs w/ tokens
+    n_docs = len(doc_toks)
+    dfreq: dict[str, int] = {}
+    for ts in doc_toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want: dict[int, list[tuple[str, float, int]]] = {}
+    for i, ts in doc_toks.items():
+        tf: dict[str, int] = {}
+        for t in ts:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            ((term, round(c / len(ts) * math.log(n_docs / dfreq[term]), 6))
+             for term, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]))
+        want[i] = [(term, w, rk + 1)
+                   for rk, (term, w) in enumerate(scored[:3])]
+
+    rows = SPECS["text_tfidf_top3"].fn(spark, SF_DIR_001).collect()
+    got: dict[int, list[tuple[str, float, int]]] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tfidf"], r["term_rank"]))
+    got = {i: sorted(v, key=lambda x: x[2]) for i, v in got.items()}
+    assert set(got) == set(want)
+    for i in want:
+        assert [(t, rk) for t, _, rk in got[i]] \
+            == [(t, rk) for t, _, rk in want[i]], (i, got[i], want[i])
+        for (gt, gw, _), (wt, ww, _) in zip(got[i], want[i]):
+            assert abs(gw - ww) <= 1e-6, (i, gt, gw, ww)
+
+
+def test_bm25_matches_python(spark):
+    """text_bm25_top10's Okapi ranking (k1=1.2, b=0.75, the query
+    {hash, join, window}) vs an independent pure-Python BM25."""
+    k1, b, terms = 1.2, 0.75, ("hash", "join", "window")
+    d = _pdf("documents")
+    doc_toks = {int(i): _py_tokens(t) for i, t in zip(d["doc_id"], d["text"])}
+    doc_toks = {i: ts for i, ts in doc_toks.items() if ts}
+    n_docs = len(doc_toks)
+    avgdl = sum(len(ts) for ts in doc_toks.values()) / n_docs
+    dfreq = {t: sum(1 for ts in doc_toks.values() if t in ts)
+             for t in terms}
+    scores: dict[int, float] = {}
+    for i, ts in doc_toks.items():
+        s = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [(r["doc_id"], r["bm25"], r["rank"]) for r in sorted(
+        SPECS["text_bm25_top10"].fn(spark, SF_DIR_001).collect(),
+        key=lambda r: r["rank"])]
+    assert [(i, rk + 1) for rk, (i, _) in enumerate(want)] \
+        == [(i, rk) for i, _, rk in got]
+    for (wi, ws), (_, gs, _) in zip(want, got):
+        assert abs(gs - ws) <= 2e-6, (wi, gs, ws)
+
+
+def test_llr_matches_python(spark):
+    """text_collocations_llr's Dunning 2x2 log-likelihood ratio vs a
+    pure-Python contingency fold over per-doc consecutive bigrams."""
+    d = _pdf("documents")
+    k11: dict[tuple[str, str], int] = {}
+    for t in d["text"]:
+        ts = _py_tokens(t)
+        for a, bb in zip(ts, ts[1:]):
+            k11[(a, bb)] = k11.get((a, bb), 0) + 1
+    r1: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    for (a, bb), k in k11.items():
+        r1[a] = r1.get(a, 0) + k
+        c1[bb] = c1.get(bb, 0) + k
+    nn = sum(k11.values())
+
+    def llr(a, bb):
+        kk11 = k11[(a, bb)]
+        kk12 = r1[a] - kk11
+        kk21 = c1[bb] - kk11
+        kk22 = nn - r1[a] - c1[bb] + kk11
+        def term(k, le, ri):
+            return k * math.log(k * nn / (le * ri)) if k > 0 else 0.0
+        return round(2 * (term(kk11, r1[a], c1[bb])
+                          + term(kk12, r1[a], nn - c1[bb])
+                          + term(kk21, nn - r1[a], c1[bb])
+                          + term(kk22, nn - r1[a], nn - c1[bb])), 4)
+
+    want = sorted(
+        ((a, bb, k, llr(a, bb)) for (a, bb), k in k11.items() if k >= 30),
+        key=lambda x: (-x[3], x[0], x[1]))[:20]
+
+    got = [(r["w1"], r["w2"], r["n_pair"], r["llr"]) for r in
+           SPECS["text_collocations_llr"].fn(spark, SF_DIR_001).collect()]
+    assert [(a, bb, k) for a, bb, k, _ in got] \
+        == [(a, bb, k) for a, bb, k, _ in want], (got[:3], want[:3])
+    for (_, _, _, gl), (wa, wb, _, wl) in zip(got, want):
+        assert abs(gl - wl) <= 2e-4, (wa, wb, gl, wl)
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """The MinHash est_jaccard column is a STATISTICAL estimator — the
+    DuckDB audit oracle re-derives the same signatures, so it can never
+    say whether signature agreement actually estimates shingle Jaccard.
+    This test computes the TRUE 9-char-shingle Jaccard per candidate
+    pair in pure Python and checks the estimator against its binomial
+    error bar: with 64 hashes, sd = sqrt(J(1-J)/64) <= 0.0625, so
+    |est - J| <= 0.25 (4 sd) per pair and mean |err| <= 0.08 across
+    pairs.  High-similarity pairs (J >= 0.9) must estimate >= 0.7."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    d = _pdf("documents")
+    docs = spark.createDataFrame(d[["doc_id", "text"]])
+    try:
+        pairs = minhash_dedup_pairs(docs, "doc_id", "text").collect()
+    finally:
+        release_persisted()
+    assert pairs, "sf0.001 synthesizes near-dups; empty candidates = bug"
+
+    def shingles(text):
+        norm = re.sub(r"[^A-Za-z ]", "", text).lower()
+        return {norm[i:i + 9] for i in range(len(norm) - 8)}
+
+    sh = {int(i): shingles(t) for i, t in zip(d["doc_id"], d["text"])}
+    errs = []
+    for r in pairs:
+        a, b_, est = r["a"], r["b"], r["est_jaccard"]
+        inter = len(sh[a] & sh[b_])
+        union = len(sh[a] | sh[b_])
+        true_j = inter / union if union else 0.0
+        errs.append(abs(est - true_j))
+        assert abs(est - true_j) <= 0.25, (a, b_, est, true_j)
+        if true_j >= 0.9:
+            assert est >= 0.7, (a, b_, est, true_j)
+    assert sum(errs) / len(errs) <= 0.08, sum(errs) / len(errs)
