@@ -124,6 +124,9 @@ HEADLINE = [
     # rollup) — suite total grows by their cost this round
     "pii_scrub_multi",
     "text_token_budget_bpe",
+    # round 12: Bloom-prefiltered crawl-frontier URL dedup (map-side
+    # probe + broadcast-only exact recheck)
+    "dedup_bloom_frontier",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -40,7 +40,6 @@ __all__ = [
     "sign_lsh_params",
     "cluster_representatives", "near_dup_filter_against",
     "span_chunks", "span_dedup_rebuild",
-    "bloom_params", "bloom_build", "bloom_probe_expr", "bloom_anti_join",
 ]
 
 
@@ -843,115 +842,3 @@ def duplicate_substring_spans(df: DataFrame, id_col: str, text_col: str,
                  (F.max("pos") + F.lit(width - 1)).alias("span_end"))
             .drop("_grp"))
 
-
-# --- Bloom-prefiltered seen-key anti-join (crawl-frontier dedup) ---
-# The standard crawl/ingest shape: a HUGE seen-URL history partition and
-# a comparatively small incoming batch.  A Bloom filter over the history
-# keys probes the batch map-side; only the probe SURVIVORS (true dups +
-# false positives) need the exact recheck, and since the Bloom has no
-# false NEGATIVES the final output exactly equals the exact anti-join —
-# the filter only ever moves rows from the cheap path to the recheck
-# path.  Spark's own InjectRuntimeFilter builds the identical shape
-# internally (BloomFilterAggregate + might_contain), but those
-# expressions are not in the public function registry in this build, so
-# the bitmap is built declaratively: k hash positions per key ->
-# bit_or-packed 64-bit words -> one dense array<long> row that
-# broadcasts to the probe side.  Everything stays in whole-stage
-# codegen; the bitmap build is one partial-aggregable pass over history
-# whose exchange carries <= num_bits/64 rows.
-
-
-def bloom_params(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
-    """Textbook Bloom sizing: bits m = -n ln p / ln^2 2 (rounded up to a
-    multiple of 64), hashes k = (m/n) ln 2.  Scale rule: size for the
-    HISTORY's distinct-key count — at 10^10 seen URLs and 1% FPR this is
-    ~12 GB of bitmap, past comfortable broadcast range, so shard the
-    history by key range and build one filter per shard (each probe
-    touches exactly one shard's filter)."""
-    import math as _m
-
-    n = max(n_keys, 1)
-    m = int(_m.ceil(-n * _m.log(fpr) / (_m.log(2) ** 2)))
-    m = ((m + 63) // 64) * 64
-    k = max(1, round(m / n * _m.log(2)))
-    return m, k
-
-
-def bloom_build(history: DataFrame, key_col: str,
-                num_bits: int = 1 << 17, num_hashes: int = 5) -> DataFrame:
-    """One-row frame ``(bloom array<long>, n_keys long)`` over the
-    history keys.  ``num_bits`` must be a multiple of 64.  NULL keys are
-    ignored (a NULL never "was seen").  The seed mixing —
-    ``xxhash64(xxhash64(key), CAST(s AS BIGINT))`` — must match
-    ``bloom_probe_expr`` exactly; both sides share these literal
-    expressions."""
-    assert num_bits % 64 == 0
-    n_words = num_bits // 64
-    hashed = (history.select(F.xxhash64(F.col(key_col)).alias("_h"),
-                             F.col(key_col).alias("_k"))
-              .where(F.col(key_col).isNotNull()))
-    pos = hashed.select(F.explode(F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), "
-        f"s -> pmod(xxhash64(_h, CAST(s AS BIGINT)), CAST({num_bits} AS BIGINT)))"
-    )).alias("_p"))
-    words = (pos.groupBy(F.expr("CAST(_p DIV 64 AS INT)").alias("_w"))
-             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
-                         "CAST(_p % 64 AS INT)))").alias("_bits")))
-    dense = (words.agg(F.map_from_entries(
-        F.sort_array(F.collect_list(F.struct("_w", "_bits")))).alias("_wm"))
-        .select(F.expr(
-            f"transform(sequence(0, {n_words - 1}), "
-            f"i -> coalesce(_wm[CAST(i AS INT)], CAST(0 AS BIGINT)))"
-        ).alias("bloom")))
-    n_keys = hashed.agg(F.countDistinct("_k").alias("n_keys"))
-    return dense.crossJoin(F.broadcast(n_keys))
-
-
-def bloom_probe_expr(hash_col: str, num_bits: int, num_hashes: int,
-                     bloom_col: str = "bloom"):
-    """Boolean might-contain over a pre-hashed key column
-    (``hash_col`` = xxhash64 of the key, same type as the build side).
-    False => DEFINITELY unseen; True => seen or false positive."""
-    return F.expr(
-        f"forall(sequence(0, {num_hashes - 1}), s -> ("
-        f"shiftright(element_at({bloom_col}, CAST(pmod(xxhash64({hash_col}, "
-        f"CAST(s AS BIGINT)), CAST({num_bits} AS BIGINT)) DIV 64 AS INT) + 1), "
-        f"CAST(pmod(xxhash64({hash_col}, CAST(s AS BIGINT)), "
-        f"CAST({num_bits} AS BIGINT)) % 64 AS INT)) & 1) = 1)")
-
-
-def bloom_anti_join(incoming: DataFrame, history: DataFrame, key_col: str,
-                    num_bits: int = 1 << 17, num_hashes: int = 5,
-                    broadcast_recheck: bool = True) -> DataFrame:
-    """Rows of ``incoming`` whose ``key_col`` does NOT appear in
-    ``history`` — output-identical to a plain left-anti join (the Bloom
-    leg only ever adds false POSITIVES to the recheck set), but at crawl
-    shape (incoming batch << history) the exact recheck never shuffles
-    the history: probe survivors are few, so the recheck runs as
-    history-scan LEFT SEMI broadcast(survivor keys) -> confirmed-seen
-    keys (bounded by the survivor count) -> survivors LEFT ANTI
-    broadcast(confirmed) — history is map-scanned once for the bitmap
-    and once for the semi probe, and nothing history-sized ever crosses
-    an exchange.  ``broadcast_recheck=False`` falls back to the plain
-    shuffle anti-join for survivor sets too large to broadcast (the
-    planner can't know; the caller does).  NULL incoming keys follow
-    anti-join semantics (NULL matches nothing => kept)."""
-    bloom = tracked_persist(
-        bloom_build(history, key_col, num_bits, num_hashes).select("bloom"))
-    probed = (incoming
-              .withColumn("_h", F.xxhash64(F.col(key_col)))
-              .crossJoin(F.broadcast(bloom)))
-    might = bloom_probe_expr("_h", num_bits, num_hashes)
-    keep_null = F.col(key_col).isNull()
-    fresh = probed.filter(keep_null | ~might).drop("_h", "bloom")
-    survivors = tracked_persist(
-        probed.filter(~keep_null & might).drop("_h", "bloom"))
-    if broadcast_recheck:
-        surv_keys = survivors.select(key_col).distinct()
-        confirmed = (history.select(key_col)
-                     .join(F.broadcast(surv_keys), key_col, "left_semi")
-                     .distinct())
-        new = survivors.join(F.broadcast(confirmed), key_col, "left_anti")
-    else:
-        new = survivors.join(history.select(key_col), key_col, "left_anti")
-    return fresh.unionByName(new)

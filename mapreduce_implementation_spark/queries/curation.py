@@ -664,6 +664,19 @@ WITH aug AS (
                        || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
                        || CAST((doc_id * 13) % 256 AS VARCHAR)
                        || ' internally.'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 2
+                  THEN ' Node at 2001:db8:'
+                       || lpad(CAST(doc_id % 9999 AS VARCHAR), 4, '0')
+                       || '::1 online.'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 3
+                  THEN ' Pay card 4'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' '
+                       || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') || ' '
+                       || lpad(CAST((doc_id * 11) % 10000 AS VARCHAR), 4, '0') || ' '
+                       || lpad(CAST((doc_id * 17) % 10000 AS VARCHAR), 4, '0')
+                       || ' promptly.'
                   ELSE '' END) AS t
   FROM documents
 ),
@@ -682,14 +695,43 @@ s3 AS (
   SELECT *,
          regexp_replace(t2,
            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
-           '<IP>', 'g') AS t3,
-         length(t)
-         - length(regexp_replace(regexp_replace(regexp_replace(t,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
-             '\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}', '', 'g'),
-             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '', 'g'))
-           AS pii_len
+           '<IP>', 'g') AS t3
   FROM s2
+),
+s4 AS (
+  SELECT *,
+         regexp_replace(t3,
+           '\b[0-9a-fA-F]{1,4}:[0-9a-fA-F]{1,4}:[0-9a-fA-F]{1,4}(?:(?::[0-9a-fA-F]{1,4}){1,5}|::[0-9a-fA-F]{1,4})\b',
+           '<IP6>', 'g') AS t4
+  FROM s3
+),
+s5 AS (
+  SELECT *,
+         list_filter(regexp_extract_all(t4, '\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b'),
+           c -> (list_sum(list_transform(
+                   [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15],
+                   i -> CASE WHEN (15 - i) % 2 = 1
+                        THEN CASE WHEN 2 * CAST(substring(replace(replace(c, ' ', ''), '-', ''), i+1, 1) AS INT) > 9
+                                  THEN 2 * CAST(substring(replace(replace(c, ' ', ''), '-', ''), i+1, 1) AS INT) - 9
+                                  ELSE 2 * CAST(substring(replace(replace(c, ' ', ''), '-', ''), i+1, 1) AS INT) END
+                        ELSE CAST(substring(replace(replace(c, ' ', ''), '-', ''), i+1, 1) AS INT) END))
+                 % 10) = 0) AS valid_cards
+  FROM s4
+),
+s6 AS (
+  SELECT *,
+         list_reduce(list_prepend(t4, valid_cards),
+                     (acc, x) -> replace(acc, x, '<CARD>')) AS t5,
+         length(t)
+         - length(list_reduce(list_prepend(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+               '\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}', '', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '', 'g'),
+               '\b[0-9a-fA-F]{1,4}:[0-9a-fA-F]{1,4}:[0-9a-fA-F]{1,4}(?:(?::[0-9a-fA-F]{1,4}){1,5}|::[0-9a-fA-F]{1,4})\b', '', 'g'),
+             valid_cards), (acc, x) -> replace(acc, x, '')))
+           AS pii_len
+  FROM s5
 )
 SELECT doc_id,
        CAST(length(regexp_extract_all(t,
@@ -701,39 +743,58 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(t2,
          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER)
          AS n_ip,
+       CAST(length(regexp_extract_all(t3,
+         '\b[0-9a-fA-F]{1,4}:[0-9a-fA-F]{1,4}:[0-9a-fA-F]{1,4}(?:(?::[0-9a-fA-F]{1,4}){1,5}|::[0-9a-fA-F]{1,4})\b')) AS INTEGER)
+         AS n_ipv6,
+       CAST(length(regexp_extract_all(t4,
+         '\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b')) AS INTEGER) AS n_card,
+       CAST(length(valid_cards) AS INTEGER) AS n_card_valid,
        CAST(pii_len AS INTEGER) AS pii_chars,
        CAST(floor(1000.0 * pii_len / greatest(length(t), 1)) AS INTEGER)
          AS pii_permille,
-       md5(t3) AS scrub_md5
-FROM s3
+       md5(t5) AS scrub_md5
+FROM s6
 """
 
 _PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE_RE = r"\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}"
 _PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# Pragmatic IPv6 class (the curation-stack subset): >= 4 hex groups in
+# full form, or 3 groups + '::' + final group (the compressed shape the
+# synthesis emits).  Deliberately NOT the full RFC 4291 grammar —
+# ipv4-mapped and multi-'::' forms are out of scope; both engines run
+# the identical pattern so the class boundary is shared.
+_PII_IPV6_RE = (r"\b[0-9a-fA-F]{1,4}:[0-9a-fA-F]{1,4}:[0-9a-fA-F]{1,4}"
+                r"(?:(?::[0-9a-fA-F]{1,4}){1,5}|::[0-9a-fA-F]{1,4})\b")
+# 16-digit card CANDIDATES (4 groups of 4, space/dash separated);
+# candidates are redacted only if they pass Luhn — a pure digit-
+# transform expression in both engines (unrolled 16-term doubled sum),
+# so invalid look-alike numbers are deliberately left in the text.
+_PII_CARD_RE = r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b"
 
 
 @register(
     "pii_scrub_multi",
     oracle=_PII_ORACLE,
-    doc="Multi-class PII scrub (the C4/Dolma curation step, r10 VERDICT "
-        "item 3 — pii_mask_digits was the only PII query): emails, "
-        "phone numbers and IPv4 addresses are redacted to <EMAIL>/"
-        "<PHONE>/<IP> tokens in a FIXED order (email first — its local "
-        "part can contain digit runs the phone/IP classes would "
-        "otherwise partially claim), with per-doc match counts, total "
-        "redacted characters, and a PII-density stat (permille of the "
-        "document, floor()ed: an exact int ratio through IEEE division "
-        "is bit-identical in both engines, where round() tie-breaking "
-        "is not — the r8 residual class).  The scrubbed text is pinned "
-        "by md5 so the oracle checks the REDACTION ITSELF, not just the "
-        "counts.  Pure regexp_replace/regexp_extract_all column "
-        "expressions — whole-stage codegen, zero UDF, zero shuffle: at "
-        "100 TB the scrub rides the scan (the counts are per-row, not "
-        "aggregated), which is exactly how a curation pass wants it.  "
-        "PII lines are synthesized deterministically from doc_id "
-        "residues (the fixture has no real PII) on BOTH sides, like "
-        "dedup_url_canonical's URL mess classes.",
+    doc="Multi-class PII scrub (the C4/Dolma curation step; r12 extends "
+        "the r11 three-class contract with the two classes real "
+        "curation stacks scrub next): emails, phone numbers, IPv4, "
+        "IPv6 and Luhn-VALID 16-digit card numbers are redacted to "
+        "<EMAIL>/<PHONE>/<IP>/<IP6>/<CARD> tokens in a FIXED order "
+        "(email first — its local part can contain digit runs the "
+        "phone/IP classes would otherwise partially claim; card last, "
+        "gated on Luhn so look-alike digit groups that fail the "
+        "checksum are deliberately LEFT IN PLACE — the checksum is an "
+        "unrolled 16-term doubled-digit sum, a pure codegen expression "
+        "in both engines, no UDF), with per-doc match counts "
+        "(n_card counts candidates, n_card_valid the Luhn survivors), "
+        "total redacted characters, and a floor()ed permille density.  "
+        "The scrubbed text is pinned by md5 so the oracle checks the "
+        "REDACTION ITSELF.  Pure regexp/HOF column expressions — "
+        "zero shuffle: at 100 TB the scrub rides the scan.  PII lines "
+        "are synthesized deterministically from doc_id residues on "
+        "BOTH sides (card check digits fall where the residues land, "
+        "~1/10 valid, so both Luhn branches carry real mass).",
 )
 def q_pii_scrub_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = F.col("doc_id")
@@ -754,15 +815,53 @@ def q_pii_scrub_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ((did * 7) % 256).cast("string"), F.lit("."),
                  ((did * 13) % 256).cast("string"),
                  F.lit(" internally."))).otherwise(F.lit(""))
+    ipv6_part = F.when(
+        did % 7 == 2,
+        F.concat(F.lit(" Node at 2001:db8:"),
+                 F.lpad((did % 9999).cast("string"), 4, "0"),
+                 F.lit("::1 online."))).otherwise(F.lit(""))
+    card_part = F.when(
+        did % 7 == 3,
+        F.concat(F.lit(" Pay card 4"),
+                 F.lpad((did % 1000).cast("string"), 3, "0"), F.lit(" "),
+                 F.lpad(((did * 3) % 10000).cast("string"), 4, "0"),
+                 F.lit(" "),
+                 F.lpad(((did * 11) % 10000).cast("string"), 4, "0"),
+                 F.lit(" "),
+                 F.lpad(((did * 17) % 10000).cast("string"), 4, "0"),
+                 F.lit(" promptly."))).otherwise(F.lit(""))
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.concat(F.col("text"), email_part, phone_part, ip_part).alias("t"))
+        F.concat(F.col("text"), email_part, phone_part, ip_part,
+                 ipv6_part, card_part).alias("t"))
 
     def scrubbed(col, pat, token):
         return F.regexp_replace(col, pat, token)
 
     def n_matches(col, pat):
         return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+    def luhn_ok(c):
+        # unrolled 16-term doubled sum over the separator-stripped
+        # digits — position parity is a Python-time constant per term,
+        # so the whole predicate folds into one codegen expression
+        dig = F.replace(F.replace(c, F.lit(" "), F.lit("")),
+                        F.lit("-"), F.lit(""))
+        total = None
+        for i in range(16):
+            d = F.substring(dig, i + 1, 1).cast("int")
+            if (15 - i) % 2 == 1:
+                dbl = d * 2
+                term = F.when(dbl > 9, dbl - 9).otherwise(dbl)
+            else:
+                term = d
+            total = term if total is None else total + term
+        return total % 10 == 0
+
+    def card_scrub(text_col, cards, token):
+        return F.aggregate(
+            cards, text_col,
+            lambda acc, x: F.replace(acc, x, F.lit(token)))
 
     t = F.col("t")
     staged = docs.select(
@@ -772,19 +871,34 @@ def q_pii_scrub_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", scrubbed(F.col("t1"), _PII_PHONE_RE, "<PHONE>").alias("t2"),
     ).select(
         "*", scrubbed(F.col("t2"), _PII_IP_RE, "<IP>").alias("t3"),
-        (F.length("t") - F.length(
-            scrubbed(scrubbed(scrubbed(t, _PII_EMAIL_RE, ""),
-                              _PII_PHONE_RE, ""),
-                     _PII_IP_RE, ""))).alias("pii_len"),
+    ).select(
+        "*", scrubbed(F.col("t3"), _PII_IPV6_RE, "<IP6>").alias("t4"),
+    ).select(
+        "*",
+        F.filter(F.regexp_extract_all(F.col("t4"), F.lit(_PII_CARD_RE),
+                                      F.lit(0)),
+                 luhn_ok).alias("valid_cards"),
+    ).select(
+        "*",
+        card_scrub(F.col("t4"), F.col("valid_cards"), "<CARD>").alias("t5"),
+        (F.length("t") - F.length(card_scrub(
+            scrubbed(scrubbed(scrubbed(scrubbed(t, _PII_EMAIL_RE, ""),
+                                       _PII_PHONE_RE, ""),
+                              _PII_IP_RE, ""),
+                     _PII_IPV6_RE, ""),
+            F.col("valid_cards"), ""))).alias("pii_len"),
     )
     return staged.select(
         "doc_id",
         n_matches(t, _PII_EMAIL_RE).cast("int").alias("n_email"),
         n_matches(F.col("t1"), _PII_PHONE_RE).cast("int").alias("n_phone"),
         n_matches(F.col("t2"), _PII_IP_RE).cast("int").alias("n_ip"),
+        n_matches(F.col("t3"), _PII_IPV6_RE).cast("int").alias("n_ipv6"),
+        n_matches(F.col("t4"), _PII_CARD_RE).cast("int").alias("n_card"),
+        F.size("valid_cards").cast("int").alias("n_card_valid"),
         F.col("pii_len").cast("int").alias("pii_chars"),
         F.floor(F.lit(1000.0) * F.col("pii_len")
                 / F.greatest(F.length("t"), F.lit(1)))
          .cast("int").alias("pii_permille"),
-        F.md5(F.col("t3").cast("binary")).alias("scrub_md5"),
+        F.md5(F.col("t5").cast("binary")).alias("scrub_md5"),
     )

@@ -1323,6 +1323,36 @@ FROM canon GROUP BY host ORDER BY host
 """
 
 
+def _synth_url():
+    """The messy-URL synthesis expression over (doc_id, source, lang) —
+    the Spark twin of _URL_CANON_ORACLE's ``u`` CTE, shared verbatim by
+    dedup_url_canonical and dedup_bloom_frontier (pure code motion out
+    of the former in r12; the analyzed plan is byte-identical)."""
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    userinfo = F.when(did % 7 == 0, F.lit("User:Pw@")).otherwise(F.lit(""))
+    www = F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    port = (F.when(did % 4 == 0, F.lit(":443"))
+            .when(did % 4 == 1, F.lit(":80"))
+            .otherwise(F.lit("")))
+    tracking = (
+        F.when(did % 3 == 0, F.lit("&utm_source=feed&utm_medium=rss"))
+        .when(did % 3 == 1, F.concat(F.lit("&gclid=g"), did.cast("string")))
+        .otherwise(F.lit("")))
+    topic = F.when(did % 5 != 0,
+                   F.concat(F.lit("&topic="), (did % 6).cast("string"))
+                   ).otherwise(F.lit(""))
+    query = F.regexp_replace(F.concat(tracking, topic), "^&", "?")
+    frag = F.when(did % 2 == 1,
+                  F.concat(F.lit("#Sec"), (did % 9).cast("string"))
+                  ).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), userinfo, www,
+        F.col("source"), F.lit(".Example.COM"),
+        port, F.lit("/"), F.col("lang"), F.lit("/Page"),
+        (did % 40).cast("string"), query, frag)
+
+
 @register(
     "dedup_url_canonical",
     oracle=_URL_CANON_ORACLE,
@@ -1344,29 +1374,7 @@ FROM canon GROUP BY host ORDER BY host
 def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.urlfn import canonicalize_url, url_host
 
-    did = F.col("doc_id")
-    scheme = F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
-    userinfo = F.when(did % 7 == 0, F.lit("User:Pw@")).otherwise(F.lit(""))
-    www = F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
-    port = (F.when(did % 4 == 0, F.lit(":443"))
-            .when(did % 4 == 1, F.lit(":80"))
-            .otherwise(F.lit("")))
-    tracking = (
-        F.when(did % 3 == 0, F.lit("&utm_source=feed&utm_medium=rss"))
-        .when(did % 3 == 1, F.concat(F.lit("&gclid=g"), did.cast("string")))
-        .otherwise(F.lit("")))
-    topic = F.when(did % 5 != 0,
-                   F.concat(F.lit("&topic="), (did % 6).cast("string"))
-                   ).otherwise(F.lit(""))
-    query = F.regexp_replace(F.concat(tracking, topic), "^&", "?")
-    frag = F.when(did % 2 == 1,
-                  F.concat(F.lit("#Sec"), (did % 9).cast("string"))
-                  ).otherwise(F.lit(""))
-    url = F.concat(
-        scheme, F.lit("://"), userinfo, www,
-        F.col("source"), F.lit(".Example.COM"),
-        port, F.lit("/"), F.col("lang"), F.lit("/Page"),
-        (did % 40).cast("string"), query, frag)
+    url = _synth_url()
     docs = load_table(spark, sf_dir, "documents")
     c = docs.select(
         url.alias("url")
@@ -1392,4 +1400,168 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("host", "n_docs", "n_urls", "n_canonical",
                     F.round(F.lit(1.0) - F.col("n_canonical") / F.col("n_docs"),
                             4).alias("dup_rate"))
+            .orderBy("host"))
+
+
+# dedup_bloom_frontier's oracle: the synthesis + canonicalization CTEs
+# mirror _URL_CANON_ORACLE term-for-term with doc_id carried through
+# (the split predicate needs it), then the EXACT anti-join — correct as
+# an oracle for the Bloom-prefiltered path because the Bloom leg has no
+# false negatives and its false positives are re-checked exactly, so
+# the outputs are equal by construction, not approximately.  The
+# doc_id%7 split is deliberately coprime to every curl-determining
+# residue (source, lang, %2 scheme, %40 path, %5/%6 topic), so the
+# incoming batch contains BOTH seen and unseen canonical URLs at every
+# SF (a %10 split would correlate with Page(doc_id%40) and make the
+# overlap empty — measured before choosing).
+_BLOOM_FRONTIER_M = 4096   # bits (64 words); history distinct curls are
+_BLOOM_FRONTIER_K = 5      # O(100): bound FPR ~2% at n=515 (sf0.1)
+_BLOOM_FRONTIER_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+         || (CASE WHEN doc_id % 7 = 0 THEN 'User:Pw@' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || source || '.Example.COM'
+         || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                  WHEN doc_id % 4 = 1 THEN ':80' ELSE '' END)
+         || '/' || lang || '/Page' || CAST(doc_id % 40 AS VARCHAR)
+         || regexp_replace(
+              (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed&utm_medium=rss'
+                    WHEN doc_id % 3 = 1 THEN '&gclid=g' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END)
+              || (CASE WHEN doc_id % 5 <> 0
+                       THEN '&topic=' || CAST(doc_id % 6 AS VARCHAR)
+                       ELSE '' END),
+              '^&', '?')
+         || (CASE WHEN doc_id % 2 = 1
+                  THEN '#Sec' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END)
+           AS url
+  FROM documents
+),
+comp AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+         regexp_extract(nofrag, '\\?(.*)$', 1) AS qs
+  FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u)
+),
+norm AS (
+  SELECT doc_id, url, scheme, raw_path, qs,
+         regexp_replace(lower(regexp_replace(
+             regexp_replace(hostport, '^[^@]*@', ''), ':[0-9]+$', '')),
+                        '^www\\.', '') AS host,
+         regexp_extract(regexp_replace(hostport, '^[^@]*@', ''),
+                        ':([0-9]+)$', 1) AS port,
+         array_to_string(list_sort(list_filter(string_split(qs, '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+             '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS kept
+  FROM comp
+),
+canon AS (
+  SELECT doc_id, host,
+         scheme || '://' || host
+         || (CASE WHEN port <> ''
+                   AND NOT ((scheme = 'https' AND port = '443')
+                            OR (scheme = 'http' AND port = '80'))
+                  THEN ':' || port ELSE '' END)
+         || (CASE WHEN raw_path = '' THEN '/' ELSE raw_path END)
+         || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS curl
+  FROM norm
+),
+hist AS (SELECT DISTINCT curl FROM canon WHERE doc_id % 7 < 5),
+nh AS (SELECT count(*) AS n_hist FROM hist),
+inc AS (
+  SELECT host, curl, count(*) AS n_docs
+  FROM canon WHERE doc_id % 7 >= 5 GROUP BY host, curl
+),
+new_urls AS (
+  SELECT i.host, i.curl FROM inc i
+  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.curl = i.curl)
+)
+SELECT inc.host,
+       CAST(count(*) AS BIGINT) AS n_incoming_urls,
+       CAST(sum(inc.n_docs) AS BIGINT) AS n_incoming_docs,
+       CAST(count(*) FILTER (WHERE new_urls.curl IS NOT NULL) AS BIGINT)
+         AS n_new_urls,
+       round(pow(1 - exp(-{_BLOOM_FRONTIER_K}.0 * nh.n_hist
+                         / {_BLOOM_FRONTIER_M}.0),
+                 {_BLOOM_FRONTIER_K}.0), 6) AS fpr_bound
+FROM inc
+LEFT JOIN new_urls ON inc.host = new_urls.host AND inc.curl = new_urls.curl
+CROSS JOIN nh
+GROUP BY inc.host, nh.n_hist
+ORDER BY inc.host
+"""
+
+
+@register(
+    "dedup_bloom_frontier",
+    oracle=_BLOOM_FRONTIER_ORACLE,
+    doc="Crawl-frontier seen-URL dedup with a Bloom pre-filter (the "
+        "standard crawl/ingest shape): canonical URLs of the history "
+        "partition (doc_id%7<5) build a declarative Bloom bitmap (k "
+        "hash positions -> bit_or-packed words -> one dense array<long> "
+        "row, the same shape Spark's InjectRuntimeFilter builds "
+        "internally); the incoming batch (doc_id%7>=5) probes it "
+        "MAP-SIDE, and only probe survivors reach the exact recheck — "
+        "which runs as history LEFT SEMI broadcast(survivors) then "
+        "survivors LEFT ANTI broadcast(confirmed), so nothing "
+        "history-sized ever crosses an exchange.  Output equals the "
+        "exact anti-join by construction (no false negatives; false "
+        "positives re-checked), which is why a plain anti-join oracle "
+        "is EXACT, not approximate.  fpr_bound is the textbook "
+        "(1-e^{-kn/m})^k sizing bound from the history's distinct-key "
+        "count.  Per host: incoming distinct canonical URLs, incoming "
+        "doc mass, and how many URLs are genuinely new.",
+)
+def q_dedup_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urlfn import canonicalize_url, url_host
+    from ..operators.caching import tracked_persist
+    from ..operators.joins import bloom_anti_join
+
+    m, k = _BLOOM_FRONTIER_M, _BLOOM_FRONTIER_K
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        F.col("doc_id"), _synth_url().alias("url")
+    ).select(
+        (F.col("doc_id") % 7 < 5).alias("_is_hist"),
+        url_host(F.col("url")).alias("host"),
+        canonicalize_url(F.col("url")).alias("curl"),
+    )
+    # The URL LEDGER: one corpus scan, one map-side-combined shuffle
+    # carrying distinct (split, host, curl) rows — the frame a real
+    # frontier keeps materialized (a crawl probes its seen-URL ledger,
+    # not the raw corpus).  Persisted because FIVE consumers derive
+    # from it (bitmap build, semi probe, n_hist, incoming stats, the
+    # anti-join left side); without the persist each would re-run the
+    # synthesis+canonicalization regexes over the full corpus — the
+    # dominant cost (measured 4x scans ~ 4x cost at sf0.1).
+    ledger = tracked_persist(
+        c.groupBy("_is_hist", "host", "curl")
+        .agg(F.count(F.lit(1)).alias("_n")))
+    history = ledger.filter(F.col("_is_hist")).select("curl")
+    incoming = (ledger.filter(~F.col("_is_hist"))
+                .select("host", "curl", "_n"))
+    new = bloom_anti_join(incoming, history, "curl",
+                          num_bits=m, num_hashes=k)
+    inc_stats = incoming.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_incoming_urls"),
+        F.sum("_n").cast("long").alias("n_incoming_docs"))
+    new_stats = new.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_new_urls"))
+    # history rows are already distinct per (host, curl); a curl spans
+    # exactly one host here (it embeds the host), so count(*) == the
+    # distinct-curl count the sizing formula needs
+    n_hist = history.agg(F.count(F.lit(1)).alias("_nh"))
+    fpr = F.round(F.pow(
+        F.lit(1.0) - F.exp(F.lit(-float(k)) * F.col("_nh") / F.lit(float(m))),
+        F.lit(float(k))), 6)
+    return (inc_stats.join(new_stats, "host", "left")
+            .crossJoin(F.broadcast(n_hist))
+            .select("host", "n_incoming_urls", "n_incoming_docs",
+                    F.coalesce(F.col("n_new_urls"), F.lit(0).cast("long"))
+                     .alias("n_new_urls"),
+                    fpr.alias("fpr_bound"))
             .orderBy("host"))

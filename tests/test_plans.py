@@ -730,3 +730,39 @@ def test_token_budget_bpe_single_tiny_shuffle(spark):
     assert "Generate" not in plan, plan
     assert_partial_aggregate(df)
     assert_read_schema_only(df, {"source", "text"})
+
+
+def test_bloom_frontier_probe_rides_the_scan(spark):
+    """dedup_bloom_frontier's plan contract: no Python anywhere; the
+    incoming batch reaches the Bloom probe filter with only its own
+    pre-group exchange (host,curl); the history side contributes only
+    broadcast exchanges (the one-row bitmap + the two survivor-bounded
+    recheck frames) — at 100 TB the history is map-scanned, never
+    shuffled.  SortMergeJoin would mean a history-sized exchange:
+    banned."""
+    df = SPECS["dedup_bloom_frontier"].fn(spark, SF_DIR_01)
+    plan = plan_string(df, "simple")
+    try:
+        assert "Python" not in plan, plan
+        assert "xxhash64" in plan, plan
+        # a history-sized exchange would surface as a SortMergeJoin (or
+        # a ShuffledHashJoin) on curl — both recheck joins must build on
+        # the survivor-bounded broadcast side instead
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert re.search(r"BroadcastHashJoin \[curl#\d+\], \[curl#\d+\], "
+                         r"LeftSemi", plan), plan
+        assert re.search(r"BroadcastHashJoin \[curl#\d+\], \[curl#\d+\], "
+                         r"LeftAnti", plan), plan
+        # the only nested-loop joins are the documented one-row cross
+        # joins: the n_hist scalar (1) plus the bitmap broadcast, whose
+        # lineage repeats in the fresh/survivor branches until the
+        # persisted bitmap materializes (<= 3 pre-execution occurrences)
+        assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+        assert all("Cross" in seg.splitlines()[0]
+                   for seg in plan.split("BroadcastNestedLoopJoin")[1:]), plan
+    finally:
+        from mapreduce_implementation_spark.operators.caching import (
+            release_persisted,
+        )
+        release_persisted()

@@ -8,6 +8,7 @@ of the range-partitioned sort.
 
 from __future__ import annotations
 
+import math
 import string
 
 from hypothesis import given, settings, strategies as st
@@ -1607,3 +1608,117 @@ def test_covariance_matrix_matches_numpy(spark):
     assert abs(np.linalg.norm(vec) - 1.0) < 1e-9
     assert lam <= true + 1e-9
     assert lam >= 0.9 * true  # eigengap 9:4 converges fast from 5 iters
+
+
+# --- bloom anti-join: exactness + the frontier FPR sentinel -----------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=-5_000, max_value=5_000),
+                min_size=0, max_size=80),
+       st.lists(st.integers(min_value=-5_000, max_value=5_000),
+                min_size=0, max_size=80))
+def test_bloom_anti_join_equals_exact_anti_join(spark, inc_keys, hist_keys):
+    """bloom_anti_join output == plain left-anti join EXACTLY, on both
+    recheck routes (broadcast semi/anti and the shuffle fallback): the
+    Bloom leg has no false negatives and false positives are re-checked,
+    so the filter moves rows between paths without changing the answer.
+    A deliberately TINY bitmap (256 bits) forces heavy false-positive
+    traffic through the recheck leg."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.joins import bloom_anti_join
+
+    inc = spark.createDataFrame([(k,) for k in inc_keys], "k bigint")
+    hist = spark.createDataFrame([(k,) for k in hist_keys], "k bigint")
+    want = sorted(r["k"] for r in inc.join(hist, "k", "left_anti").collect())
+    try:
+        for bc in (True, False):
+            got = sorted(r["k"] for r in bloom_anti_join(
+                inc, hist, "k", num_bits=256, num_hashes=3,
+                broadcast_recheck=bc).collect())
+            assert got == want, (bc, got[:5], want[:5])
+    finally:
+        release_persisted()
+
+
+def test_bloom_anti_join_null_and_type_semantics(spark):
+    """NULL incoming keys are kept (anti-join semantics: NULL matches
+    nothing), NULL history keys are ignored, extra incoming columns
+    survive both paths, and mismatched key types fail loudly."""
+    import pytest
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.joins import bloom_anti_join
+
+    inc = spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 3)], "k string, payload int")
+    hist = spark.createDataFrame([("a",), (None,)], "k string")
+    try:
+        got = {(r["k"], r["payload"])
+               for r in bloom_anti_join(inc, hist, "k", 256, 3).collect()}
+    finally:
+        release_persisted()
+    assert got == {("b", 2), (None, 3)}
+    bad = spark.createDataFrame([(5,)], "k bigint")
+    with pytest.raises(TypeError, match="types must match"):
+        bloom_anti_join(inc, bad, "k")
+
+
+def test_bloom_frontier_fpr_sentinel(spark):
+    """dedup_bloom_frontier's fpr_bound column must equal the textbook
+    sizing bound (1 - e^{-kn/m})^k at the query's fixed m=4096, k=5 for
+    the ACTUAL history distinct-key count, and the Bloom's measured
+    false-positive rate on the truly-new URLs must not exceed ~3x that
+    bound (binomial slack on O(100) probes)."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.joins import (
+        _bloom_bitmap, _bloom_positions, _bloom_probe_sql,
+    )
+    from mapreduce_implementation_spark.queries.dedup import (
+        _BLOOM_FRONTIER_K, _BLOOM_FRONTIER_M, _synth_url,
+    )
+    from mapreduce_implementation_spark.functions.urlfn import (
+        canonicalize_url,
+    )
+    from mapreduce_implementation_spark.registry import all_specs
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    m, k = _BLOOM_FRONTIER_M, _BLOOM_FRONTIER_K
+    docs = load_table(spark, SF_DIR_001, "documents")
+    c = docs.select(F.col("doc_id"), _synth_url().alias("url")).select(
+        "doc_id", canonicalize_url(F.col("url")).alias("curl"))
+    hist_curls = {r["curl"] for r in
+                  c.filter(F.col("doc_id") % 7 < 5).select("curl")
+                  .distinct().collect()}
+    inc_curls = {r["curl"] for r in
+                 c.filter(F.col("doc_id") % 7 >= 5).select("curl")
+                 .distinct().collect()}
+    truly_new = inc_curls - hist_curls
+    assert truly_new and (inc_curls & hist_curls), "split must mix both"
+
+    bound = (1 - math.exp(-k * len(hist_curls) / m)) ** k
+    try:
+        rows = all_specs()["dedup_bloom_frontier"].fn(
+            spark, SF_DIR_001).collect()
+        assert rows
+        for r in rows:
+            assert abs(r["fpr_bound"] - round(bound, 6)) <= 1e-6, (
+                r["fpr_bound"], bound)
+        # measured FPR: probe the truly-new keys against the bitmap
+        hist = c.filter(F.col("doc_id") % 7 < 5).select("curl")
+        bloom = _bloom_bitmap(hist, F.col("curl"), m, k, "_bloom")
+        probe = spark.createDataFrame([(u,) for u in sorted(truly_new)],
+                                      "curl string")
+        probed = _bloom_positions(probe.crossJoin(F.broadcast(bloom)),
+                                  F.col("curl"), "_p", m, k)
+        fp = probed.where(F.expr(_bloom_probe_sql("_bloom", "_p", k))).count()
+    finally:
+        release_persisted()
+    assert fp / len(truly_new) <= max(3 * bound, 5 / len(truly_new)), (
+        fp, len(truly_new), bound)

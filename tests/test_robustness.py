@@ -130,6 +130,8 @@ _REPRESENTATIVES = [
     # round-11 families
     "pii_scrub_multi",             # multi-class scrub over zero docs
     "text_token_budget_bpe",       # BPE budget over zero docs
+    # round-12 families
+    "dedup_bloom_frontier",        # bloom + anti-join over zero URLs
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -1050,3 +1050,46 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
         if true_j >= 0.9:
             assert est >= 0.7, (a, b_, est, true_j)
     assert sum(errs) / len(errs) <= 0.08, sum(errs) / len(errs)
+
+
+def test_pii_card_luhn_matches_python(spark):
+    """pii_scrub_multi's Luhn gate is the same unrolled doubled-digit
+    sum in BOTH engines — hash parity can't catch a mis-transcribed
+    checksum.  Recompute card validity per doc with the textbook Python
+    Luhn over the independently re-synthesized card numbers, and check
+    the redaction actually happened (valid cards absent from the
+    scrubbed text implied by n_card - n_card_valid candidates left)."""
+    def luhn_valid(digits: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(digits)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    d = _pdf("documents")
+    want_valid: dict[int, int] = {}
+    want_cards: dict[int, int] = {}
+    for did in d["doc_id"]:
+        did = int(did)
+        if did % 7 == 3:
+            digits = (f"4{did % 1000:03d}{did * 3 % 10000:04d}"
+                      f"{did * 11 % 10000:04d}{did * 17 % 10000:04d}")
+            assert len(digits) == 16
+            want_cards[did] = 1
+            want_valid[did] = int(luhn_valid(digits))
+        else:
+            want_cards[did] = want_valid[did] = 0
+
+    rows = SPECS["pii_scrub_multi"].fn(spark, SF_DIR_001).collect()
+    assert len(rows) == len(d)
+    got_valid = {r["doc_id"]: r["n_card_valid"] for r in rows}
+    got_cards = {r["doc_id"]: r["n_card"] for r in rows}
+    assert got_cards == want_cards, "card candidates disagree"
+    assert got_valid == want_valid, "Luhn validity disagrees"
+    # both branches must carry mass, else the gate is untested
+    assert sum(want_valid.values()) > 0
+    assert sum(want_cards.values()) > sum(want_valid.values())
