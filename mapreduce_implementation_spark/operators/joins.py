@@ -676,9 +676,13 @@ def bloom_anti_join(incoming: DataFrame, history: DataFrame, key_col: str,
     drop = [bloom_c, *[f"{p}{j}" for j in range(k)]]
     keep_null = F.col(key_col).isNull()
     fresh = probed.where(keep_null | ~might).drop(*drop)
-    survivors = tracked_persist(
-        probed.where(~keep_null & might).drop(*drop))
+    survivors = probed.where(~keep_null & might).drop(*drop)
     if broadcast_recheck:
+        # persisted only on this route, which consumes survivors twice
+        # (the broadcast key set + the final anti-join left); the
+        # fallback route has a single consumer, where a persist is a
+        # pure materialization barrier (r12 review)
+        survivors = tracked_persist(survivors)
         surv_keys = survivors.select(key_col).distinct()
         confirmed = (history.select(key_col)
                      .join(F.broadcast(surv_keys), key_col, "left_semi")

@@ -1485,9 +1485,7 @@ SELECT inc.host,
        CAST(sum(inc.n_docs) AS BIGINT) AS n_incoming_docs,
        CAST(count(*) FILTER (WHERE new_urls.curl IS NOT NULL) AS BIGINT)
          AS n_new_urls,
-       round(pow(1 - exp(-{_BLOOM_FRONTIER_K}.0 * nh.n_hist
-                         / {_BLOOM_FRONTIER_M}.0),
-                 {_BLOOM_FRONTIER_K}.0), 6) AS fpr_bound
+       CAST(nh.n_hist AS BIGINT) AS n_hist_keys
 FROM inc
 LEFT JOIN new_urls ON inc.host = new_urls.host AND inc.curl = new_urls.curl
 CROSS JOIN nh
@@ -1511,10 +1509,12 @@ ORDER BY inc.host
         "history-sized ever crosses an exchange.  Output equals the "
         "exact anti-join by construction (no false negatives; false "
         "positives re-checked), which is why a plain anti-join oracle "
-        "is EXACT, not approximate.  fpr_bound is the textbook "
-        "(1-e^{-kn/m})^k sizing bound from the history's distinct-key "
-        "count.  Per host: incoming distinct canonical URLs, incoming "
-        "doc mass, and how many URLs are genuinely new.",
+        "is EXACT, not approximate.  n_hist_keys is the exact "
+        "distinct-key count feeding the (1-e^{-kn/m})^k sizing bound "
+        "(the bound value itself is pinned in tests, not emitted: a "
+        "transcendental in a hash-compared column is the r8 float-"
+        "parity class).  Per host: incoming distinct canonical URLs, "
+        "incoming doc mass, and how many URLs are genuinely new.",
 )
 def q_dedup_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.urlfn import canonicalize_url, url_host
@@ -1553,15 +1553,17 @@ def q_dedup_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new_urls"))
     # history rows are already distinct per (host, curl); a curl spans
     # exactly one host here (it embeds the host), so count(*) == the
-    # distinct-curl count the sizing formula needs
-    n_hist = history.agg(F.count(F.lit(1)).alias("_nh"))
-    fpr = F.round(F.pow(
-        F.lit(1.0) - F.exp(F.lit(-float(k)) * F.col("_nh") / F.lit(float(m))),
-        F.lit(float(k))), 6)
+    # distinct-curl count the sizing formula needs.  The column is the
+    # EXACT integer input to the (1-e^{-kn/m})^k sizing bound — the
+    # bound itself is checked in tests/test_properties.py
+    # (test_bloom_frontier_fpr_sentinel) rather than emitted here: a
+    # transcendental round(pow(exp(...)),6) in a hash-compared column
+    # is the r8 cross-engine float-parity class (r12 review).
+    n_hist = history.agg(F.count(F.lit(1)).cast("long").alias("_nh"))
     return (inc_stats.join(new_stats, "host", "left")
             .crossJoin(F.broadcast(n_hist))
             .select("host", "n_incoming_urls", "n_incoming_docs",
                     F.coalesce(F.col("n_new_urls"), F.lit(0).cast("long"))
                      .alias("n_new_urls"),
-                    fpr.alias("fpr_bound"))
+                    F.col("_nh").alias("n_hist_keys"))
             .orderBy("host"))

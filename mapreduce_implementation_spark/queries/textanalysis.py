@@ -1739,8 +1739,9 @@ def bpe_encode_batched(df: DataFrame, text_col: str, merges=None,
     """Vocabulary-scale BPE encoder: ``mapInPandas`` over Arrow batches
     with the merge table captured once in the task closure (a list of
     string pairs — a few MB even at 50k merges, broadcast with the task
-    binary) and a per-batch unique-word memo (Zipf makes the cache hit
-    rate high, so each distinct word is encoded once per batch).
+    binary) and a per-partition unique-word memo (Zipf makes the cache
+    hit rate high, so each distinct word is encoded once per
+    partition).
 
     Crossover rule vs ``_bpe_encode`` (the pure-expression form),
     MEASURED on this box (SCALE.md r12): the expression is one chained
@@ -1764,11 +1765,19 @@ def bpe_encode_batched(df: DataFrame, text_col: str, merges=None,
     from typing import Iterator
 
     import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
+    if out in df.columns:
+        raise ValueError(
+            f"bpe_encode_batched: output column {out!r} already exists on "
+            "the input — pass a fresh name (the pandas side would silently "
+            "overwrite while the schema gained a duplicate field)")
     table = list(merges if merges is not None else _BPE_MERGES)
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                       for f in df.schema.fields)
-    schema = f"{fields}, {out} array<string>"
+    # a FRESH StructType: StructType.add mutates (and returns) the
+    # receiver, and df.schema hands back the frame's cached schema
+    # object — mutating it corrupts the input frame's own schema
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out, ArrayType(StringType()))])
     import re as _re
 
     def encode_batches(batches: Iterator[pd.DataFrame]

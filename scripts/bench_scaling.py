@@ -117,6 +117,10 @@ PIPELINES = [
     # near-linear scan term, flat reduce state)
     "pii_scrub_multi",
     "text_token_budget_bpe",
+    # round-12: Bloom-prefiltered crawl-frontier URL dedup — expect
+    # flat-to-sublinear (stage-chain latency dominates; the ledger
+    # shuffle carries distinct URLs, the recheck only survivors)
+    "dedup_bloom_frontier",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -865,3 +865,18 @@ def test_bpe_batched_parity_with_expression(spark):
         got_df = bpe_encode_batched(df, "text", merges=merges, out="toks")
         got = {r["i"]: r["toks"] for r in got_df.collect()}
         assert got == want
+
+
+def test_bpe_batched_rejects_output_name_collision(spark):
+    """An `out` name that already exists on the input must fail loudly
+    at call time — the pandas side would silently overwrite while the
+    schema gained a duplicate field (r12 review)."""
+    import pytest
+
+    from mapreduce_implementation_spark.queries.textanalysis import (
+        bpe_encode_batched,
+    )
+
+    df = spark.createDataFrame([(1, "ab")], "i long, text string")
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_encode_batched(df, "text", out="text")

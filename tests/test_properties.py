@@ -1668,11 +1668,12 @@ def test_bloom_anti_join_null_and_type_semantics(spark):
 
 
 def test_bloom_frontier_fpr_sentinel(spark):
-    """dedup_bloom_frontier's fpr_bound column must equal the textbook
-    sizing bound (1 - e^{-kn/m})^k at the query's fixed m=4096, k=5 for
-    the ACTUAL history distinct-key count, and the Bloom's measured
-    false-positive rate on the truly-new URLs must not exceed ~3x that
-    bound (binomial slack on O(100) probes)."""
+    """dedup_bloom_frontier's n_hist_keys column must equal the ACTUAL
+    history distinct-key count (the exact integer input to the textbook
+    sizing bound (1 - e^{-kn/m})^k at the query's fixed m=4096, k=5 —
+    the bound VALUE lives here, not in the hash-compared output), and
+    the Bloom's measured false-positive rate on the truly-new URLs must
+    not exceed ~3x that bound (binomial slack on O(100) probes)."""
     from mapreduce_implementation_spark.operators.caching import (
         release_persisted,
     )
@@ -1708,8 +1709,8 @@ def test_bloom_frontier_fpr_sentinel(spark):
             spark, SF_DIR_001).collect()
         assert rows
         for r in rows:
-            assert abs(r["fpr_bound"] - round(bound, 6)) <= 1e-6, (
-                r["fpr_bound"], bound)
+            assert r["n_hist_keys"] == len(hist_curls), (
+                r["n_hist_keys"], len(hist_curls))
         # measured FPR: probe the truly-new keys against the bitmap
         hist = c.filter(F.col("doc_id") % 7 < 5).select("curl")
         bloom = _bloom_bitmap(hist, F.col("curl"), m, k, "_bloom")

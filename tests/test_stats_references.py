@@ -1093,3 +1093,221 @@ def test_pii_card_luhn_matches_python(spark):
     # both branches must carry mass, else the gate is untested
     assert sum(want_valid.values()) > 0
     assert sum(want_cards.values()) > sum(want_valid.values())
+
+
+# --- r12 second wave: layout/analytics/similarity formula checks ------------
+
+
+def _half_up(x: float, nd: int) -> float:
+    """Spark's F.round is HALF_UP; Python's round() is banker's —
+    mirror Spark where the test needs exact rounded equality."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """layout_zorder_key's 12-bit Morton interleave (the same
+    fully-parenthesized bit expression on both engine sides) vs a
+    pure-Python interleave over the raw parquet orders."""
+    import datetime
+
+    o = _pdf("orders")
+    epoch = datetime.date(1992, 1, 1)
+    want: dict[int, list] = {}
+    for ck, od in zip(o["o_custkey"], o["o_orderdate"]):
+        ck = int(ck)
+        dday = (od.date() if hasattr(od, "date") else od) - epoch
+        dday = dday.days
+        a, b = ck & 4095, dday & 4095
+        z = 0
+        for i in range(12):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        zb = z >> 14
+        e = want.setdefault(zb, [0, ck, ck, dday, dday])
+        e[0] += 1
+        e[1] = min(e[1], ck); e[2] = max(e[2], ck)
+        e[3] = min(e[3], dday); e[4] = max(e[4], dday)
+
+    got = {r["zbucket"]: [r["n"], r["cust_lo"], r["cust_hi"],
+                          r["day_lo"], r["day_hi"]] for r in
+           SPECS["layout_zorder_key"].fn(spark, SF_DIR_001).collect()}
+    assert got == want, sorted(set(got) ^ set(want))[:5]
+
+
+def test_skyline_pareto_matches_python_bruteforce(spark):
+    """skyline_2d_min's collapse-then-running-min formulation vs the
+    DEFINITION: brute-force all-pairs dominance over the raw points
+    (no window, no collapse — if the linear-scan trick were subtly
+    wrong on ties it could agree with its oracle twin and still not be
+    the skyline)."""
+    o = _pdf("orders")
+    import datetime
+    epoch = datetime.date(1992, 1, 1)
+    pts: dict[str, dict[int, list]] = {}
+    for pr, od, tp in zip(o["o_orderpriority"], o["o_orderdate"],
+                          o["o_totalprice"]):
+        dday = ((od.date() if hasattr(od, "date") else od) - epoch).days
+        g = pts.setdefault(pr, {})
+        e = g.setdefault(dday, [float("inf"), 0])
+        e[0] = min(e[0], float(tp)); e[1] += 1
+    want = {}
+    for pr, g in pts.items():
+        items = [(d, p, n) for d, (p, n) in g.items()]
+        for d, p, n in items:
+            dominated = any(
+                (d2 <= d and p2 <= p and (d2 < d or p2 < p))
+                for d2, p2, _ in items)
+            if not dominated:
+                want[(pr, d)] = (p, n)
+
+    rows = SPECS["skyline_pareto_orders"].fn(spark, SF_DIR_001).collect()
+    got = {(r["o_orderpriority"], r["dday"]): (r["min_price"],
+                                               r["n_orders_day"])
+           for r in rows}
+    assert set(got) == set(want), sorted(set(got) ^ set(want))[:5]
+    for k, (p, n) in want.items():
+        assert got[k][1] == n, (k, got[k], n)
+        assert abs(got[k][0] - p) < 5e-3, (k, got[k][0], p)
+
+
+def test_maxsim_matches_python(spark):
+    """similarity_maxsim_multivector's late-interaction score (per
+    query-subvector max over doc-subvector cosines, summed) vs a
+    pure-numpy recompute with Spark's HALF_UP rounding mirrored at the
+    same two stages."""
+    e = _pdf("embeddings")
+    vecs = {int(i): np.asarray(v, dtype=float)
+            for i, v in zip(e["vec_id"], e["embedding"])}
+    q = vecs[0]
+    sub = 8
+    scores = {}
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        total = 0.0
+        for i in range(8):
+            qi = q[i * sub:(i + 1) * sub]
+            qn = float(np.linalg.norm(qi))
+            best = max(
+                _half_up(float(np.dot(v[j * sub:(j + 1) * sub], qi)
+                               / (np.linalg.norm(v[j * sub:(j + 1) * sub])
+                                  * qn)), 6)
+                for j in range(8))
+            total += best
+        scores[vid] = _half_up(total, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    rows = sorted(SPECS["similarity_maxsim_multivector"]
+                  .fn(spark, SF_DIR_001).collect(), key=lambda r: r["rank"])
+    got = [(r["vec_id"], r["maxsim"]) for r in rows]
+    assert [v for v, _ in got] == [v for v, _ in want], (got, want)
+    for (gv, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 2e-6, (gv, gs, ws)
+
+
+def test_contamination_4gram_matches_python(spark):
+    """text_contamination_4gram's broadcast eval-gram join vs a
+    pure-Python set-overlap model over the raw text."""
+    d = _pdf("documents")
+    doc_grams: dict[int, set] = {}
+    for did, t in zip(d["doc_id"], d["text"]):
+        ts = _py_tokens(t)
+        doc_grams[int(did)] = {" ".join(ts[i:i + 4])
+                               for i in range(len(ts) - 3)}
+    ev = set()
+    for did, g in doc_grams.items():
+        if did % 100 == 0:
+            ev |= g
+    want = {did: len(g & ev) for did, g in doc_grams.items()
+            if did % 100 != 0 and g & ev}
+
+    got = {r["doc_id"]: r["n_eval_grams"] for r in
+           SPECS["text_contamination_4gram"].fn(spark, SF_DIR_001).collect()}
+    assert got == want, sorted(set(got) ^ set(want))[:5]
+
+
+def test_quality_classifier_matches_python(spark):
+    """text_quality_classifier's logistic keep-probability (fixed
+    public weights over stopword ratio / alpha ratio / mean word
+    length) vs a pure-Python recompute of the identical features."""
+    stop = {"the", "a", "of", "to", "and", "in", "is", "it"}
+    d = _pdf("documents")
+    want = {}
+    for did, t in zip(d["doc_id"], d["text"]):
+        ts = _py_tokens(t)
+        n_tok = len(ts)
+        n_stop = sum(1 for x in ts if x in stop)
+        sum_wlen = sum(len(x) for x in ts)
+        alpha = sum(1 for ch in t if ch.isalpha() and ch.isascii())
+        alpha_ratio = alpha / max(len(t), 1)
+        z = (-1.5 + 4.0 * n_stop / max(n_tok, 1) + 2.0 * alpha_ratio
+             + 0.1 * sum_wlen / max(n_tok, 1))
+        want[int(did)] = 1.0 / (1.0 + math.exp(-z))
+
+    rows = SPECS["text_quality_classifier"].fn(spark, SF_DIR_001).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        w = want[r["doc_id"]]
+        assert abs(r["p_quality"] - w) <= 2e-6, (r["doc_id"],
+                                                 r["p_quality"], w)
+        if abs(w - 0.7) > 1e-5:
+            assert r["keep"] == (w >= 0.7), (r["doc_id"], w, r["keep"])
+
+
+def test_rrf_fusion_matches_python(spark):
+    """retrieval_rrf_fusion recomputed END TO END in pure Python: BM25
+    top-20 over the raw text (independent Okapi), cosine top-20 to
+    vec 0 over the raw embeddings (numpy), RRF(k=60) fusion, final
+    top-10 — the prior contract test only bounded the rrf values; this
+    pins the ranking itself."""
+    k1, b, terms = 1.2, 0.75, ("hash", "join", "window")
+    d = _pdf("documents")
+    doc_toks = {int(i): _py_tokens(t) for i, t in zip(d["doc_id"], d["text"])
+                if int(i) != 0}
+    doc_toks = {i: ts for i, ts in doc_toks.items() if ts}
+    n_docs = len(doc_toks)
+    avgdl = sum(len(ts) for ts in doc_toks.values()) / n_docs
+    dfreq = {t: sum(1 for ts in doc_toks.values() if t in ts) for t in terms}
+    bm_scores = {}
+    for i, ts in doc_toks.items():
+        s = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if tf and dfreq[t]:
+                idf = math.log(1 + (n_docs - dfreq[t] + 0.5)
+                               / (dfreq[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s > 0:
+            bm_scores[i] = s
+    bm20 = {i: r + 1 for r, (i, _) in enumerate(
+        sorted(bm_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20])}
+
+    e = _pdf("embeddings")
+    vecs = {int(i): np.asarray(v, dtype=float)
+            for i, v in zip(e["vec_id"], e["embedding"])}
+    q = vecs[0]
+    qn = np.linalg.norm(q)
+    cos = {i: float(np.dot(v, q) / (np.linalg.norm(v) * qn))
+           for i, v in vecs.items() if i != 0}
+    # the engine ranks on round(cos, 6) — mirror with HALF_UP
+    cs20 = {i: r + 1 for r, (i, _) in enumerate(
+        sorted(((i, _half_up(c, 6)) for i, c in cos.items()),
+               key=lambda kv: (-kv[1], kv[0]))[:20])}
+
+    fused = {}
+    for i in set(bm20) | set(cs20):
+        fused[i] = ((1.0 / (60 + bm20[i]) if i in bm20 else 0.0)
+                    + (1.0 / (60 + cs20[i]) if i in cs20 else 0.0))
+    want = sorted(((i, _half_up(s, 6)) for i, s in fused.items()),
+                  key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    rows = sorted(SPECS["retrieval_rrf_fusion"].fn(spark, SF_DIR_001)
+                  .collect(), key=lambda r: r["rank"])
+    got = [(r["doc_id"], r["rrf"]) for r in rows]
+    assert [i for i, _ in got] == [i for i, _ in want], (got, want)
+    for (gi, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 2e-6, (gi, gs, ws)
