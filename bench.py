@@ -125,8 +125,10 @@ HEADLINE = [
     "pii_scrub_multi",
     "text_token_budget_bpe",
     # round 12: Bloom-prefiltered crawl-frontier URL dedup (map-side
-    # probe + broadcast-only exact recheck)
+    # probe + broadcast-only exact recheck) and empirical-Bayes
+    # source quality priors (one scan + |sources| shuffle)
     "dedup_bloom_frontier",
+    "curation_source_prior",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

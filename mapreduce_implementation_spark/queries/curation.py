@@ -902,3 +902,61 @@ def q_pii_scrub_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("int").alias("pii_permille"),
         F.md5(F.col("t5").cast("binary")).alias("scrub_md5"),
     )
+
+
+@register(
+    "curation_source_prior",
+    oracle="WITH" + _DUCK_QUALITY_Z + """,
+    p AS (
+      SELECT z.doc_id, d.source, 1.0 / (1.0 + exp(-z.z)) AS p
+      FROM z JOIN documents d USING (doc_id)
+    ),
+    src AS (
+      SELECT source, count(*) AS n_docs, sum(p) AS sum_p,
+             sum(CASE WHEN p >= 0.7 THEN 1 ELSE 0 END) AS n_keep
+      FROM p GROUP BY source
+    ),
+    g AS (SELECT sum(p) / count(*) AS g_avg FROM p)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(sum_p / n_docs, 6) AS raw_avg_q,
+           round((sum_p + 25.0 * g.g_avg) / (n_docs + 25.0), 6) AS shrunk_q,
+           round(n_keep * 1.0 / n_docs, 6) AS keep_rate
+    FROM src CROSS JOIN g
+    ORDER BY source
+    """,
+    doc="Per-source quality priors with empirical-Bayes shrinkage "
+        "(the domain-prior table a 100 TB curation run keys its "
+        "sampling weights on): each source's mean keep-probability "
+        "(quality_prob_column — the text_quality_classifier logistic) "
+        "shrunk toward the corpus mean with pseudo-count C=25, "
+        "shrunk = (sum_p + C*g)/(n + C) — a source with 3 documents "
+        "sits near the global prior, a source with 10^7 documents "
+        "keeps its own mean, and nothing needs a learned model.  ONE "
+        "corpus scan (the logistic is in-row), one |sources|-group "
+        "shuffle with map-side partial sums, one 1-row global "
+        "broadcast — the same shape at any corpus size.  keep_rate is "
+        "an exact int ratio through IEEE division (bit-identical both "
+        "engines).",
+)
+def q_curation_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textanalysis import quality_prob_column
+
+    c_prior = 25.0
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select("source", quality_prob_column().alias("_p"))
+    src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_p").alias("_sum_p"),
+        F.sum(F.when(F.col("_p") >= 0.7, 1).otherwise(0)).alias("_n_keep"))
+    g = per_doc.agg((F.sum("_p") / F.count(F.lit(1))).alias("_g"))
+    return (src.crossJoin(F.broadcast(g))
+            .select("source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(F.col("_sum_p") / F.col("n_docs"), 6)
+                     .alias("raw_avg_q"),
+                    F.round((F.col("_sum_p") + c_prior * F.col("_g"))
+                            / (F.col("n_docs") + c_prior), 6)
+                     .alias("shrunk_q"),
+                    F.round(F.col("_n_keep") * F.lit(1.0) / F.col("n_docs"),
+                            6).alias("keep_rate"))
+            .orderBy("source"))

@@ -27,7 +27,7 @@ __all__ = [
     "streaming_word_count", "windowed_event_agg", "sessionize_stream",
     "running_user_totals_stateful", "running_user_totals_tws",
     "dedup_stream", "click_attribution_join",
-    "curate_stream", "cdc_upsert_sink",
+    "curate_stream", "cdc_upsert_sink", "frontier_stream",
 ]
 
 
@@ -338,3 +338,62 @@ def cdc_upsert_sink(changes: DataFrame, snapshot_dir: str, keys: list[str],
         shutil.rmtree(retired, ignore_errors=True)
 
     return changes.writeStream.foreachBatch(apply_batch).outputMode("update")
+
+
+def frontier_stream(urls: DataFrame, history: DataFrame,
+                    key_col: str = "curl", ts_col: str = "ts",
+                    watermark: str = "2 hours",
+                    num_bits: int = 1 << 16,
+                    num_hashes: int = 4) -> DataFrame:
+    """Streaming crawl-frontier dedup — the unbounded twin of the batch
+    ``dedup_bloom_frontier`` pipeline: emit each incoming URL at most
+    once, and only if it is not already in the STATIC seen-URL ledger.
+
+    Three stages, all state-bounded:
+
+    * in-stream dedup via ``dropDuplicatesWithinWatermark`` — one state
+      entry per key inside the watermark horizon, evicted after;
+    * Bloom probe against the ledger's bitmap, embedded as a LITERAL
+      array column: the bitmap is built once from the static ledger at
+      plan-build time and collected to the driver — O(num_bits/64)
+      longs, a sketch like the IVF centroids, NOT data-sized — so the
+      probe is a pure row-local expression with no stream-static join
+      at all.  Definitely-unseen rows (no false negatives) pass
+      straight through;
+    * probe survivors (true dups + false positives) re-check exactly
+      via a stream-static LEFT ANTI join against the ledger — the only
+      rows that ever reach the join, so its per-batch cost scales with
+      the dup+FP rate, not the stream rate.
+
+    The ledger is fixed for the life of the query (the standard
+    crawl-loop contract: rebuild the bitmap when the ledger compacts
+    and restart the query from the checkpoint).  NULL keys follow
+    anti-join semantics (kept).
+    """
+    from ..operators.joins import _bloom_bitmap, _bloom_positions
+
+    m, k = int(num_bits), int(num_hashes)
+    words_by_idx = {
+        int(w): int(b) for w, b in _bloom_bitmap(
+            history.where(F.col(key_col).isNotNull()),
+            F.col(key_col), m, k, "_bm"
+        ).collect()[0]["_bm"].items()}
+    dense = [words_by_idx.get(i, 0) for i in range(m // 64)]
+
+    deduped = (urls.withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark([key_col]))
+    probed = _bloom_positions(
+        deduped.withColumn("_bloom", F.lit(dense)),
+        F.col(key_col), "_p", m, k)
+    might = F.expr(" AND ".join(
+        f"((shiftright(element_at(`_bloom`, CAST(shiftright(`_p{j}`, 6) "
+        f"AS INT) + 1), CAST(pmod(`_p{j}`, 64) AS INT)) & 1) = 1)"
+        for j in range(k)))
+    drop = ["_bloom", *[f"_p{j}" for j in range(k)]]
+    keep_null = F.col(key_col).isNull()
+    fresh = probed.filter(keep_null | ~might).drop(*drop)
+    survivors = probed.filter(~keep_null & might).drop(*drop)
+    rechecked = survivors.join(
+        history.select(key_col).where(F.col(key_col).isNotNull()),
+        key_col, "left_anti")
+    return fresh.unionByName(rechecked)

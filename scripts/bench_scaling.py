@@ -119,8 +119,11 @@ PIPELINES = [
     "text_token_budget_bpe",
     # round-12: Bloom-prefiltered crawl-frontier URL dedup — expect
     # flat-to-sublinear (stage-chain latency dominates; the ledger
-    # shuffle carries distinct URLs, the recheck only survivors)
+    # shuffle carries distinct URLs, the recheck only survivors) —
+    # and empirical-Bayes source priors (in-row logistic + |sources|
+    # shuffle — expect near-linear scan term, tiny absolute)
     "dedup_bloom_frontier",
+    "curation_source_prior",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

@@ -880,3 +880,31 @@ def test_bpe_batched_rejects_output_name_collision(spark):
     df = spark.createDataFrame([(1, "ab")], "i long, text string")
     with pytest.raises(ValueError, match="already exists"):
         bpe_encode_batched(df, "text", out="text")
+
+
+def test_bpe_batched_at_vocab_scale_matches_reference(spark):
+    """The vocab-scale path at a REAL merge-table size: 1,000 random
+    well-formed merges (where the expression form cannot even be
+    planned — it StackOverflows at ~300, SCALE.md r12), batched encoder
+    vs the independent sequential reference on 120 seeded words.  This
+    is the regime bpe_encode_batched exists for; the small-table parity
+    tests alone never drive it past the expression form's ceiling."""
+    import random
+
+    from mapreduce_implementation_spark.queries.textanalysis import (
+        bpe_encode_batched,
+    )
+
+    rng = random.Random(5012)
+    merges = _random_wellformed_merges(rng, 1000)
+    words = ["".join(rng.choice("theranois")
+                     for _ in range(rng.randint(1, 14)))
+             for _ in range(118)] + ["there", "and then there were none"]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "i long, text string")
+    got = {r["i"]: r["toks"] for r in
+           bpe_encode_batched(df, "text", merges=merges,
+                              out="toks").collect()}
+    for i, w in enumerate(words):
+        ref = [t for part in w.split() for t in _bpe_ref_seq(part, merges)]
+        assert got[i] == ref, (w, got[i][:8], ref[:8])

@@ -1723,3 +1723,25 @@ def test_bloom_frontier_fpr_sentinel(spark):
         release_persisted()
     assert fp / len(truly_new) <= max(3 * bound, 5 / len(truly_new)), (
         fp, len(truly_new), bound)
+
+
+def test_bloom_params_sizing_delivers_target_fpr(spark):
+    """bloom_params' textbook (m, k) must actually deliver the target
+    FPR: build a filter over n random keys at fpr=0.02 and probe 4,000
+    disjoint keys — measured FPR must stay within 2x the target (the
+    formula is an expectation; 2x covers binomial spread at this n)."""
+    from mapreduce_implementation_spark.operators.joins import (
+        _bloom_bitmap, _bloom_positions, _bloom_probe_sql, bloom_params,
+    )
+
+    n = 3000
+    m, k = bloom_params(n, fpr=0.02)
+    assert m % 64 == 0 and k >= 1
+    hist = spark.range(0, n).selectExpr("concat('k', id) AS u")
+    probe = spark.range(1_000_000, 1_004_000).selectExpr(
+        "concat('k', id) AS u")
+    bloom = _bloom_bitmap(hist, F.col("u"), m, k, "_bloom")
+    probed = _bloom_positions(probe.crossJoin(F.broadcast(bloom)),
+                              F.col("u"), "_p", m, k)
+    fp = probed.where(F.expr(_bloom_probe_sql("_bloom", "_p", k))).count()
+    assert fp / 4000 <= 0.04, (fp, m, k)

@@ -132,6 +132,7 @@ _REPRESENTATIVES = [
     "text_token_budget_bpe",       # BPE budget over zero docs
     # round-12 families
     "dedup_bloom_frontier",        # bloom + anti-join over zero URLs
+    "curation_source_prior",       # shrinkage over zero sources
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -1311,3 +1311,42 @@ def test_rrf_fusion_matches_python(spark):
     assert [i for i, _ in got] == [i for i, _ in want], (got, want)
     for (gi, gs), (_, ws) in zip(got, want):
         assert abs(gs - ws) <= 2e-6, (gi, gs, ws)
+
+
+def test_source_prior_shrinkage_matches_python(spark):
+    """curation_source_prior's empirical-Bayes shrinkage
+    (sum_p + C*g)/(n + C), C=25, recomputed in pure Python over the
+    same logistic features — and the shrinkage PROPERTY itself: every
+    shrunk mean lies strictly between the source's raw mean and the
+    global mean (unless they coincide), with small sources pulled
+    proportionally harder."""
+    stop = {"the", "a", "of", "to", "and", "in", "is", "it"}
+    d = _pdf("documents")
+    by_src: dict[str, list[float]] = {}
+    for src, t in zip(d["source"], d["text"]):
+        ts = _py_tokens(t)
+        n_tok = len(ts)
+        alpha = sum(1 for ch in t if ch.isalpha() and ch.isascii())
+        z = (-1.5 + 4.0 * sum(1 for x in ts if x in stop) / max(n_tok, 1)
+             + 2.0 * alpha / max(len(t), 1)
+             + 0.1 * sum(len(x) for x in ts) / max(n_tok, 1))
+        by_src.setdefault(src, []).append(1.0 / (1.0 + math.exp(-z)))
+    all_p = [p for ps in by_src.values() for p in ps]
+    g = sum(all_p) / len(all_p)
+
+    rows = SPECS["curation_source_prior"].fn(spark, SF_DIR_001).collect()
+    assert {r["source"] for r in rows} == set(by_src)
+    for r in rows:
+        ps = by_src[r["source"]]
+        n = len(ps)
+        raw = sum(ps) / n
+        shrunk = (sum(ps) + 25.0 * g) / (n + 25.0)
+        keep = sum(1 for p in ps if p >= 0.7) / n
+        assert r["n_docs"] == n
+        assert abs(r["raw_avg_q"] - raw) <= 2e-6, (r["source"],
+                                                   r["raw_avg_q"], raw)
+        assert abs(r["shrunk_q"] - shrunk) <= 2e-6
+        assert abs(r["keep_rate"] - keep) <= 2e-6
+        # betweenness: shrunk is a convex combination of raw and g
+        lo, hi = min(raw, g), max(raw, g)
+        assert lo - 2e-6 <= r["shrunk_q"] <= hi + 2e-6

@@ -382,3 +382,39 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     assert (1, 2) in got, rows          # matched pair
     assert (3, None) in got, rows       # null-extended after watermark
     assert (2, None) not in got  # converted click never null-extends
+
+
+def test_frontier_stream_matches_batch_anti_join(spark):
+    """frontier_stream (bloom literal probe + stream-static anti
+    recheck) must emit exactly the distinct stream URLs NOT in the
+    static ledger — equal to the batch distinct+anti-join over the
+    same data — with a deliberately tiny 512-bit bitmap forcing real
+    false-positive traffic through the recheck join, plus one NULL
+    key (kept, anti-join semantics)."""
+    from mapreduce_implementation_spark.streaming.ops import frontier_stream
+
+    src_dir = tempfile.mkdtemp(prefix="frontier_stream_")
+    try:
+        hist = spark.range(0, 400).selectExpr("concat('u', id) AS curl")
+        batch = spark.sql("""
+            SELECT concat('u', id) AS curl,
+                   timestamp'2026-01-01' + make_interval(0,0,0,0,0,0,id) AS ts
+            FROM range(300, 700)
+            UNION ALL  -- an in-stream duplicate and a NULL key
+            SELECT concat('u', 650),
+                   timestamp'2026-01-01' + make_interval(0,0,0,0,0,0,99)
+            UNION ALL
+            SELECT CAST(NULL AS STRING),
+                   timestamp'2026-01-01' + make_interval(0,0,0,0,0,0,5)
+        """)
+        batch.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "curl string, ts timestamp").parquet(src_dir)
+        out = frontier_stream(stream, hist, num_bits=512, num_hashes=3)
+        _run_stream(out, "frontier_out", "append")
+        got = sorted((r["curl"] or "<null>") for r in
+                     spark.sql("SELECT curl FROM frontier_out").collect())
+        want = sorted([f"u{i}" for i in range(400, 700)] + ["<null>"])
+        assert got == want, (len(got), len(want), got[:5])
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
