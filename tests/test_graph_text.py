@@ -908,3 +908,200 @@ def test_bpe_batched_at_vocab_scale_matches_reference(spark):
     for i, w in enumerate(words):
         ref = [t for part in w.split() for t in _bpe_ref_seq(part, merges)]
         assert got[i] == ref, (w, got[i][:8], ref[:8])
+
+
+# --- r12: random-graph reference models for the remaining graph ops ---------
+# (the BPE-lesson idiom: each operator's oracle twin unrolls the SAME
+# formulation in SQL, so a mis-formulated algorithm could hash-match;
+# these recompute the graph statistic with textbook pure-Python
+# implementations on seeded random graphs, both physical modes.)
+
+
+def _random_graph(rng, n_nodes, n_edges):
+    edges = set()
+    while len(edges) < n_edges:
+        u, v = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    return sorted(edges)
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(121)
+    for trial in range(3):
+        edges = _random_graph(rng, 40, rng.randint(15, 60))
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        comp: dict[int, list] = {}
+        for u, v in edges:
+            comp.setdefault(find(u), []).append(u)
+            comp[find(u)].append(v)
+        want = {}
+        for members in comp.values():
+            lo = min(members)
+            for m in members:
+                want[m] = lo
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        for dense in (True, False):
+            try:
+                got = {r["node"]: r["cluster_id"] for r in
+                       connected_components(df, "a", "b",
+                                            dense_path=dense).collect()}
+            finally:
+                release_persisted()
+            assert got == want, (trial, dense,
+                                 sorted(set(got.items()) ^ set(want.items()))[:4])
+
+
+def test_kcore_matches_python_peeling(spark):
+    import random
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.graph import kcore
+
+    rng = random.Random(212)
+    for trial in range(3):
+        edges = _random_graph(rng, 30, rng.randint(25, 80))
+        k = rng.randint(2, 4)
+        # textbook fixed point: repeatedly drop ALL nodes of degree < k
+        es = set(edges)
+        while True:
+            deg: dict[int, int] = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {x for x, d in deg.items() if d >= k}
+            nes = {(u, v) for u, v in es if u in keep and v in keep}
+            if nes == es:
+                break
+            es = nes
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        want = dict(deg)
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        for dense in (True, False):
+            try:
+                got = {r["node"]: r["core_deg"] for r in
+                       kcore(df, "a", "b", k=k, rounds=30,
+                             dense_path=dense).collect()}
+            finally:
+                release_persisted()
+            assert got == want, (trial, dense, k, got, want)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from mapreduce_implementation_spark.operators.graph import triangle_count
+
+    rng = random.Random(312)
+    for trial in range(3):
+        edges = _random_graph(rng, 25, rng.randint(40, 120))
+        es = set(edges)
+        want: dict[int, int] = {}
+        nodes = sorted({x for e in es for x in e})
+        for a, b, c in itertools.combinations(nodes, 3):
+            if ((a, b) in es and (a, c) in es and (b, c) in es):
+                for x in (a, b, c):
+                    want[x] = want.get(x, 0) + 1
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node"]: r["n_triangles"] for r in
+               triangle_count(df, "a", "b").collect()}
+        assert got == want, (trial, sorted(set(got.items())
+                                           ^ set(want.items()))[:4])
+
+
+def test_bfs_and_sssp_match_python_shortest_paths(spark):
+    import heapq
+    import random
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.graph import (
+        bfs_distances, sssp_weighted,
+    )
+
+    rng = random.Random(412)
+    for trial in range(2):
+        n = 25
+        dir_edges = sorted({(rng.randrange(n), rng.randrange(n))
+                            for _ in range(70) if True})
+        dir_edges = [(u, v, rng.randint(1, 9)) for u, v in dir_edges
+                     if u != v]
+        adj: dict[int, list] = {}
+        for u, v, w in dir_edges:
+            adj.setdefault(u, []).append((v, w))
+        # dijkstra from 0 (weighted) + BFS hop counts (unit)
+        dist = {0: 0}
+        pq = [(0, 0)]
+        while pq:
+            d, x = heapq.heappop(pq)
+            if d > dist.get(x, 1 << 60):
+                continue
+            for y, w in adj.get(x, ()):
+                nd = d + w
+                if nd < dist.get(y, 1 << 60):
+                    dist[y] = nd
+                    heapq.heappush(pq, (nd, y))
+        hops = {0: 0}
+        frontier = [0]
+        h = 0
+        while frontier and h < 6:
+            h += 1
+            nxt = []
+            for x in frontier:
+                for y, _ in adj.get(x, ()):
+                    if y not in hops:
+                        hops[y] = h
+                        nxt.append(y)
+            frontier = nxt
+
+        all_nodes = sorted({x for u, v, _ in dir_edges for x in (u, v)}
+                           | {0})
+        e = spark.createDataFrame(dir_edges, "src long, dst long, w long")
+        nodes = spark.createDataFrame([(x,) for x in all_nodes], "v long")
+        for dense in (True, False):
+            try:
+                got_b = {r["v"]: r["dist"] for r in bfs_distances(
+                    e, nodes, 0, max_hops=6, dense_path=dense).collect()}
+                got_s = {r["v"]: r["dist"] for r in sssp_weighted(
+                    e, nodes, 0, rounds=n, max_edge_w=9,
+                    dense_path=dense).collect()}
+            finally:
+                release_persisted()
+            want_b = {x: hops.get(x) for x in all_nodes}
+            want_s = {x: dist.get(x) for x in all_nodes}
+            assert got_b == want_b, (trial, dense,
+                                     {x: (got_b[x], want_b[x])
+                                      for x in all_nodes
+                                      if got_b[x] != want_b[x]})
+            assert got_s == want_s, (trial, dense,
+                                     {x: (got_s[x], want_s[x])
+                                      for x in all_nodes
+                                      if got_s[x] != want_s[x]})

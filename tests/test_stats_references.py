@@ -1350,3 +1350,96 @@ def test_source_prior_shrinkage_matches_python(spark):
         # betweenness: shrunk is a convex combination of raw and g
         lo, hi = min(raw, g), max(raw, g)
         assert lo - 2e-6 <= r["shrunk_q"] <= hi + 2e-6
+
+
+def test_basket_lift_matches_python(spark):
+    """basket_lift_pairs' support/confidence/lift (identical formula
+    SQL both engine sides) vs a pure-Python basket fold."""
+    li = _pdf("lineitem")[["l_orderkey", "l_partkey"]]
+    part = _pdf("part")[["p_partkey", "p_brand"]]
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    baskets: dict[int, set] = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(int(ok), set()).add(brand[int(pk)])
+    n_orders = len(baskets)
+    sup: dict[str, int] = {}
+    c_ab: dict[tuple[str, str], int] = {}
+    for bs in baskets.values():
+        for b_ in bs:
+            sup[b_] = sup.get(b_, 0) + 1
+        bl = sorted(bs)
+        for i in range(len(bl)):
+            for j in range(i + 1, len(bl)):
+                c_ab[(bl[i], bl[j])] = c_ab.get((bl[i], bl[j]), 0) + 1
+    want = {pair: (c, c / n_orders, c / sup[pair[0]],
+                   c * n_orders / (sup[pair[0]] * sup[pair[1]]))
+            for pair, c in c_ab.items() if c >= 50}
+
+    rows = SPECS["basket_lift_pairs"].fn(spark, SF_DIR_001).collect()
+    got = {(r["brand_a"], r["brand_b"]):
+           (r["n_both"], r["support"], r["confidence"], r["lift"])
+           for r in rows}
+    assert set(got) == set(want), sorted(set(got) ^ set(want))[:4]
+    for pair, (c, s, cf, lf) in want.items():
+        gc, gs, gcf, glf = got[pair]
+        assert gc == c
+        assert abs(gs - s) <= 2e-6 and abs(gcf - cf) <= 2e-6 \
+            and abs(glf - lf) <= 2e-6, (pair, got[pair], want[pair])
+
+
+def test_cohort_retention_matches_python(spark):
+    """cohort_retention's week-truncation + offset arithmetic vs a
+    pure-Python Monday-of-week model over the raw events."""
+    import datetime
+
+    def monday(ts) -> datetime.date:
+        d = ts.date() if hasattr(ts, "date") else ts
+        return d - datetime.timedelta(days=d.weekday())
+
+    e = _pdf("events")
+    first_ts: dict[int, object] = {}
+    for u, ts in zip(e["user_id"], e["ts"]):
+        u = int(u)
+        if u not in first_ts or ts < first_ts[u]:
+            first_ts[u] = ts
+    cohort = {u: monday(ts) for u, ts in first_ts.items()}
+    seen = set()
+    want: dict[tuple[str, int], int] = {}
+    for u, ts in zip(e["user_id"], e["ts"]):
+        u = int(u)
+        off = (monday(ts) - cohort[u]).days // 7
+        key = (u, off)
+        if key in seen:
+            continue
+        seen.add(key)
+        wk = (cohort[u].strftime("%Y-%m-%d"), off)
+        want[wk] = want.get(wk, 0) + 1
+
+    got = {(r["cohort_week"], r["week_offset"]): r["active_users"]
+           for r in SPECS["cohort_retention"].fn(spark, SF_DIR_001)
+           .collect()}
+    assert got == want, sorted(set(got.items()) ^ set(want.items()))[:4]
+
+
+def test_events_top_paths_matches_python(spark):
+    """events_top_paths' per-user 3-step path mining vs a pure-Python
+    sort-and-slide model with the identical engine-portable tie order
+    (second-formatted ts, event_id)."""
+    e = _pdf("events")
+    by_user: dict[int, list] = {}
+    for u, ts, eid, et in zip(e["user_id"], e["ts"], e["event_id"],
+                              e["event_type"]):
+        by_user.setdefault(int(u), []).append(
+            (ts.strftime("%Y-%m-%d %H:%M:%S"), int(eid), et))
+    counts: dict[str, int] = {}
+    for seq in by_user.values():
+        seq.sort()
+        ets = [et for _, _, et in seq]
+        for i in range(len(ets) - 2):
+            p = f"{ets[i]}>{ets[i+1]}>{ets[i+2]}"
+            counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [(r["path"], r["n"]) for r in
+           SPECS["events_top_paths"].fn(spark, SF_DIR_001).collect()]
+    assert got == want, (got, want)
