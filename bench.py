@@ -129,6 +129,8 @@ HEADLINE = [
     # source quality priors (one scan + |sources| shuffle)
     "dedup_bloom_frontier",
     "curation_source_prior",
+    # round 12: full BPE vocab training (6 declarative argmax rounds)
+    "text_bpe_train_merges",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

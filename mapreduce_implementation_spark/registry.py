@@ -107,27 +107,27 @@ _LOADED = False
 # matches), exactly as pre-computed last round, so the 3 r11
 # _CHANGED_IN_ROUND entries (asof_join_tolerance, dedup_url_canonical,
 # embedding_pca_power — all r11-green) are pruned.  The window is
-# 3 round-0 slots (the new dedup_bloom_frontier and
-# curation_source_prior registrations + the changed pii_scrub_multi,
-# flagged below) + the 43 remaining r07-row queries
-# (dedup_cluster_representatives .. word_count) + the 4
+# 4 round-0 slots (the new dedup_bloom_frontier,
+# curation_source_prior and text_bpe_train_merges registrations + the
+# changed pii_scrub_multi, flagged below) + the 43 remaining r07-row
+# queries (dedup_cluster_representatives .. word_count) + the 3
 # alphabetically-first r08-row queries (agg_approx_stats ..
-# anomaly_daily_mad) — i.e. the r11 pre-computation with the 3 round-0
-# slots displacing the last three r08 fillers (basket_lift_pairs,
-# cdc_merge_upsert, dedup_chunk_signature).  (dedup_url_canonical's
-# r12 refactor is pure code motion of its URL-synthesis expression
-# into _synth_url — analyzed plan byte-identical, machine-compared —
-# so per the mechanical-refactor convention above it does NOT flag;
-# the same holds for bloom_prefilter's bitmap-build/probe extraction,
-# machine-compared via join_bloom_prefilter's analyzed plan.)
+# agg_tpch_q6_forecast) — i.e. the r11 pre-computation with the 4
+# round-0 slots displacing the last four r08 fillers
+# (anomaly_daily_mad, basket_lift_pairs, cdc_merge_upsert,
+# dedup_chunk_signature).  (dedup_url_canonical's r12 refactor is
+# pure code motion of its URL-synthesis expression into _synth_url —
+# analyzed plan byte-identical, machine-compared — so per the
+# mechanical-refactor convention above it does NOT flag; the same
+# holds for bloom_prefilter's bitmap-build/probe extraction, machine-
+# compared via join_bloom_prefilter's analyzed plan.)
 #
 # Pre-computed r13 window (assuming CORRECTNESS_r12 lands with the 50
-# below and r13 makes no new registrations / change flags): the 46
-# remaining r08-row queries (basket_lift_pairs ..
-# unpivot_lineitem_measures) + the 4 alphabetically-first r09-row
-# queries (agg_regression_price_qty .. agg_weighted_median).  The
-# guard test recomputes the truth either way — a head start, not an
-# answer.
+# below and r13 makes no new registrations / change flags): the 47
+# remaining r08-row queries (anomaly_daily_mad ..
+# unpivot_lineitem_measures) + the 3 alphabetically-first r09-row
+# queries (agg_regression_price_qty .. agg_trimmed_mean).  The guard
+# test recomputes the truth either way — a head start, not an answer.
 _CHANGED_IN_ROUND: dict[str, int] = {
     # r12: two new scrub classes (IPv6, Luhn-gated cards) extend the
     # fixed-order contract — output changed on both sides (new columns
@@ -138,6 +138,7 @@ _CHANGED_IN_ROUND: dict[str, int] = {
 _SAMPLE_FIRST = (
     # --- round-0 stale: new registrations + changed-this-round ---
     "curation_source_prior", "dedup_bloom_frontier", "pii_scrub_multi",
+    "text_bpe_train_merges",
     # --- stale, latest driver row r07 (all 43 remaining) ---
     "dedup_cluster_representatives", "dedup_clusters",
     "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
@@ -156,9 +157,8 @@ _SAMPLE_FIRST = (
     "stream_join_attribution", "tokenize", "top_k",
     "union_all_counts", "window_first_last",
     "window_sliding_events", "window_tumbling_events", "word_count",
-    # --- alphabetical head of the r08 block (4 fillers) ---
+    # --- alphabetical head of the r08 block (3 fillers) ---
     "agg_approx_stats", "agg_hll_distinct", "agg_tpch_q6_forecast",
-    "anomaly_daily_mad",
 )
 
 

@@ -124,6 +124,9 @@ PIPELINES = [
     # shuffle — expect near-linear scan term, tiny absolute)
     "dedup_bloom_frontier",
     "curation_source_prior",
+    # round-12: full BPE training — expect flat-to-sublinear past the
+    # single word-count shuffle (rounds are vocabulary-sized)
+    "text_bpe_train_merges",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

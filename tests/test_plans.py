@@ -766,3 +766,34 @@ def test_bloom_frontier_probe_rides_the_scan(spark):
             release_persisted,
         )
         release_persisted()
+
+
+def test_bpe_train_plan_declarative_no_python(spark):
+    """text_bpe_train_merges' training loop must be ONE declarative
+    plan: no Python evaluation, every per-round argmax a
+    TakeOrderedAndProject (1-row), the re-encode splice pure
+    expressions over broadcast crosses — and the whole thing built
+    without triggering a single job (zero collects is a BUILD property:
+    constructing the DataFrame runs nothing)."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    df = SPECS["text_bpe_train_merges"].fn(spark, SF_DIR_01)
+    try:
+        jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+        # parquet file-listing may cost one job on first read of the
+        # fixture dir in this session; a per-round collect would cost
+        # >= 6 (one per argmax round)
+        assert jobs_after - jobs_before <= 1, (
+            "plan build ran jobs (per-round collect?)",
+            jobs_after - jobs_before)
+        plan = plan_string(df, "simple")
+        assert "Python" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "replace" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        release_persisted()

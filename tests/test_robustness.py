@@ -133,6 +133,7 @@ _REPRESENTATIVES = [
     # round-12 families
     "dedup_bloom_frontier",        # bloom + anti-join over zero URLs
     "curation_source_prior",       # shrinkage over zero sources
+    "text_bpe_train_merges",       # argmax rounds over an empty vocab
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -1443,3 +1443,50 @@ def test_events_top_paths_matches_python(spark):
     got = [(r["path"], r["n"]) for r in
            SPECS["events_top_paths"].fn(spark, SF_DIR_001).collect()]
     assert got == want, (got, want)
+
+
+def test_bpe_training_matches_python_trainer(spark):
+    """text_bpe_train_merges' 6-round declarative induction vs the
+    textbook Sennrich trainer in pure Python (word-frequency dict,
+    sequential argmax with (count desc, pair asc) tie order) over the
+    raw parquet text — the oracle twin runs the SAME unrolled SQL, so
+    a mis-formulated induction could hash-match; this pins it against
+    an independent implementation."""
+    d = _pdf("documents")
+    vocab: dict[str, int] = {}
+    for t in d["text"]:
+        for w in _py_tokens(t):
+            if len(w) >= 2:
+                vocab[w] = vocab.get(w, 0) + 1
+    words = {tuple(w): c for w, c in vocab.items()}
+    want = []
+    for _ in range(6):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((a, b, n))
+        new_words: dict[tuple, int] = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    try:
+        rows = sorted(SPECS["text_bpe_train_merges"]
+                      .fn(spark, SF_DIR_001).collect(),
+                      key=lambda r: r["merge_rank"])
+    finally:
+        release_persisted()
+    got = [(r["lhs"], r["rhs"], r["n_pairs"]) for r in rows]
+    assert got == want, (got, want)
