@@ -606,6 +606,23 @@ def _bloom_probe_sql(bloom_c: str, p: str, k: int) -> str:
         for j in range(k))
 
 
+def _bloom_probe_sql_dense(bloom_c: str, p: str, k: int) -> str:
+    """Probe variant for a DENSE ``array<long>`` bitmap column (the map
+    form above is for _bloom_bitmap's sparse map) — 1-based element_at
+    with try_element_at/coalesce so an out-of-range word (only possible
+    on a mis-sized bitmap) reads as 0 bits -> might_contain FALSE, a
+    loud wrong answer in tests rather than a row that silently vanishes
+    from both filter branches via three-valued logic (r12 review).  The
+    seed mixing / word packing contract is _bloom_bitmap's; keep the
+    two probe forms next to each other so a build change can't drift
+    past one of them."""
+    return " AND ".join(
+        f"((shiftright(coalesce(try_element_at(`{bloom_c}`, "
+        f"CAST(shiftright(`{p}{j}`, 6) AS INT) + 1), CAST(0 AS BIGINT)), "
+        f"CAST(pmod(`{p}{j}`, 64) AS INT)) & 1) = 1)"
+        for j in range(k))
+
+
 def bloom_params(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
     """Textbook Bloom sizing: bits m = -n ln p / ln^2 2 (rounded up to a
     multiple of 64), hashes k = (m/n) ln 2.  Scale rule: size for the

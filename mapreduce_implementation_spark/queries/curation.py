@@ -941,14 +941,22 @@ def q_pii_scrub_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_curation_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textanalysis import quality_prob_column
 
+    from ..operators.caching import tracked_persist
+
     c_prior = 25.0
     docs = load_table(spark, sf_dir, "documents")
     per_doc = docs.select("source", quality_prob_column().alias("_p"))
-    src = per_doc.groupBy("source").agg(
+    # persisted |sources|-row frame: the global mean derives from the
+    # per-source sums (sum of partial sums == the direct sum up to
+    # float association, same class as the engines' own partial aggs),
+    # so the corpus — whose in-row logistic IS the dominant cost
+    # (SCALE.md: 14 s at sf1, scan-bound) — is scanned exactly ONCE
+    # instead of once per aggregate branch (r12 review)
+    src = tracked_persist(per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_p").alias("_sum_p"),
-        F.sum(F.when(F.col("_p") >= 0.7, 1).otherwise(0)).alias("_n_keep"))
-    g = per_doc.agg((F.sum("_p") / F.count(F.lit(1))).alias("_g"))
+        F.sum(F.when(F.col("_p") >= 0.7, 1).otherwise(0)).alias("_n_keep")))
+    g = src.agg((F.sum("_sum_p") / F.sum("n_docs")).alias("_g"))
     return (src.crossJoin(F.broadcast(g))
             .select("source",
                     F.col("n_docs").cast("long").alias("n_docs"),

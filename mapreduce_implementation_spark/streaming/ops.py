@@ -368,11 +368,24 @@ def frontier_stream(urls: DataFrame, history: DataFrame,
     The ledger is fixed for the life of the query (the standard
     crawl-loop contract: rebuild the bitmap when the ledger compacts
     and restart the query from the checkpoint).  NULL keys follow
-    anti-join semantics (kept).
+    anti-join semantics (kept).  The stateful in-stream dedup runs
+    ONCE, after the union — branching fresh/survivors below it would
+    plant the dedup subtree (and its state store) twice in the plan,
+    doubling state for identical content; the branch point is instead
+    the stateless probe, whose duplicated map work per micro-batch is
+    the cheap side of that trade (r12 review).
     """
-    from ..operators.joins import _bloom_bitmap, _bloom_positions
+    from ..operators.joins import (
+        _bloom_bitmap, _bloom_positions, _bloom_probe_sql_dense,
+        _fresh_name,
+    )
 
     m, k = int(num_bits), int(num_hashes)
+    if m % 64 != 0:
+        raise ValueError(
+            f"num_bits must be a multiple of 64, got {m} — a truncated "
+            "dense bitmap would send high hash positions out of range "
+            "(use bloom_params(), which rounds up)")
     words_by_idx = {
         int(w): int(b) for w, b in _bloom_bitmap(
             history.where(F.col(key_col).isNotNull()),
@@ -380,20 +393,18 @@ def frontier_stream(urls: DataFrame, history: DataFrame,
         ).collect()[0]["_bm"].items()}
     dense = [words_by_idx.get(i, 0) for i in range(m // 64)]
 
-    deduped = (urls.withWatermark(ts_col, watermark)
-               .dropDuplicatesWithinWatermark([key_col]))
+    bloom_c = _fresh_name("_bloom", urls)
+    p = _fresh_name("_p", urls)
     probed = _bloom_positions(
-        deduped.withColumn("_bloom", F.lit(dense)),
-        F.col(key_col), "_p", m, k)
-    might = F.expr(" AND ".join(
-        f"((shiftright(element_at(`_bloom`, CAST(shiftright(`_p{j}`, 6) "
-        f"AS INT) + 1), CAST(pmod(`_p{j}`, 64) AS INT)) & 1) = 1)"
-        for j in range(k)))
-    drop = ["_bloom", *[f"_p{j}" for j in range(k)]]
+        urls.withColumn(bloom_c, F.lit(dense)), F.col(key_col), p, m, k)
+    might = F.expr(_bloom_probe_sql_dense(bloom_c, p, k))
+    drop = [bloom_c, *[f"{p}{j}" for j in range(k)]]
     keep_null = F.col(key_col).isNull()
     fresh = probed.filter(keep_null | ~might).drop(*drop)
     survivors = probed.filter(~keep_null & might).drop(*drop)
     rechecked = survivors.join(
         history.select(key_col).where(F.col(key_col).isNotNull()),
         key_col, "left_anti")
-    return fresh.unionByName(rechecked)
+    return (fresh.unionByName(rechecked)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([key_col]))

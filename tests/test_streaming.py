@@ -418,3 +418,17 @@ def test_frontier_stream_matches_batch_anti_join(spark):
         assert got == want, (len(got), len(want), got[:5])
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_frontier_stream_rejects_unaligned_num_bits(spark):
+    """A num_bits that is not a 64-multiple must fail loudly at build —
+    a truncated dense bitmap would send high hash positions out of
+    range, where three-valued logic silently drops the row from BOTH
+    filter branches (r12 review)."""
+    import pytest
+
+    from mapreduce_implementation_spark.streaming.ops import frontier_stream
+
+    hist = spark.range(3).selectExpr("concat('u', id) AS curl")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        frontier_stream(hist, hist, num_bits=1000)
