@@ -668,14 +668,29 @@ def bloom_anti_join(incoming: DataFrame, history: DataFrame, key_col: str,
     itype = dict(incoming.dtypes)[key_col]
     htype = dict(history.dtypes)[key_col]
     integral = {"tinyint", "smallint", "int", "bigint"}
+    floating = {"float", "double"}
     if itype in integral and htype in integral:
         inc_col = F.col(key_col).cast("bigint")
         hist_col = F.col(key_col).cast("bigint")
+    elif itype in floating and htype in floating:
+        # Spark join keys normalize -0.0 = 0.0 and NaN = NaN, but
+        # xxhash64 hashes raw bits, so an un-normalized probe would
+        # take the 'definitely unseen' path for a history 0.0 vs
+        # incoming -0.0 (a false NEGATIVE, breaking the exactness
+        # guarantee — r12 ADVICE).  nanvl canonicalizes every NaN bit
+        # pattern; + 0.0 maps -0.0 to 0.0 and leaves everything else
+        # (including the canonical NaN) bit-stable.
+        def _norm(c: Column) -> Column:
+            d = c.cast("double")
+            return F.nanvl(d, F.lit(float("nan"))) + F.lit(0.0)
+        inc_col = _norm(F.col(key_col))
+        hist_col = _norm(F.col(key_col))
     elif itype == htype:
         inc_col, hist_col = F.col(key_col), F.col(key_col)
     else:
         raise TypeError(
-            f"bloom_anti_join key types must match (or both be integral): "
+            f"bloom_anti_join key types must match (or both be integral, "
+            f"or both be floating): "
             f"incoming.{key_col} is {itype}, history.{key_col} is {htype} — "
             "xxhash64 over mismatched types silently loses matches")
     bloom_c = _fresh_name("_bloom", incoming)

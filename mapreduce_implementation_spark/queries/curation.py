@@ -916,7 +916,11 @@ def q_pii_scrub_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN p >= 0.7 THEN 1 ELSE 0 END) AS n_keep
       FROM p GROUP BY source
     ),
-    g AS (SELECT sum(p) / count(*) AS g_avg FROM p)
+    -- g derives from the SAME per-source partial sums as the Spark
+    -- plan (sum of per-source sums / sum of counts), not the direct
+    -- per-doc sum: matching accumulation structure keeps the
+    -- round(...,6) columns off 5e-7 float boundaries (r12 ADVICE)
+    g AS (SELECT sum(sum_p) / sum(n_docs) AS g_avg FROM src)
     SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
            round(sum_p / n_docs, 6) AS raw_avg_q,
            round((sum_p + 25.0 * g.g_avg) / (n_docs + 25.0), 6) AS shrunk_q,

@@ -1714,6 +1714,24 @@ def _bpe_encode(col, merges=None):
     return enc
 
 
+def _bpe_apply_merge(syms: list, a: str, b: str) -> list:
+    """One left-to-right non-overlapping application of merge (a, b)
+    to a symbol sequence — the single-round primitive shared by the
+    full encoder below and the batched TRAINER's incremental re-encode
+    (bpe_train_merges_batched), so the two can never drift."""
+    i, out = 0, []
+    n = len(syms)
+    ab = a + b
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _bpe_encode_word(word: str, merges) -> list[str]:
     """Sequential full application of each merge in table order to one
     word — the same semantics as ``_bpe_encode``'s chained replaces,
@@ -1721,16 +1739,7 @@ def _bpe_encode_word(word: str, merges) -> list[str]:
     the test reference so the two can never drift."""
     syms = list(word)
     for a, b in merges:
-        i, out = 0, []
-        n = len(syms)
-        while i < n:
-            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _bpe_apply_merge(syms, a, b)
     return syms
 
 
@@ -1965,6 +1974,110 @@ def bpe_train_merges(docs: DataFrame, text_col: str,
                          F.col(f"_n{i}").alias("n_pairs"))
         out = sel if out is None else out.unionByName(sel)
     return out.orderBy("merge_rank")
+
+
+def bpe_train_merges_batched(docs: DataFrame, text_col: str,
+                             n_merges: int) -> DataFrame:
+    """Vocabulary-scale BPE TRAINING — the batched escape hatch for
+    ``bpe_train_merges``'s measured ~250-round plan-depth ceiling
+    (SCALE.md r12: the declarative trainer chains one ``replace`` per
+    round, StackOverflow at ~300), the same relationship
+    ``bpe_encode_batched`` has to ``_bpe_encode``.  Identical
+    induction, identical output (parity-pinned on the fixture rounds
+    in tests/test_graph_text.py): per round, count adjacent symbol
+    pairs cnt-weighted across the vocabulary, merge the (count desc,
+    lhs, rhs) argmax pair everywhere, repeat.
+
+    Execution shape — O(1) plan depth per round at ANY round count:
+
+    * the corpus collapses ONCE to the (distinct word, count)
+      vocabulary (the classic Sennrich trainer move; the only
+      corpus-wide shuffle), symbols held as ``array<string>``;
+    * per round, ONE ``mapInPandas`` pass emits per-batch partial
+      pair counts (a manual map-side combine: the exchange carries at
+      most |symbol vocab|^2 partials per batch, never a row per
+      pair occurrence), a |pairs|-group aggregate picks the argmax,
+      and the 1-row result is collected — per-round driver state is
+      ONE row, the graph-loop convention (bounded model state, not
+      data);
+    * the winning merge is applied in a second ``mapInPandas`` pass
+      via ``_bpe_apply_merge`` (the same primitive the encoder runs),
+      fully-merged single-symbol words are dropped (they can never
+      pair again, so the working set only shrinks), and the result is
+      ``localCheckpoint(eager=True)``-ed: lineage truncates to the
+      materialized partitions, so round 1,000's plan is exactly as
+      deep as round 1's — no chained-replace tower, no re-execution
+      of earlier rounds.
+
+    Fault story at cluster scale: ``localCheckpoint`` trades
+    recompute-on-executor-loss for speed; the merge prefix collected
+    so far IS the recovery state — on loss, rebuild the working set
+    from the persisted base vocabulary by replaying the prefix through
+    ``_bpe_encode_word`` (one batched pass), then continue.  On a
+    long-lived cluster job prefer ``spark.sparkContext.setCheckpointDir``
+    + ``.checkpoint()`` for the same shape with durable storage.
+
+    Returns the same (merge_rank, lhs, rhs, n_pairs) frame as the
+    declarative trainer; stops early (fewer rows) if the vocabulary
+    runs out of pairs before ``n_merges`` rounds.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions.textfn import tokens_array
+
+    spark = docs.sparkSession
+    w = (docs.select(F.explode(tokens_array(F.col(text_col))).alias("w"))
+         .filter(F.length("w") >= 2)
+         .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    sym_schema = "syms array<string>, cnt bigint"
+
+    def to_syms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"syms": pdf["w"].map(list),
+                                "cnt": pdf["cnt"]})
+
+    def count_pairs(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict = {}
+            for syms, cnt in zip(pdf["syms"], pdf["cnt"]):
+                c = int(cnt)
+                for j in range(len(syms) - 1):
+                    key = (syms[j], syms[j + 1])
+                    acc[key] = acc.get(key, 0) + c
+            if acc:
+                yield pd.DataFrame(
+                    {"a": [k[0] for k in acc], "b": [k[1] for k in acc],
+                     "n": list(acc.values())})
+
+    def apply_merge(a: str, b: str):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                merged = pdf["syms"].map(
+                    lambda s: _bpe_apply_merge(list(s), a, b))
+                keep = merged.map(len) > 1
+                yield pd.DataFrame({"syms": merged[keep],
+                                    "cnt": pdf["cnt"][keep]})
+        return run
+
+    cur = w.mapInPandas(to_syms, schema=sym_schema).localCheckpoint()
+    learned: list[tuple] = []
+    for i in range(1, n_merges + 1):
+        top = (cur.mapInPandas(count_pairs, schema="a string, b string, n bigint")
+               .groupBy("a", "b").agg(F.sum("n").alias("n"))
+               .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        learned.append((i, a, b, n))
+        if i < n_merges:
+            cur = cur.mapInPandas(apply_merge(a, b),
+                                  schema=sym_schema).localCheckpoint()
+    return spark.createDataFrame(
+        learned, "merge_rank int, lhs string, rhs string, n_pairs bigint")
 
 
 _BPE_TRAIN_ROUNDS = 6

@@ -367,8 +367,14 @@ def frontier_stream(urls: DataFrame, history: DataFrame,
 
     The ledger is fixed for the life of the query (the standard
     crawl-loop contract: rebuild the bitmap when the ledger compacts
-    and restart the query from the checkpoint).  NULL keys follow
-    anti-join semantics (kept).  The stateful in-stream dedup runs
+    and restart the query from the checkpoint).  NULL keys pass the
+    LEDGER check unconditionally (anti-join semantics: NULL matches
+    nothing), but the trailing in-stream dedup treats NULL as a key
+    like any other — multiple NULL-key rows inside one watermark
+    horizon collapse to a single emission, the same at-most-once
+    contract every key gets (r12 ADVICE: documented, not routed
+    around — a crawl frontier must not emit an unbounded stream of
+    keyless rows).  The stateful in-stream dedup runs
     ONCE, after the union — branching fresh/survivors below it would
     plant the dedup subtree (and its state store) twice in the plan,
     doubling state for identical content; the branch point is instead

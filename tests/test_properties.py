@@ -1667,6 +1667,44 @@ def test_bloom_anti_join_null_and_type_semantics(spark):
         bloom_anti_join(inc, bad, "k")
 
 
+def test_bloom_anti_join_float_keys_normalized(spark):
+    """Float/double keys match plain-anti-join semantics exactly:
+    Spark join keys normalize -0.0 = 0.0 and NaN = NaN, but xxhash64
+    hashes raw bits, so an un-normalized probe would emit an incoming
+    -0.0 against a history 0.0 via the 'definitely unseen' Bloom path
+    (a false negative — r12 ADVICE).  The operator nanvl/+0.0
+    normalizes both sides before hashing; verify on both recheck
+    routes against Spark's own left-anti as the oracle."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.joins import bloom_anti_join
+
+    nan = float("nan")
+    inc = spark.createDataFrame(
+        [(-0.0, 1), (1.5, 2), (nan, 3), (None, 4), (2.5, 5)],
+        "k double, payload int")
+    hist = spark.createDataFrame(
+        [(0.0,), (nan,), (None,)], "k double")
+    want = sorted(r["payload"]
+                  for r in inc.join(hist, "k", "left_anti").collect())
+    assert want == [2, 4, 5]  # -0.0 and NaN matched; NULL kept
+    try:
+        for bc in (True, False):
+            got = sorted(r["payload"] for r in bloom_anti_join(
+                inc, hist, "k", num_bits=256, num_hashes=3,
+                broadcast_recheck=bc).collect())
+            assert got == want, (bc, got)
+        # float32 incoming vs float64 history also normalizes
+        inc32 = spark.createDataFrame(
+            [(-0.0, 1), (1.5, 2)], "k float, payload int")
+        got32 = sorted(r["payload"] for r in bloom_anti_join(
+            inc32, hist, "k", num_bits=256, num_hashes=3).collect())
+        assert got32 == [2]
+    finally:
+        release_persisted()
+
+
 def test_bloom_frontier_fpr_sentinel(spark):
     """dedup_bloom_frontier's n_hist_keys column must equal the ACTUAL
     history distinct-key count (the exact integer input to the textbook
