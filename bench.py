@@ -131,6 +131,14 @@ HEADLINE = [
     "curation_source_prior",
     # round 12: full BPE vocab training (6 declarative argmax rounds)
     "text_bpe_train_merges",
+    # round 13: rolling-history frontier dedup (per-day Bloom bitmaps,
+    # broadcast-only joins — nothing ledger-sized crosses an exchange),
+    # train/test split leakage audit (prefix-filtered jaccard pair join
+    # + split-flag joins), deterministic shard assignment (one scan,
+    # one 16-group partial agg)
+    "dedup_bloom_frontier_rolling",
+    "split_leakage_audit",
+    "pipeline_shard_assignment",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-
@@ -282,17 +290,25 @@ def main() -> None:
             "idle_probe2_attempt_mins": probe_mins2,
         }, fh, indent=1)
 
-    payload = json.dumps({
-        "metric": "headline_suite_sec",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "idle_probe_ok": probe_ok,
-        "queries": {n: round(t, 2) for n, t in timings.items()},
-    }, separators=(",", ":"))
-    assert len(payload) < 1900, (
+    # Adaptive precision: at 64 headline queries the 2-decimal payload
+    # sits within a few bytes of the driver's 2000-char stdout tail
+    # (r13 review: one 5-char timing would have tripped the old 1900
+    # assert AFTER the full run).  Degrade to 1-decimal before failing
+    # — the full-precision numbers are in BENCH_DETAIL anyway.
+    for nd in (2, 1):
+        payload = json.dumps({
+            "metric": "headline_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "idle_probe_ok": probe_ok,
+            "queries": {n: round(t, nd) for n, t in timings.items()},
+        }, separators=(",", ":"))
+        if len(payload) < 1950:
+            break
+    assert len(payload) < 1950, (
         f"stdout payload {len(payload)}B would overflow the driver's "
-        "2000-char tail; trim HEADLINE or key names")
+        "2000-char tail even at 1-decimal; trim HEADLINE or key names")
     os.write(real_stdout, (payload + "\n").encode())
     os.close(real_stdout)
 

@@ -723,3 +723,127 @@ def bloom_anti_join(incoming: DataFrame, history: DataFrame, key_col: str,
     else:
         new = survivors.join(history.select(key_col), key_col, "left_anti")
     return fresh.unionByName(new)
+
+
+def bloom_anti_join_rolling(ledger: DataFrame, key_col: str,
+                            window_col: str, lookback: int,
+                            num_bits: int = 1 << 16,
+                            num_hashes: int = 4) -> DataFrame:
+    """Rolling-history frontier dedup — the incremental-crawl twin of
+    ``bloom_anti_join`` (r12 VERDICT item 5): ``ledger`` holds one row
+    per (window, key) sighting (``window_col`` an integer epoch — day
+    index, week index); a row survives iff its key does NOT appear in
+    any of the ``lookback`` windows strictly before its own, i.e.
+    exact output of the windowed anti-join
+
+        ledger l ANTI JOIN ledger h
+          ON h.key = l.key AND h.window IN [l.window-lookback, l.window-1]
+
+    with the same no-false-negative / exact-recheck structure as the
+    static operator, so a plain windowed anti-join oracle is EXACT.
+
+    Shape at 100 TB — per-window bitmaps, history NEVER shuffles:
+
+    * ONE pass over the ledger builds a sparse ``map<word,bits>``
+      bitmap PER WINDOW (groupBy(window, word) bit_or): the exchange
+      carries at most |windows| x m/64 word partials (map-side
+      combined), never a ledger row;
+    * each window's TRAILING bitmap is the bit_or of its ``lookback``
+      predecessors — a range self-join on the |windows|-row bitmap
+      frame (dimension-sized by construction: windows are calendar
+      epochs), merged by re-aggregating exploded word entries;
+    * probes run map-side via broadcast of the |windows| trailing
+      bitmaps; only probe survivors (true dups + false positives)
+      reach the exact recheck, which scans the ledger once against
+      BROADCAST survivor pairs (key equality + window-range residual
+      inside a broadcast hash join) — bounded by the survivor count.
+
+    At the 10^10-keys-per-window regime, shard each window's bitmap by
+    key range exactly as ``bloom_params`` documents for the static
+    ledger.  NULL keys are kept, and so are NULL-window rows (both
+    anti-join semantics: NULL matches nothing, so no trailing history
+    can contain them — identical to what the exact windowed anti-join
+    does with a NULL on either side of its range predicate); neither
+    enters a bitmap.
+    """
+    from .caching import tracked_persist
+
+    m, k = int(num_bits), int(num_hashes)
+    if int(lookback) < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    wtypes = dict(ledger.dtypes)
+    if wtypes[window_col] not in {"tinyint", "smallint", "int", "bigint"}:
+        raise TypeError(
+            f"window_col {window_col!r} must be integral (an epoch "
+            f"index), got {wtypes[window_col]} — cast dates with "
+            "datediff() first so the trailing range is well-defined")
+    keyed = ledger.where(F.col(key_col).isNotNull()
+                         & F.col(window_col).isNotNull())
+    w = F.col(window_col)
+    # every temp column that lands on (or joins against) the caller's
+    # frame is uniquified — the r9-review rule above: a ledger already
+    # carrying a column with the temp's name must not become ambiguous
+    bm_c = _fresh_name("_bm", ledger)
+    p = _fresh_name("_p", ledger)
+    tw = _fresh_name("_tw", ledger)
+    sw = _fresh_name("_sw", ledger)
+    sk = _fresh_name("_sk", ledger)
+    hw = _fresh_name("_hw", ledger)
+    hk = _fresh_name("_hk", ledger)
+
+    # per-window sparse bitmaps: ONE pass over the keyed ledger ->
+    # (window, word, bits) partials.  NULL-window rows never enter a
+    # bitmap (no range predicate could match them anyway).
+    pos = [F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m))
+           for j in range(k)]
+    per_win = (
+        keyed.select(w.alias("_win"),
+                     F.explode(F.array(*pos)).alias("_pos"))
+        .select("_win", F.shiftright(F.col("_pos"), 6).alias("_w"),
+                F.pmod(F.col("_pos"), F.lit(64)).alias("_b"))
+        .groupBy("_win", "_w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(_b AS INT)))")
+             .alias("_bits")))
+    # trailing bitmap per target window: range self-join of the tiny
+    # per-window word frame, re-aggregated by word (bit_or is
+    # associative, so merging word partials == merging bitmaps).  The
+    # target-window set comes from per_win itself — deriving it from
+    # the ledger would re-scan data to enumerate a dimension-sized set
+    # (r13 review).
+    targets = per_win.select(F.col("_win").alias(tw)).distinct()
+    trailing = (
+        targets.join(
+            F.broadcast(per_win),
+            (F.col("_win") >= F.col(tw) - F.lit(int(lookback)))
+            & (F.col("_win") <= F.col(tw) - F.lit(1)), "left")
+        .groupBy(tw, "_w")
+        .agg(F.expr("bit_or(_bits)").alias("_bits"))
+        .groupBy(tw)
+        .agg(F.map_from_entries(
+            F.collect_list(F.when(F.col("_w").isNotNull(),
+                                  F.struct("_w", "_bits"))))
+             .alias(bm_c)))
+
+    probed = _bloom_positions(
+        ledger.join(F.broadcast(trailing), w == F.col(tw), "left"),
+        F.col(key_col), p, m, k)
+    might = F.expr(_bloom_probe_sql(bm_c, p, k)) & F.col(tw).isNotNull()
+    drop = [tw, bm_c, *[f"{p}{j}" for j in range(k)]]
+    keep_null = F.col(key_col).isNull()
+    fresh = probed.where(keep_null | ~might).drop(*drop)
+    survivors = tracked_persist(probed.where(~keep_null & might).drop(*drop))
+
+    surv_pairs = survivors.select(w.alias(sw),
+                                  F.col(key_col).alias(sk)).distinct()
+    confirmed = (
+        keyed.select(w.alias(hw), F.col(key_col).alias(hk))
+        .join(F.broadcast(surv_pairs),
+              (F.col(hk) == F.col(sk))
+              & (F.col(hw) >= F.col(sw) - F.lit(int(lookback)))
+              & (F.col(hw) <= F.col(sw) - F.lit(1)))
+        .select(sw, sk).distinct())
+    new = survivors.join(
+        F.broadcast(confirmed),
+        (w == F.col(sw)) & (F.col(key_col) == F.col(sk)),
+        "left_anti")
+    return fresh.unionByName(new)

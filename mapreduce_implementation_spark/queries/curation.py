@@ -972,3 +972,155 @@ def q_curation_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("_n_keep") * F.lit(1.0) / F.col("n_docs"),
                             6).alias("keep_rate"))
             .orderBy("source"))
+
+
+# the toks/grams CTE pair is queries/dedup._DUCK_TRIGRAMS — composed,
+# not copied, so a tokenization change there can never silently leave
+# this oracle on the old definition (r13 review)
+from .dedup import _DUCK_TRIGRAMS  # noqa: E402  (shared CTE twin)
+
+_SPLIT_LEAKAGE_ORACLE = _DUCK_TRIGRAMS.rstrip() + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+  FROM grams g1 JOIN grams g2 USING (tri)
+  WHERE g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id
+  JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+),
+split AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+          % 10 = 0) AS is_test
+  FROM documents
+),
+leaky AS (
+  SELECT DISTINCT d FROM (
+    SELECT p.a AS d FROM pairs p
+    JOIN split x ON p.a = x.doc_id JOIN split y ON p.b = y.doc_id
+    WHERE x.is_test AND NOT y.is_test
+    UNION ALL
+    SELECT p.b AS d FROM pairs p
+    JOIN split x ON p.a = x.doc_id JOIN split y ON p.b = y.doc_id
+    WHERE y.is_test AND NOT x.is_test
+  )
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_test_docs,
+       CAST(count(l.d) AS BIGINT) AS n_leaky_test_docs,
+       CAST(floor(1000.0 * count(l.d) / count(*)) AS INTEGER)
+         AS leak_permille
+FROM split s LEFT JOIN leaky l ON s.doc_id = l.d
+WHERE s.is_test
+GROUP BY s.source ORDER BY s.source
+"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_SPLIT_LEAKAGE_ORACLE,
+    doc="Train/test split leakage audit — the eval-integrity gate every "
+        "training pipeline needs before it trusts a held-out score: "
+        "documents are hash-split 90/10 (first-4-md5-hex-digits mod 10, "
+        "identical integer arithmetic in both engines — deterministic, "
+        "reproducible, no RNG), then every trigram-Jaccard>=0.5 near-dup "
+        "pair (ngram_jaccard_pairs_prefix, the lossless PPJoin prefix "
+        "path — never all-pairs) that CROSSES the split marks its test "
+        "side as leaked.  Per source: test-doc count, leaked test docs, "
+        "leak permille (floor'd int ratio — exact IEEE both engines).  "
+        "Scale shape: the pair join is the audited prefix-filtered "
+        "inverted-index join; split flags attach via two keyed joins of "
+        "the (small) near-dup pair set against the split map, and the "
+        "rollup is one |sources| partial-agg shuffle.  A leaky test doc "
+        "is counted ONCE however many train near-dups it has (the "
+        "distinct), matching what you'd actually do: drop or re-split "
+        "those docs.",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
+    from ..operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_test = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                  1, 4), 16, 10).cast("long") % 10 == 0)
+    split = tracked_persist(
+        docs.select("doc_id", "source", is_test.alias("is_test")))
+    pairs = ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", n=3, min_jaccard=0.5).select("a", "b")
+    flagged = (pairs
+               .join(split.select(F.col("doc_id").alias("a"),
+                                  F.col("is_test").alias("_ta")), "a")
+               .join(split.select(F.col("doc_id").alias("b"),
+                                  F.col("is_test").alias("_tb")), "b"))
+    leaky = (flagged.where(F.col("_ta") & ~F.col("_tb")).select(
+                 F.col("a").alias("d"))
+             .unionByName(flagged.where(F.col("_tb") & ~F.col("_ta"))
+                          .select(F.col("b").alias("d")))
+             .distinct())
+    test = split.where("is_test")
+    return (test.join(leaky, test["doc_id"] == leaky["d"], "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_test_docs"),
+                 F.count("d").alias("n_leaky_test_docs"))
+            .select("source", "n_test_docs", "n_leaky_test_docs",
+                    F.floor(F.lit(1000.0) * F.col("n_leaky_test_docs")
+                            / F.col("n_test_docs")).cast("int")
+                     .alias("leak_permille"))
+            .orderBy("source"))
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "pipeline_shard_assignment",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM documents
+    )
+    SELECT CAST(hv % {_N_SHARDS} AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(hv) AS min_hash,
+           max(hv) AS max_hash,
+           bit_xor(hv) AS xor_hash
+    FROM h GROUP BY 1 ORDER BY shard
+    """,
+    doc="Deterministic training-data shuffle + shard assignment — the "
+        "'global shuffle' step every pretraining run needs, with no RNG "
+        "state to replicate across engines or reruns: each doc's "
+        "position is its 60-bit md5 prefix (identical integer "
+        "arithmetic both engines), shard = hash mod 16, within-shard "
+        "order = hash order.  Reproducible from doc_id alone — a "
+        "resumed or re-run pipeline lands every doc in the same shard "
+        "at the same position.  Output pins the full permutation per "
+        "shard: doc count, char mass (balance check — md5 spreads both "
+        "within ~sqrt deviations), min/max hash (the shard's order "
+        "range) and the order-invariant bit_xor checksum (any single "
+        "reassigned doc flips it).  Scale shape: ONE scan, one "
+        "16-group partial-agged shuffle; the materializing twin is "
+        "repartitionByRange(hv) + sortWithinPartitions(hv) writing one "
+        "shard per output file — same hash, same order, same shards.",
+)
+def q_pipeline_shard_assignment(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long")
+    return (docs.select(hv.alias("hv"),
+                        F.col("n_chars").cast("long").alias("n_chars"))
+            .groupBy((F.col("hv") % _N_SHARDS).cast("int").alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("hv").alias("min_hash"),
+                 F.max("hv").alias("max_hash"),
+                 F.expr("bit_xor(hv)").alias("xor_hash"))
+            .orderBy("shard"))

@@ -2004,10 +2004,12 @@ def bpe_train_merges_batched(docs: DataFrame, text_col: str,
       via ``_bpe_apply_merge`` (the same primitive the encoder runs),
       fully-merged single-symbol words are dropped (they can never
       pair again, so the working set only shrinks), and the result is
-      ``localCheckpoint(eager=True)``-ed: lineage truncates to the
-      materialized partitions, so round 1,000's plan is exactly as
-      deep as round 1's — no chained-replace tower, no re-execution
-      of earlier rounds.
+      LAZILY ``localCheckpoint(eager=False)``-ed: the next round's
+      pair-count job is the first action over it, so one job per
+      round both applies the merge and materializes the truncation
+      point; lineage truncates to the checkpointed partitions, so
+      round 1,000's plan is exactly as deep as round 1's — no
+      chained-replace tower, no re-execution of earlier rounds.
 
     Fault story at cluster scale: ``localCheckpoint`` trades
     recompute-on-executor-loss for speed; the merge prefix collected
@@ -2062,7 +2064,13 @@ def bpe_train_merges_batched(docs: DataFrame, text_col: str,
                                     "cnt": pdf["cnt"][keep]})
         return run
 
-    cur = w.mapInPandas(to_syms, schema=sym_schema).localCheckpoint()
+    # LAZY localCheckpoint: each round's pair-count job is the first
+    # action over the newly-applied frame, so the one job both applies
+    # the previous merge AND materializes the truncation point — ONE
+    # job per training round (measured: the eager form's separate
+    # checkpoint job doubled per-round wall time)
+    cur = w.mapInPandas(to_syms, schema=sym_schema).localCheckpoint(
+        eager=False)
     learned: list[tuple] = []
     for i in range(1, n_merges + 1):
         top = (cur.mapInPandas(count_pairs, schema="a string, b string, n bigint")
@@ -2075,7 +2083,8 @@ def bpe_train_merges_batched(docs: DataFrame, text_col: str,
         learned.append((i, a, b, n))
         if i < n_merges:
             cur = cur.mapInPandas(apply_merge(a, b),
-                                  schema=sym_schema).localCheckpoint()
+                                  schema=sym_schema).localCheckpoint(
+                eager=False)
     return spark.createDataFrame(
         learned, "merge_rank int, lhs string, rhs string, n_pairs bigint")
 

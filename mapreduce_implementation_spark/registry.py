@@ -106,12 +106,15 @@ _LOADED = False
 # r13 window: CORRECTNESS_r12 landed 50/50 green (all full hash
 # matches), exactly as pre-computed last round, so the r12
 # _CHANGED_IN_ROUND entry (pii_scrub_multi — r12-green) is pruned.
-# The window is the r12 pre-computation verbatim: the 47 remaining
-# r08-row queries (anomaly_daily_mad .. unpivot_lineitem_measures) +
-# the 3 alphabetically-first r09-row queries
-# (agg_regression_price_qty .. agg_trimmed_mean).  Machine-recomputed
-# at rotation time from the checked-in CORRECTNESS files — set-equal
-# to the guard test's recomputation.
+# The window is the r12 pre-computation with this round's new
+# registrations slotting in at round-0: dedup_bloom_frontier_rolling,
+# pipeline_shard_assignment and split_leakage_audit + the 47
+# remaining r08-row queries (anomaly_daily_mad ..
+# unpivot_lineitem_measures) — the three new slots displace the three
+# alphabetical r09 fillers (agg_regression_price_qty,
+# agg_skew_kurtosis, agg_trimmed_mean).  Machine-recomputed at
+# rotation time from the checked-in CORRECTNESS files — set-equal to
+# the guard test's recomputation.
 #
 # Pre-computed r14 window (assuming CORRECTNESS_r13 lands with the 50
 # below; r13 registrations/change flags added during the round slot in
@@ -121,14 +124,21 @@ _LOADED = False
 # alphabetically.  The guard test recomputes the truth either way —
 # a head start, not an answer.
 _CHANGED_IN_ROUND: dict[str, int] = {
-    # r13: rolling-window variant added to dedup_bloom_frontier's
-    # operator (bloom_anti_join float-key normalization, ADVICE r12)
-    # — behavior change only for float/double keys, which the
-    # registered query does not use (string keys); flagged anyway for
-    # the new sibling registration below.
+    # r13 changes that do NOT flag: bloom_anti_join gained float-key
+    # normalization (r12 ADVICE) — a behavior change only for
+    # float/double keys, and dedup_bloom_frontier probes STRING keys,
+    # so its plan is byte-identical; the three NEW registrations
+    # (dedup_bloom_frontier_rolling, split_leakage_audit,
+    # pipeline_shard_assignment) have no driver row at all and enter
+    # the window as round-0 via _SAMPLE_FIRST ordering, which is the
+    # mechanism for new queries (a _CHANGED_IN_ROUND entry would be
+    # redundant: latest[q] is already unset).
 }
 
 _SAMPLE_FIRST = (
+    # --- round-0 stale: new registrations this round ---
+    "dedup_bloom_frontier_rolling", "pipeline_shard_assignment",
+    "split_leakage_audit",
     # --- stale, latest driver row r08 (all 47 remaining) ---
     "anomaly_daily_mad", "basket_lift_pairs", "cdc_merge_upsert",
     "dedup_chunk_signature", "dedup_incremental_batch",
@@ -151,9 +161,6 @@ _SAMPLE_FIRST = (
     "text_quality_classifier", "text_quality_score",
     "text_token_entropy", "text_token_stats",
     "text_top_terms_per_lang", "unpivot_lineitem_measures",
-    # --- alphabetical head of the r09 block (3 fillers) ---
-    "agg_regression_price_qty", "agg_skew_kurtosis",
-    "agg_trimmed_mean",
 )
 
 

@@ -127,6 +127,16 @@ PIPELINES = [
     # round-12: full BPE training — expect flat-to-sublinear past the
     # single word-count shuffle (rounds are vocabulary-sized)
     "text_bpe_train_merges",
+    # round-13: rolling frontier (per-day bitmaps over 10x events —
+    # expect flat-to-sublinear: bitmap partials + broadcast probes;
+    # only the sighting-ledger distinct scales), split leakage audit
+    # (prefix-filtered pair join dominates — expect the
+    # dedup_ngram_jaccard_prefix family exponent), shard assignment
+    # (one scan + 16-group partial agg — expect near-linear scan term,
+    # tiny absolute)
+    "dedup_bloom_frontier_rolling",
+    "split_leakage_audit",
+    "pipeline_shard_assignment",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

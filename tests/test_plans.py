@@ -616,6 +616,29 @@ def test_bloom_prefilter_probe_is_mapside_jvm(spark):
     assert "BroadcastExchange" in plan, plan
 
 
+def test_bloom_frontier_rolling_history_never_shuffles(spark):
+    """The rolling frontier's pin (r12 VERDICT item 5): per-window
+    bitmaps are built from word PARTIALS and every join in the plan is
+    broadcast-shaped — zero SortMergeJoin/ShuffledHashJoin, so nothing
+    ledger-sized ever crosses a join exchange; the only exchanges are
+    the ledger's own distinct collapse, the per-day aggregates, and
+    the tiny (|days| x words) bitmap aggregations.  No Python
+    evaluation anywhere — probes are pure JVM expressions."""
+    df = SPECS["dedup_bloom_frontier_rolling"].fn(spark, SF_DIR_01)
+    plan = plan_string(df)
+    try:
+        assert "Python" not in plan, plan
+        assert "xxhash64" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert "BroadcastExchange" in plan, plan
+    finally:
+        from mapreduce_implementation_spark.operators.caching import (
+            release_persisted,
+        )
+        release_persisted()
+
+
 def test_asof_tolerance_windowed_single_shuffle_no_python(spark):
     """The declarative as-of (union + keyed-window last) must stay
     entirely JVM-side — one hash exchange on the by-key, one Window,

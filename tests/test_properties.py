@@ -1667,6 +1667,46 @@ def test_bloom_anti_join_null_and_type_semantics(spark):
         bloom_anti_join(inc, bad, "k")
 
 
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=12),
+                          st.integers(min_value=0, max_value=25)),
+                min_size=0, max_size=120),
+       st.integers(min_value=1, max_value=6))
+def test_bloom_rolling_equals_exact_windowed_anti_join(
+        spark, sightings, lookback):
+    """bloom_anti_join_rolling output == the exact windowed anti-join
+    (key seen in [w-lookback, w-1] => dropped) on random sighting
+    ledgers, with a deliberately TINY per-window bitmap (128 bits)
+    forcing heavy false-positive traffic through the recheck leg, plus
+    NULL-key and NULL-window rows (both kept — anti-join semantics)."""
+    from mapreduce_implementation_spark.operators.caching import (
+        release_persisted,
+    )
+    from mapreduce_implementation_spark.operators.joins import (
+        bloom_anti_join_rolling,
+    )
+
+    rows = sorted(set(sightings)) + [(3, None), (None, 7)]
+    df = spark.createDataFrame(rows, "d int, k int")
+    le, h = df.alias("l"), df.alias("h")
+    want = sorted(
+        ((r["d"], r["k"]) for r in le.join(
+            h.where(F.col("h.k").isNotNull()),
+            (F.col("h.k") == F.col("l.k"))
+            & (F.col("h.d") >= F.col("l.d") - lookback)
+            & (F.col("h.d") <= F.col("l.d") - 1),
+            "left_anti").collect()), key=str)
+    try:
+        got = sorted(
+            ((r["d"], r["k"]) for r in bloom_anti_join_rolling(
+                df, "k", "d", lookback,
+                num_bits=128, num_hashes=3).collect()), key=str)
+    finally:
+        release_persisted()
+    assert got == want, (lookback,
+                         set(map(str, got)) ^ set(map(str, want)))
+
+
 def test_bloom_anti_join_float_keys_normalized(spark):
     """Float/double keys match plain-anti-join semantics exactly:
     Spark join keys normalize -0.0 = 0.0 and NaN = NaN, but xxhash64

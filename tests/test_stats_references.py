@@ -1490,3 +1490,117 @@ def test_bpe_training_matches_python_trainer(spark):
         release_persisted()
     got = [(r["lhs"], r["rhs"], r["n_pairs"]) for r in rows]
     assert got == want, (got, want)
+
+
+# --- r13: recall@k as a NUMBER for the lossy ANN scale paths ----------------
+# (r12 VERDICT item 6: the in-query recall_ok booleans pin a threshold
+# at ONE seed; these recompute recall against brute force across three
+# seeds so a parameter regression shows up as a number dropping, not a
+# boolean staying coincidentally true.  All inputs and seeds are fixed,
+# so every recall below is DETERMINISTIC — the bounds are pins at the
+# measured values, not statistical hopes.)
+
+_ANN_SEEDS = (101, 202, 303)
+
+
+def _emb_and_query(spark):
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_01
+
+    emb = load_table(spark, SF_DIR_01, "embeddings")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return emb, qv
+
+
+def test_ann_lsh_recall_at_10_across_seeds(spark):
+    """Sign-LSH top-k recall@10 vs exact brute force at (bits=4,
+    tables=16) — the similarity_ann_lsh defaults.  Measured 0.8 / 0.9
+    / 1.0 at seeds 101/202/303 (mean 0.9, the docstring's Charikar
+    target for moderate-similarity corpora)."""
+    from mapreduce_implementation_spark.operators.similarity import (
+        ann_topk_lsh, cosine_topk,
+    )
+
+    emb, qv = _emb_and_query(spark)
+    exact = {r["vec_id"] for r in cosine_topk(
+        emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()}
+    recalls = []
+    for seed in _ANN_SEEDS:
+        ann = {r["vec_id"] for r in ann_topk_lsh(
+            emb, "vec_id", "embedding", qv, dim=64, k=10,
+            seed=seed, exclude_id=0).collect()}
+        recalls.append(len(ann & exact) / 10.0)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.9 and min(recalls) >= 0.8, (
+        f"LSH recall@10 regressed: per-seed {recalls} (mean {mean:.2f}) "
+        f"vs pinned mean>=0.9, min>=0.8 at seeds {_ANN_SEEDS}")
+
+
+def test_ann_ivf_recall_at_10_across_seeds(spark):
+    """IVF (k=8 lists, nprobe=4) top-k recall@10 vs brute force across
+    three k-means init seeds.  Measured 0.6 / 0.9 / 0.6 (mean 0.7) —
+    consistent with the registered query's documented 0.6-0.8 band and
+    its >=5-of-10 audit floor."""
+    from mapreduce_implementation_spark.operators.ivf import (
+        ivf_topk, kmeans_fit,
+    )
+    from mapreduce_implementation_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb, qv = _emb_and_query(spark)
+    emb = emb.cache()
+    try:
+        exact = {r["vec_id"] for r in cosine_topk(
+            emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()}
+        recalls = []
+        for seed in _ANN_SEEDS:
+            c = kmeans_fit(emb, "embedding", dim=64, k=8, iters=3,
+                           seed=seed)
+            ann = {r["vec_id"] for r in ivf_topk(
+                emb, "vec_id", "embedding", qv, c, k=10, nprobe=4,
+                exclude_id=0).collect()}
+            recalls.append(len(ann & exact) / 10.0)
+    finally:
+        emb.unpersist()
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.7 and min(recalls) >= 0.5, (
+        f"IVF recall@10 regressed: per-seed {recalls} (mean {mean:.2f}) "
+        f"vs pinned mean>=0.7, min>=0.5 at seeds {_ANN_SEEDS}")
+
+
+def test_embedding_lsh_dedup_pair_recall_across_seeds(spark):
+    """Near-dup PAIR recall of the bucketed LSH path vs the exact
+    all-pairs set at cos>=0.35, with (bits, tables) from
+    sign_lsh_params — the dedup_embedding_lsh configuration.  Measured
+    0.930 / 0.926 / 0.893 on the 271 true pairs (the query's in-query
+    flag pins >=0.8 at one seed; this pins the number at three)."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        embedding_near_dup_pairs, embedding_near_dup_pairs_lsh,
+        sign_lsh_params,
+    )
+
+    emb, _ = _emb_and_query(spark)
+    emb = emb.cache()
+    try:
+        brute = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", min_cosine=0.35).collect()}
+        assert len(brute) > 100  # the audit has teeth
+        bits, tables = sign_lsh_params(emb.count(), 0.35,
+                                       target_bucket=50)
+        recalls = []
+        for seed in _ANN_SEEDS:
+            lsh = {(r["a"], r["b"])
+                   for r in embedding_near_dup_pairs_lsh(
+                       emb, "vec_id", "embedding", dim=64,
+                       min_cosine=0.35, bits=bits, tables=tables,
+                       seed=seed).collect()}
+            recalls.append(len(lsh & brute) / len(brute))
+    finally:
+        emb.unpersist()
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.9 and min(recalls) >= 0.85, (
+        f"LSH pair recall regressed: per-seed "
+        f"{[f'{r:.3f}' for r in recalls]} (mean {mean:.3f}) vs pinned "
+        f"mean>=0.9, min>=0.85 at seeds {_ANN_SEEDS}, {len(brute)} pairs")
