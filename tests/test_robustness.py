@@ -134,6 +134,10 @@ _REPRESENTATIVES = [
     "dedup_bloom_frontier",        # bloom + anti-join over zero URLs
     "curation_source_prior",       # shrinkage over zero sources
     "text_bpe_train_merges",       # argmax rounds over an empty vocab
+    # round-13 families
+    "dedup_bloom_frontier_rolling",  # per-window bitmaps over zero days
+    "split_leakage_audit",           # leakage over zero pairs/docs
+    "pipeline_shard_assignment",     # 16 shards of nothing
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
