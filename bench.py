@@ -139,6 +139,9 @@ HEADLINE = [
     "dedup_bloom_frontier_rolling",
     "split_leakage_audit",
     "pipeline_shard_assignment",
+    # round 13: the vocab-scale trainer twin (same oracle as the
+    # declarative trainer; O(1) plan depth, one job per round)
+    "text_bpe_train_merges_batched",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -2158,3 +2158,27 @@ e{i} AS MATERIALIZED (
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, "text", _BPE_TRAIN_ROUNDS)
+
+
+@register(
+    "text_bpe_train_merges_batched",
+    oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS),
+    doc="The SAME 6-round BPE training induction as "
+        "text_bpe_train_merges, executed on the vocabulary-scale path "
+        "(bpe_train_merges_batched: O(1) plan depth per round — "
+        "mapInPandas partial pair counts, 1-row argmax collect, lazy "
+        "localCheckpoint re-encode; the r12 VERDICT item-3 escape "
+        "hatch from the declarative trainer's ~250-round "
+        "chained-replace ceiling, measured to 1,000 genuine rounds at "
+        "~1 s/round flat in SCALE.md r13).  Registered against the "
+        "IDENTICAL DuckDB oracle as the declarative twin, so the "
+        "driver hash-gates both execution strategies against the same "
+        "ground truth: a drift between the two trainers (or between "
+        "either and the oracle) flips a hash.  The per-round 1-row "
+        "collect is bounded model state (the merge table IS the "
+        "artifact), the graph-loop convention — corpus data never "
+        "reaches the driver.",
+)
+def q_text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges_batched(docs, "text", _BPE_TRAIN_ROUNDS)

@@ -138,6 +138,7 @@ _REPRESENTATIVES = [
     "dedup_bloom_frontier_rolling",  # per-window bitmaps over zero days
     "split_leakage_audit",           # leakage over zero pairs/docs
     "pipeline_shard_assignment",     # 16 shards of nothing
+    "text_bpe_train_merges_batched", # batched trainer over empty vocab
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
