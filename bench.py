@@ -140,8 +140,10 @@ HEADLINE = [
     "split_leakage_audit",
     "pipeline_shard_assignment",
     # round 13: the vocab-scale trainer twin (same oracle as the
-    # declarative trainer; O(1) plan depth, one job per round)
+    # declarative trainer; O(1) plan depth, one job per round) and the
+    # rolling HLL sketch-union window (per-day sketches, range-merged)
     "text_bpe_train_merges_batched",
+    "sketch_hll_rolling_window",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -567,6 +567,72 @@ def q_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hll_rolling_window",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM du),
+    fan AS (
+      SELECT du.d + CAST(o.o AS INTEGER) AS day, du.user_id
+      FROM du, (SELECT unnest(generate_series(0, 6)) AS o) o
+    )
+    SELECT day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d,
+           TRUE AS within_tol
+    FROM fan, bounds WHERE day BETWEEN lo AND hi
+    GROUP BY day ORDER BY day
+    """,
+    doc="Trailing-7-day distinct users per day answered from STORED "
+        "per-day HLL sketches (the materialized-sketch idiom at its "
+        "actual use case: a warehouse builds one sketch per day ONCE, "
+        "then any rolling window is |window| sketch unions — no raw "
+        "rescan, no fan-out of the event stream).  The sketch leg: one "
+        "groupBy(day) hll_sketch_agg pass (|days| sketch rows), then a "
+        "range self-join of that dimension-sized frame unions each "
+        "day's trailing 7 sketches (hll_union_agg is associative and "
+        "order-free, the DataSketches merge contract).  The hashable "
+        "surface is the EXACT rolling count (computed via the same "
+        "offset fan-out identity as timeseries_wau_sliding, which is "
+        "the SQL twin) plus a <=5%-relative-error boolean on the "
+        "sketch estimate — same convention as sketch_hll_rollup, whose "
+        "all-time merge this generalizes to arbitrary windows.  "
+        "Companion to dedup_bloom_frontier_rolling: same per-window-"
+        "partial + dimension-sized-range-merge shape, distinct-count "
+        "instead of membership.",
+)
+def q_sketch_hll_rolling_window(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    e = (load_table(spark, sf_dir, "events")
+         .where(F.col("user_id").isNotNull()))
+    daily = (e.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.expr("hll_sketch_agg(user_id)").alias("sk")))
+    est = (daily.select(F.col("day").alias("_d"))
+           .join(F.broadcast(daily),
+                 (F.col("day") >= F.date_sub(F.col("_d"), 6))
+                 & (F.col("day") <= F.col("_d")))
+           .groupBy("_d")
+           .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                .alias("_est")))
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    bounds = du.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    fan = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+         .alias("day"), "user_id")
+    exact = (fan.crossJoin(F.broadcast(bounds))
+             .where(F.col("day").between(F.col("lo"), F.col("hi")))
+             .groupBy("day")
+             .agg(F.count_distinct("user_id").alias("n_active_7d")))
+    return (exact.join(F.broadcast(est), exact["day"] == est["_d"])
+            .select("day", "n_active_7d",
+                    (F.abs(F.col("_est") - F.col("n_active_7d"))
+                     / F.greatest(F.col("n_active_7d"), F.lit(1))
+                     <= 0.05).alias("within_tol"))
+            .orderBy("day"))
+
+
+@register(
     "cdc_merge_upsert",
     oracle="""
     WITH ch AS (

@@ -137,6 +137,10 @@ PIPELINES = [
     "dedup_bloom_frontier_rolling",
     "split_leakage_audit",
     "pipeline_shard_assignment",
+    # round-13: rolling HLL sketch-union window (per-day sketches,
+    # dimension-sized range merge — expect flat-to-sublinear: only the
+    # per-day sketch build and the exact-audit fan-out scale)
+    "sketch_hll_rolling_window",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

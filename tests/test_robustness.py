@@ -139,6 +139,7 @@ _REPRESENTATIVES = [
     "split_leakage_audit",           # leakage over zero pairs/docs
     "pipeline_shard_assignment",     # 16 shards of nothing
     "text_bpe_train_merges_batched", # batched trainer over empty vocab
+    "sketch_hll_rolling_window",     # sketch unions over zero days
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
