@@ -144,6 +144,9 @@ HEADLINE = [
     # rolling HLL sketch-union window (per-day sketches, range-merged)
     "text_bpe_train_merges_batched",
     "sketch_hll_rolling_window",
+    # round 13: content-defined chunking (one doc-keyed window pass,
+    # O(tokens) shuffle — the insertion-robust chunk-dedup primitive)
+    "dedup_chunks_content_defined",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

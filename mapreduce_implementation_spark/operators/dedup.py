@@ -842,3 +842,48 @@ def duplicate_substring_spans(df: DataFrame, id_col: str, text_col: str,
                  (F.max("pos") + F.lit(width - 1)).alias("span_end"))
             .drop("_grp"))
 
+
+
+def content_defined_chunks(df: DataFrame, id_col: str, text_col: str,
+                           buckets: int = 8,
+                           extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, [extra_cols...], chunk_id, ch, n_tok) — CONTENT-DEFINED
+    chunking (Rabin/FastCDC family): a chunk boundary opens at token i
+    wherever the md5 of the preceding 3-token window lands in bucket 0
+    of ``buckets``, so boundaries are a function of content, not
+    offset.  The property that matters (pinned in
+    tests/test_dedup_similarity.py): inserting a token re-chunks only
+    its own neighborhood — downstream chunk hashes survive, which a
+    fixed-stride chunker structurally cannot do.  ``ch`` is the md5 of
+    the space-joined chunk tokens; expected chunk length ~= buckets
+    tokens.  ONE per-doc window pass (lag x3 + running boundary sum
+    under a single doc-keyed exchange), one (doc, chunk) rollup —
+    shuffle volume O(tokens)."""
+    from pyspark.sql import Window
+
+    extra = list(extra_cols or [])
+    pos = (df.select(
+        id_col, *extra,
+        F.posexplode(F.filter(tokens_array(F.col(text_col)),
+                              lambda t: t != "")).alias("_i0", "_tok"))
+        .select(id_col, *extra, "_tok", (F.col("_i0") + 1).alias("_i")))
+    w = Window.partitionBy(id_col).orderBy("_i")
+    win_hash = F.conv(F.substring(F.md5(F.concat_ws(
+        " ", F.lag("_tok", 3).over(w), F.lag("_tok", 2).over(w),
+        F.lag("_tok", 1).over(w))), 1, 4), 16, 10).cast("long")
+    new_chunk = F.when(F.col("_i") == 1, 1).when(
+        (F.col("_i") >= 4) & (win_hash % int(buckets) == 0), 1).otherwise(0)
+    assigned = (pos.select(id_col, *extra, "_tok", "_i",
+                           new_chunk.alias("_nc"))
+                .withColumn("chunk_id", F.sum("_nc").over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow))))
+    return (assigned
+            .groupBy(id_col, *extra, "chunk_id")
+            .agg(F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("_i", "_tok"))),
+                         lambda s: s["_tok"]), " ").cast("binary"))
+                 .alias("ch"),
+                 F.count(F.lit(1)).alias("n_tok")))

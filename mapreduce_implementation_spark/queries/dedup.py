@@ -1647,3 +1647,91 @@ def q_dedup_bloom_frontier_rolling(spark: SparkSession,
                     F.coalesce(F.col("n_new_users"), F.lit(0).cast("long"))
                      .alias("n_new_users"))
             .orderBy("day"))
+
+
+_CDC_BUCKETS = 8  # boundary where trigram-window hash % 8 == 0 -> ~8-token chunks
+
+
+@register(
+    "dedup_chunks_content_defined",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(regexp_replace(text,
+                 '[^A-Za-z ]', '', 'g')), ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS i
+      FROM tok
+    ),
+    flagged AS (
+      SELECT doc_id, source, tok, i,
+             CASE WHEN i = 1 THEN 1
+                  WHEN i >= 4 AND
+                       ('0x' || substr(md5(lag(tok, 3) OVER w || ' ' ||
+                                           lag(tok, 2) OVER w || ' ' ||
+                                           lag(tok, 1) OVER w), 1, 4))::BIGINT
+                       % {_CDC_BUCKETS} = 0 THEN 1
+                  ELSE 0 END AS new_chunk
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    assigned AS (
+      SELECT doc_id, source, tok, i,
+             sum(new_chunk) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, source, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY i)) AS ch,
+             count(*) AS n_tok
+      FROM assigned GROUP BY doc_id, source, chunk_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+           CAST(floor(1000.0 * (count(*) - count(DISTINCT ch))
+                      / count(*)) AS INTEGER) AS dup_permille,
+           CAST(floor(sum(n_tok) * 1.0 / count(*)) AS BIGINT)
+             AS avg_chunk_tokens
+    FROM chunks GROUP BY source ORDER BY source
+    """,
+    doc="CONTENT-DEFINED chunking + chunk-level dedup stats (the "
+        "Rabin/FastCDC family — rsync, storage dedup, and incremental "
+        "crawl dedup all run on it): a chunk boundary opens wherever "
+        "the hash of the PRECEDING 3-token window lands in bucket 0 of "
+        f"{_CDC_BUCKETS}, so boundaries are a function of CONTENT, not "
+        "offset — an insertion re-chunks only its own neighborhood "
+        "while every downstream chunk hash survives, which is exactly "
+        "what the fixed-stride dedup_chunk_signature cannot do (one "
+        "shifted byte re-hashes every later chunk).  Per source: chunk "
+        "count, distinct chunk hashes, duplicate permille (the "
+        "chunk-store saving), average chunk tokens (~bucket count by "
+        "construction).  Shape: one explode to (doc, token) rows, ONE "
+        "per-doc window pass (lag x3 + running boundary sum under a "
+        "single exchange keyed on doc_id — the dedup_substring_spans "
+        "convention), one (doc, chunk) rollup, one |sources| rollup — "
+        "shuffle volume O(tokens), never O(docs^2), and the md5 "
+        "boundary rule is identical integer arithmetic in both "
+        "engines.",
+)
+def q_dedup_chunks_content_defined(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from ..operators.dedup import content_defined_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = content_defined_chunks(docs, "doc_id", "text",
+                                    buckets=_CDC_BUCKETS,
+                                    extra_cols=["source"])
+    return (chunks.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.count_distinct("ch").alias("n_distinct_chunks"),
+                 F.floor(F.lit(1000.0)
+                         * (F.count(F.lit(1)) - F.count_distinct("ch"))
+                         / F.count(F.lit(1))).cast("int")
+                  .alias("dup_permille"),
+                 F.floor(F.sum("n_tok") * F.lit(1.0) / F.count(F.lit(1)))
+                  .cast("long").alias("avg_chunk_tokens"))
+            .orderBy("source"))

@@ -107,14 +107,16 @@ _LOADED = False
 # matches), exactly as pre-computed last round, so the r12
 # _CHANGED_IN_ROUND entry (pii_scrub_multi — r12-green) is pruned.
 # The window is the r12 pre-computation with this round's new
-# registrations slotting in at round-0: dedup_bloom_frontier_rolling,
+# registrations slotting in at round-0 (alphabetical):
+# dedup_bloom_frontier_rolling, dedup_chunks_content_defined,
 # pipeline_shard_assignment, sketch_hll_rolling_window,
-# split_leakage_audit and text_bpe_train_merges_batched + the first
-# 45 of the 47 remaining r08-row queries (anomaly_daily_mad ..
-# text_token_stats) — the five new slots displace the three
+# split_leakage_audit, text_bpe_train_merges_batched + the first 44
+# of the 47 remaining r08-row queries (anomaly_daily_mad ..
+# text_token_entropy) — the six new slots displace the three
 # alphabetical r09 fillers (agg_regression_price_qty,
-# agg_skew_kurtosis, agg_trimmed_mean) and the last two r08 rows
-# (text_top_terms_per_lang, unpivot_lineitem_measures).
+# agg_skew_kurtosis, agg_trimmed_mean) and the last three r08 rows
+# (text_token_stats, text_top_terms_per_lang,
+# unpivot_lineitem_measures).
 # Machine-recomputed at rotation time from the checked-in CORRECTNESS
 # files — set-equal to the guard test's recomputation.
 #
@@ -129,10 +131,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # r13 changes that do NOT flag: bloom_anti_join gained float-key
     # normalization (r12 ADVICE) — a behavior change only for
     # float/double keys, and dedup_bloom_frontier probes STRING keys,
-    # so its plan is byte-identical; the five NEW registrations
+    # so its plan is byte-identical; the six NEW registrations
     # (dedup_bloom_frontier_rolling, split_leakage_audit,
     # pipeline_shard_assignment, text_bpe_train_merges_batched,
-    # sketch_hll_rolling_window) have
+    # sketch_hll_rolling_window, dedup_chunks_content_defined) have
     # no driver row at all and enter the window as round-0 via
     # _SAMPLE_FIRST ordering, which is the mechanism for new queries
     # (a _CHANGED_IN_ROUND entry would be redundant: latest[q] is
@@ -141,11 +143,11 @@ _CHANGED_IN_ROUND: dict[str, int] = {
 
 _SAMPLE_FIRST = (
     # --- round-0 stale: new registrations this round ---
-    "dedup_bloom_frontier_rolling", "pipeline_shard_assignment",
-    "sketch_hll_rolling_window", "split_leakage_audit",
-    "text_bpe_train_merges_batched",
-    # --- stale, latest driver row r08 (first 45 of the 47 remaining;
-    # the two alphabetical-last rows are displaced by round-0
+    "dedup_bloom_frontier_rolling", "dedup_chunks_content_defined",
+    "pipeline_shard_assignment", "sketch_hll_rolling_window",
+    "split_leakage_audit", "text_bpe_train_merges_batched",
+    # --- stale, latest driver row r08 (first 44 of the 47 remaining;
+    # the three alphabetical-last rows are displaced by round-0
     # slots) ---
     "anomaly_daily_mad", "basket_lift_pairs", "cdc_merge_upsert",
     "dedup_chunk_signature", "dedup_incremental_batch",
@@ -166,7 +168,7 @@ _SAMPLE_FIRST = (
     "source_mixing_weights", "source_orc_roundtrip",
     "streaks_gaps_islands", "string_similarity_levenshtein",
     "text_quality_classifier", "text_quality_score",
-    "text_token_entropy", "text_token_stats",
+    "text_token_entropy",
 )
 
 

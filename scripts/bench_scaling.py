@@ -141,6 +141,10 @@ PIPELINES = [
     # dimension-sized range merge — expect flat-to-sublinear: only the
     # per-day sketch build and the exact-audit fan-out scale)
     "sketch_hll_rolling_window",
+    # round-13: content-defined chunking — expect near-linear (the
+    # doc-keyed window pass is the scan term; chunk/source rollups are
+    # partial-agged)
+    "dedup_chunks_content_defined",
 ]
 
 PASSTHROUGH = ["region", "nation", "supplier", "part"]

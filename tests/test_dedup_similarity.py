@@ -825,3 +825,53 @@ def test_zero_norm_vectors_never_throw_under_ansi(spark):
         df, "vec_id", "embedding", "label", min_cosine=0.5).collect()}
     assert sem[4] is True          # pairs with nothing -> survives
     assert sem[2] is False         # dropped by its lower-id near-dup
+
+
+def test_content_defined_chunks_survive_insertion(spark):
+    """The property content-defined chunking EXISTS for (and the fixed-
+    stride chunker structurally lacks): inserting one token near the
+    front re-chunks only its neighborhood — the chunk-hash set of the
+    edited doc keeps the large majority of the original's chunks, so a
+    chunk-store (or chunk-level dedup pass) pays for the edit, not the
+    whole document.  Fixed-stride 64-char/256-char windows shift every
+    downstream offset instead, killing most shared chunks."""
+    import random
+
+    from mapreduce_implementation_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    rng = random.Random(1313)
+    words = ["".join(rng.choice("theranois") for _ in range(rng.randint(2, 9)))
+             for _ in range(400)]
+    v1 = " ".join(words)
+    v2 = " ".join(words[:10] + ["zzinserted"] + words[10:])
+    df = spark.createDataFrame([(1, v1), (2, v2)], "doc_id long, text string")
+    ch = content_defined_chunks(df, "doc_id", "text", buckets=8)
+    by_doc = {1: set(), 2: set()}
+    n_chunks = {1: 0, 2: 0}
+    for r in ch.collect():
+        by_doc[r["doc_id"]].add(r["ch"])
+        n_chunks[r["doc_id"]] += 1
+    shared = len(by_doc[1] & by_doc[2])
+    frac = shared / max(len(by_doc[1]), 1)
+    # ~400 tokens / ~8-token chunks => ~50 chunks; the edit should
+    # disturb only the chunk(s) around position 10
+    assert n_chunks[1] > 20, n_chunks
+    assert frac >= 0.85, (
+        f"CDC insertion robustness regressed: {shared} shared of "
+        f"{len(by_doc[1])} original chunks (frac {frac:.2f}, pinned >=0.85)")
+    # contrast: fixed-stride chunking of the same pair shares ~nothing
+    # downstream of the edit (md5 of 64-char windows every 256 chars,
+    # the dedup_chunk_signature scheme)
+    from pyspark.sql import functions as F
+    offs = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)),
+                      F.lit(256))
+    fixed = (df.select("doc_id", F.explode(offs).alias("o"), "text")
+             .select("doc_id", F.md5(F.expr("substring(text, o, 64)")
+                                     .cast("binary")).alias("ch")))
+    fx = {1: set(), 2: set()}
+    for r in fixed.collect():
+        fx[r["doc_id"]].add(r["ch"])
+    fixed_frac = len(fx[1] & fx[2]) / max(len(fx[1]), 1)
+    assert fixed_frac < frac, (fixed_frac, frac)

@@ -140,6 +140,7 @@ _REPRESENTATIVES = [
     "pipeline_shard_assignment",     # 16 shards of nothing
     "text_bpe_train_merges_batched", # batched trainer over empty vocab
     "sketch_hll_rolling_window",     # sketch unions over zero days
+    "dedup_chunks_content_defined",  # CDC chunking of zero docs
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
