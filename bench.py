@@ -303,7 +303,7 @@ def main() -> None:
     # (r13 review: one 5-char timing would have tripped the old 1900
     # assert AFTER the full run).  Degrade to 1-decimal before failing
     # — the full-precision numbers are in BENCH_DETAIL anyway.
-    for nd in (2, 1):
+    for nd in (2, 1, 0):
         payload = json.dumps({
             "metric": "headline_suite_sec",
             "value": total,
@@ -316,7 +316,7 @@ def main() -> None:
             break
     assert len(payload) < 1950, (
         f"stdout payload {len(payload)}B would overflow the driver's "
-        "2000-char tail even at 1-decimal; trim HEADLINE or key names")
+        "2000-char tail even at 0-decimal; trim HEADLINE or key names")
     os.write(real_stdout, (payload + "\n").encode())
     os.close(real_stdout)
 
