@@ -25,7 +25,18 @@ Methodology:
   container contention, not code): 3x word_count must land within +30%
   of steady-state or the harness waits and retries; the outcome is
   recorded in both payloads (``idle_probe_ok``) so a noisy-box bench
-  is marked on its face.
+  is marked on its face;
+* MID-SUITE probe re-checks (r13 VERDICT item 2: three rounds of
+  driver artifacts degraded AFTER both entry probes passed — the
+  entry gate cannot see load that arrives mid-suite): the probe pair
+  re-runs every 15 headline queries, each query's detail row carries
+  the index of the most recent probe segment (``probe_seg``), and the
+  per-segment probe states land in ``mid_probes`` — so degradation is
+  adjudicable from the artifact alone;
+* a query whose warm floor lands >3x its previous BENCH_DETAIL floor
+  is re-run ONCE after a 10 s cooldown (both attempts recorded in
+  ``reruns``; the better warm floor is the headline number) — the
+  r13 ``split_leakage_audit`` 53.2 s-run-1 class self-heals.
 """
 
 from __future__ import annotations
@@ -170,6 +181,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # Pre-run overflow guard (r13 ADVICE): query-name bytes are known up
+    # front, so a payload that cannot fit the driver's 2000-char stdout
+    # tail even with BEST-case (0.0) timings at 0-decimal precision is a
+    # guaranteed overflow — abort BEFORE the ~100 s suite runs, not in
+    # the post-run assert.
+    assert _stdout_payload(0.0, 0.1, True,
+                           {n: 0.0 for n in HEADLINE}) is not None, (
+        "stdout payload cannot fit the driver's 2000-char tail even with "
+        "zero-valued 0-decimal timings; trim HEADLINE or key names")
+
     from mapreduce_implementation_spark.registry import all_specs
     from mapreduce_implementation_spark.session import get_spark
 
@@ -228,8 +249,7 @@ def main() -> None:
     # sf0.1), so the gate now requires BOTH shapes quiet.
     probe_ref2 = float(os.environ.get(
         "SPARK_GRAFT_IDLE_PROBE_REF2", str(max(0.80 * sf / 0.1, 0.40))))
-    probe_ok, probe_mins, probe_mins2 = False, [], []
-    for attempt in range(10):
+    def _probe_pass() -> tuple[bool, float, float]:
         pr, pr2 = [], []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -239,9 +259,15 @@ def main() -> None:
             t0 = time.perf_counter()
             _materialize(specs["join_shuffle_facts"].fn(spark, sf_dir))
             pr2.append(time.perf_counter() - t0)
-        probe_mins.append(round(min(pr), 3))
-        probe_mins2.append(round(min(pr2), 3))
-        if min(pr) <= probe_ref * 1.3 and min(pr2) <= probe_ref2 * 1.3:
+        ok = min(pr) <= probe_ref * 1.3 and min(pr2) <= probe_ref2 * 1.3
+        return ok, round(min(pr), 3), round(min(pr2), 3)
+
+    probe_ok, probe_mins, probe_mins2 = False, [], []
+    for attempt in range(10):
+        ok, p1, p2 = _probe_pass()
+        probe_mins.append(p1)
+        probe_mins2.append(p2)
+        if ok:
             probe_ok = True
             break
         if attempt < 9:  # no point sleeping after the final attempt
@@ -249,9 +275,21 @@ def main() -> None:
 
     from mapreduce_implementation_spark.operators.caching import release_persisted
 
-    timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    # previous round's per-query warm floors: the 3x-degradation rerun
+    # trigger (r13 VERDICT item 2).  Missing file / missing query =>
+    # no trigger for it.
+    _here = os.path.dirname(os.path.abspath(__file__))
+    prev_floor: dict[str, float] = {}
+    _details = sorted(f for f in os.listdir(_here)
+                      if f.startswith("BENCH_DETAIL_r") and f.endswith(".json"))
+    if _details:
+        try:
+            with open(os.path.join(_here, _details[-1])) as fh:
+                prev_floor = dict(json.load(fh).get("queries", {}))
+        except (OSError, ValueError):
+            prev_floor = {}
+
+    def _timed_runs(name: str) -> list[float]:
         rr: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -261,9 +299,40 @@ def main() -> None:
             # between runs so run N+1 re-measures the full pipeline
             # instead of reading run N's cache
             release_persisted()
+        return rr
+
+    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    reruns: dict[str, list[float]] = {}
+    probe_seg: dict[str, int] = {}
+    # mid_probes[0] is the entry-gate outcome; a new segment is stamped
+    # every 15 headline queries so each query's row points at a probe
+    # state at most ~1 minute old on a quiet box.
+    mid_probes: list[dict] = [{
+        "after_query_index": -1, "ok": probe_ok,
+        "probe_min": probe_mins[-1], "probe2_min": probe_mins2[-1],
+    }]
+    for qi, name in enumerate(HEADLINE):
+        if qi > 0 and qi % 15 == 0:
+            ok, p1, p2 = _probe_pass()
+            mid_probes.append({"after_query_index": qi - 1, "ok": ok,
+                               "probe_min": p1, "probe2_min": p2})
+        rr = _timed_runs(name)
+        warm = min(rr[1:])
+        # 3x-degradation rerun: previous-round floor exists, this round's
+        # warm floor blew 3x past it, and the query isn't sub-noise-floor
+        # small (0.5 s) — cool down once and re-measure; keep the better
+        # warm floor, record both attempts.
+        pf = prev_floor.get(name)
+        if pf is not None and warm > 3 * pf and warm > 0.5:
+            time.sleep(10)
+            rr2 = _timed_runs(name)
+            reruns[name] = rr2
+            warm = min(warm, min(rr2[1:]))
         runs[name] = rr  # all runs visible: JIT-stall variance shows up
         # as run1 >> run2~run3; a real plan regression is uniform
-        timings[name] = min(rr[1:])  # min-of-warm
+        timings[name] = warm  # min-of-warm (across rerun if triggered)
+        probe_seg[name] = len(mid_probes) - 1
 
     total = round(sum(timings.values()), 3)
 
@@ -296,29 +365,49 @@ def main() -> None:
             "idle_probe_attempt_mins": probe_mins,
             "idle_probe2_ref_sec": probe_ref2,
             "idle_probe2_attempt_mins": probe_mins2,
+            "mid_probes": mid_probes,
+            "query_probe_seg": probe_seg,
+            "reruns": reruns,
         }, fh, indent=1)
 
     # Adaptive precision: at 64 headline queries the 2-decimal payload
     # sits within a few bytes of the driver's 2000-char stdout tail
     # (r13 review: one 5-char timing would have tripped the old 1900
     # assert AFTER the full run).  Degrade to 1-decimal before failing
-    # — the full-precision numbers are in BENCH_DETAIL anyway.
+    # — the full-precision numbers are in BENCH_DETAIL anyway.  The
+    # chosen precision is carried in the payload itself ("nd") so a
+    # consumer diffing round-over-round payloads can tell a precision
+    # change from a timing change (r13 ADVICE).
+    payload = _stdout_payload(total, sf, probe_ok, timings)
+    assert payload is not None, (
+        "stdout payload would overflow the driver's 2000-char tail even "
+        "at 0-decimal; trim HEADLINE or key names")
+    os.write(real_stdout, (payload + "\n").encode())
+    os.close(real_stdout)
+
+
+def _stdout_payload(total, sf, probe_ok, timings) -> str | None:
+    # Budget: the driver stores the LAST 2000 chars of stdout, and fd 1
+    # is rerouted for the whole run so stdout carries EXACTLY this line
+    # — the only consumer of the margin is the trailing newline.  1990
+    # leaves 9 spare chars; the old 1950 cap was so conservative it
+    # forced a precision drop one byte past the cliff (r14: the "nd"
+    # field itself pushed the 67-query 1-decimal payload to 1951).
+    # nd=0 emits true integers (not x.0 floats) — 2 bytes/query cheaper.
     for nd in (2, 1, 0):
         payload = json.dumps({
             "metric": "headline_suite_sec",
             "value": total,
             "unit": "sec",
             "sf": sf,
+            "nd": nd,
             "idle_probe_ok": probe_ok,
-            "queries": {n: round(t, nd) for n, t in timings.items()},
+            "queries": {n: (int(round(t)) if nd == 0 else round(t, nd))
+                        for n, t in timings.items()},
         }, separators=(",", ":"))
-        if len(payload) < 1950:
-            break
-    assert len(payload) < 1950, (
-        f"stdout payload {len(payload)}B would overflow the driver's "
-        "2000-char tail even at 0-decimal; trim HEADLINE or key names")
-    os.write(real_stdout, (payload + "\n").encode())
-    os.close(real_stdout)
+        if len(payload) < 1990:
+            return payload
+    return None
 
 
 if __name__ == "__main__":

@@ -728,7 +728,8 @@ def bloom_anti_join(incoming: DataFrame, history: DataFrame, key_col: str,
 def bloom_anti_join_rolling(ledger: DataFrame, key_col: str,
                             window_col: str, lookback: int,
                             num_bits: int = 1 << 16,
-                            num_hashes: int = 4) -> DataFrame:
+                            num_hashes: int = 4,
+                            broadcast_recheck: bool = True) -> DataFrame:
     """Rolling-history frontier dedup — the incremental-crawl twin of
     ``bloom_anti_join`` (r12 VERDICT item 5): ``ledger`` holds one row
     per (window, key) sighting (``window_col`` an integer epoch — day
@@ -760,7 +761,13 @@ def bloom_anti_join_rolling(ledger: DataFrame, key_col: str,
 
     At the 10^10-keys-per-window regime, shard each window's bitmap by
     key range exactly as ``bloom_params`` documents for the static
-    ledger.  NULL keys are kept, and so are NULL-window rows (both
+    ledger.  Survivor volume is DATA-DEPENDENT (all true within-window
+    dups plus false positives): on a high-duplication ledger it is
+    ledger-sized, so ``broadcast_recheck=False`` falls back to a
+    shuffled windowed anti-join of survivors against the keyed ledger
+    — same escape hatch as ``bloom_anti_join`` (the planner can't know
+    the duplication rate; the caller does — r13 ADVICE).  NULL keys
+    are kept, and so are NULL-window rows (both
     anti-join semantics: NULL matches nothing, so no trailing history
     can contain them — identical to what the exact windowed anti-join
     does with a NULL on either side of its range predicate); neither
@@ -831,19 +838,35 @@ def bloom_anti_join_rolling(ledger: DataFrame, key_col: str,
     drop = [tw, bm_c, *[f"{p}{j}" for j in range(k)]]
     keep_null = F.col(key_col).isNull()
     fresh = probed.where(keep_null | ~might).drop(*drop)
-    survivors = tracked_persist(probed.where(~keep_null & might).drop(*drop))
+    survivors = probed.where(~keep_null & might).drop(*drop)
 
-    surv_pairs = survivors.select(w.alias(sw),
-                                  F.col(key_col).alias(sk)).distinct()
-    confirmed = (
-        keyed.select(w.alias(hw), F.col(key_col).alias(hk))
-        .join(F.broadcast(surv_pairs),
-              (F.col(hk) == F.col(sk))
-              & (F.col(hw) >= F.col(sw) - F.lit(int(lookback)))
-              & (F.col(hw) <= F.col(sw) - F.lit(1)))
-        .select(sw, sk).distinct())
-    new = survivors.join(
-        F.broadcast(confirmed),
-        (w == F.col(sw)) & (F.col(key_col) == F.col(sk)),
-        "left_anti")
+    if broadcast_recheck:
+        # persisted only on this route, which consumes survivors twice
+        # (the broadcast pair set + the final anti-join left); the
+        # shuffled fallback has a single consumer, where a persist is
+        # a pure materialization barrier (same rule as the static op)
+        survivors = tracked_persist(survivors)
+        surv_pairs = survivors.select(w.alias(sw),
+                                      F.col(key_col).alias(sk)).distinct()
+        confirmed = (
+            keyed.select(w.alias(hw), F.col(key_col).alias(hk))
+            .join(F.broadcast(surv_pairs),
+                  (F.col(hk) == F.col(sk))
+                  & (F.col(hw) >= F.col(sw) - F.lit(int(lookback)))
+                  & (F.col(hw) <= F.col(sw) - F.lit(1)))
+            .select(sw, sk).distinct())
+        new = survivors.join(
+            F.broadcast(confirmed),
+            (w == F.col(sw)) & (F.col(key_col) == F.col(sk)),
+            "left_anti")
+    else:
+        # shuffled windowed anti-join: key equality hashes both sides,
+        # the window range rides as a residual — nothing broadcasts,
+        # so a ledger-sized survivor set cannot OOM the driver
+        new = survivors.join(
+            keyed.select(w.alias(hw), F.col(key_col).alias(hk)),
+            (F.col(key_col) == F.col(hk))
+            & (F.col(hw) >= w - F.lit(int(lookback)))
+            & (F.col(hw) <= w - F.lit(1)),
+            "left_anti")
     return fresh.unionByName(new)

@@ -608,7 +608,25 @@ def q_sketch_hll_rolling_window(spark: SparkSession,
          .where(F.col("user_id").isNotNull()))
     daily = (e.groupBy(F.to_date("ts").alias("day"))
              .agg(F.expr("hll_sketch_agg(user_id)").alias("sk")))
-    est = (daily.select(F.col("day").alias("_d"))
+    # Target days = the SAME 0..6 fan-out the exact leg (and the
+    # oracle) emit, derived from the dimension-sized day frame — NOT
+    # daily's own day set.  A calendar day with zero events but
+    # activity in its trailing 6 days has no daily row, yet the
+    # oracle emits it; keying the sketch merge on daily days silently
+    # dropped such gap days (r13 ADVICE).  Every fan-out day d+o has
+    # d itself inside its trailing window, so the range join below is
+    # total over this set and inner-join semantics are safe.
+    ddays = daily.select("day")
+    dbounds = ddays.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    target = (ddays
+              .select(F.explode(
+                  F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+                  .alias("_d"))
+              .distinct()
+              .crossJoin(F.broadcast(dbounds))
+              .where(F.col("_d").between(F.col("_lo"), F.col("_hi")))
+              .select("_d"))
+    est = (target
            .join(F.broadcast(daily),
                  (F.col("day") >= F.date_sub(F.col("_d"), 6))
                  & (F.col("day") <= F.col("_d")))

@@ -103,72 +103,63 @@ _LOADED = False
 # the checked-in CORRECTNESS files and fails once a new round's file
 # lands — fixing it IS the rotation step.
 #
-# r13 window: CORRECTNESS_r12 landed 50/50 green (all full hash
-# matches), exactly as pre-computed last round, so the r12
-# _CHANGED_IN_ROUND entry (pii_scrub_multi — r12-green) is pruned.
-# The window is the r12 pre-computation with this round's new
-# registrations slotting in at round-0 (alphabetical):
-# dedup_bloom_frontier_rolling, dedup_chunks_content_defined,
-# pipeline_shard_assignment, sketch_hll_rolling_window,
-# split_leakage_audit, text_bpe_train_merges_batched + the first 44
-# of the 47 remaining r08-row queries (anomaly_daily_mad ..
-# text_token_entropy) — the six new slots displace the three
-# alphabetical r09 fillers (agg_regression_price_qty,
-# agg_skew_kurtosis, agg_trimmed_mean) and the last three r08 rows
-# (text_token_stats, text_top_terms_per_lang,
-# unpivot_lineitem_measures).
-# Machine-recomputed at rotation time from the checked-in CORRECTNESS
-# files — set-equal to the guard test's recomputation.
+# r14 window: CORRECTNESS_r13 landed 50/50 green (all full hash
+# matches).  Recomputed from the checked-in CORRECTNESS files (the
+# r13 prediction comment was WRONG — it said "10 r09 + 40 r10"; the
+# truth, machine-recomputed and judge-confirmed in VERDICT r13, is):
+# the 3 displaced r08-row queries (text_token_stats,
+# text_top_terms_per_lang, unpivot_lineitem_measures) + the first 47
+# r09-row queries alphabetically (agg_regression_price_qty ..
+# timeseries_ewma_daily).  New r14 registrations slot in as round-0
+# entries at the front, displacing the alphabetical tail.
 #
-# Pre-computed r14 window (assuming CORRECTNESS_r13 lands with the 50
-# below; r13 registrations/change flags added during the round slot in
-# as round-0 entries at the front, displacing the alphabetical tail):
-# the 10 remaining r09-row queries (asof_join_events ..
-# window_lead_lag_deltas) + the first 40 r10-row queries
-# alphabetically.  The guard test recomputes the truth either way —
-# a head start, not an answer.
+# Pre-computed r15 window (assuming CORRECTNESS_r14 lands with the 50
+# below): the 10 remaining r09-row queries + the first 40 r10-row
+# queries alphabetically, minus one tail slot per new r14
+# registration.  The guard test recomputes the truth either way —
+# a head start, NOT an answer; trust only the recomputation.
 _CHANGED_IN_ROUND: dict[str, int] = {
-    # r13 changes that do NOT flag: bloom_anti_join gained float-key
-    # normalization (r12 ADVICE) — a behavior change only for
-    # float/double keys, and dedup_bloom_frontier probes STRING keys,
-    # so its plan is byte-identical; the six NEW registrations
-    # (dedup_bloom_frontier_rolling, split_leakage_audit,
-    # pipeline_shard_assignment, text_bpe_train_merges_batched,
-    # sketch_hll_rolling_window, dedup_chunks_content_defined) have
-    # no driver row at all and enter the window as round-0 via
-    # _SAMPLE_FIRST ordering, which is the mechanism for new queries
-    # (a _CHANGED_IN_ROUND entry would be redundant: latest[q] is
-    # already unset).
+    # New r14 registrations have no driver row and enter as round-0
+    # via _SAMPLE_FIRST ordering (a _CHANGED_IN_ROUND entry would be
+    # redundant: latest[q] is already unset).
+    # r13 ADVICE (medium) fix: the sketch-merge leg is now keyed on
+    # the fan-out day set so gap days survive — a plan/behavior
+    # change over its r13-green row.
+    "sketch_hll_rolling_window": 14,
 }
 
 _SAMPLE_FIRST = (
-    # --- round-0 stale: new registrations this round ---
-    "dedup_bloom_frontier_rolling", "dedup_chunks_content_defined",
-    "pipeline_shard_assignment", "sketch_hll_rolling_window",
-    "split_leakage_audit", "text_bpe_train_merges_batched",
-    # --- stale, latest driver row r08 (first 44 of the 47 remaining;
-    # the three alphabetical-last rows are displaced by round-0
-    # slots) ---
-    "anomaly_daily_mad", "basket_lift_pairs", "cdc_merge_upsert",
-    "dedup_chunk_signature", "dedup_incremental_batch",
-    "dedup_incremental_stored_grams", "dedup_minhash_lsh",
-    "dedup_semantic_blocked", "dedup_simhash", "dedup_span_rebuild",
-    "embedding_centroids", "graph_bfs_distances",
-    "graph_label_propagation", "graph_personalized_pagerank",
-    "graph_triangle_count", "histogram_totalprice",
-    "inference_scores_batched", "join_tpch_q10_shape",
-    "join_tpch_q15_shape", "join_tpch_q19_shape",
-    "join_tpch_q3_shape", "join_tpch_q7_shape", "join_tpch_q9_shape",
-    "lateral_explode_outer", "map_type_surface",
-    "nested_struct_array_agg", "pagination_offset",
-    "pii_mask_digits", "pipeline_curation_stats", "profile_columns",
-    "sample_hash_pct", "sample_stratified", "set_except_all",
-    "similarity_quantized_topk", "skew_join_salted",
-    "source_csv_roundtrip", "source_jsonl_events",
-    "source_mixing_weights", "source_orc_roundtrip",
-    "streaks_gaps_islands", "string_similarity_levenshtein",
-    "text_quality_classifier", "text_quality_score",
-    "text_token_entropy",
+    # --- round-0: registration changed since its last driver row ---
+    "sketch_hll_rolling_window",
+    # --- stale, latest driver row r08 (the 3 rows displaced from the
+    # r13 window by that round's round-0 registrations) ---
+    "text_token_stats", "text_top_terms_per_lang",
+    "unpivot_lineitem_measures",
+    # --- stale, latest driver row r09 (alphabetical prefix; each
+    # round-0 slot above displaces one from this tail) ---
+    "agg_regression_price_qty", "agg_skew_kurtosis",
+    "agg_trimmed_mean", "agg_weighted_median",
+    "agg_weighted_median_by_flag", "cohort_retention",
+    "corpus_length_quantiles_by_source", "corpus_overlap_sources",
+    "corpus_quality_deciles_by_source", "corpus_source_topp",
+    "dedup_containment_overlap", "dedup_embedding_lsh",
+    "dedup_minhash_estimate", "dedup_simhash_estimate",
+    "dedup_source_stats", "dq_rule_report",
+    "events_markov_transitions", "funnel_conversion",
+    "join_tpch_q12_shape", "join_tpch_q14_shape",
+    "join_tpch_q8_shape", "json_extract_events",
+    "multimodal_audio_rms", "multimodal_decode_png",
+    "multimodal_image_dhash_pairs", "pattern_sequence_detect",
+    "pipeline_corpus_build", "retrieval_rrf_fusion",
+    "set_intersect_all", "similarity_maxsim_multivector",
+    "sketch_countmin_stopwords", "sketch_hll_rollup",
+    "source_python_datasource", "split_train_valid_hash",
+    "sql_recursive_cte_chain", "subq_tpch_q11_shape",
+    "subq_tpch_q16_shape", "subq_tpch_q17_shape",
+    "subq_tpch_q20_shape", "subq_tpch_q21_shape",
+    "subq_tpch_q2_shape", "text_chunk_overlap",
+    "text_collocations_llr", "text_fingerprint", "text_lang_id",
+    "text_tfidf_top3",
 )
 
 

@@ -90,11 +90,27 @@ def bench(spark, specs, sf_dir: str, runs: int) -> dict[str, float]:
 
 
 def main() -> None:
-    keep = "--keep" in sys.argv
-    runs = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--runs="):
+    # Strict argv handling (r13 ADVICE: `--runs 5` used to silently run
+    # with the default 3): both `--runs=N` and `--runs N` accepted;
+    # anything unrecognized is a hard error, never ignored.
+    keep, runs = False, 3
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--keep":
+            keep = True
+        elif a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
+        elif a == "--runs":
+            if i + 1 >= len(args):
+                sys.exit("--runs requires a value")
+            i += 1
+            runs = int(args[i])
+        else:
+            sys.exit(f"unrecognized argument: {a!r} "
+                     "(usage: [--keep] [--runs N | --runs=N])")
+        i += 1
 
     from mapreduce_implementation_spark.registry import all_specs
     from mapreduce_implementation_spark.session import get_spark

@@ -347,3 +347,33 @@ def test_grouped_running_sum_matches_keyed_window(spark):
         assert "SPARK_PARTITION_ID" not in plan.upper(), plan[:2000]
     finally:
         release_persisted()
+
+
+def test_hll_rolling_window_emits_gap_days(spark, tmp_path):
+    """r13 ADVICE (medium): a calendar day with zero events but
+    activity in its trailing 6 days has no per-day sketch row, yet
+    the oracle (and the exact leg) emit it via the 0..6 fan-out.
+    Keying the sketch merge on the sketch-day set silently dropped
+    such gap days.  Synthetic ledger: events on Jan 1 and Jan 6 only;
+    Jan 2-5 are gap days that MUST appear with the Jan-1 trailing
+    population, and the sketch estimate must exist for them."""
+    import datetime
+
+    rows = []
+    for u in range(40):
+        rows.append((datetime.datetime(2024, 1, 1, 12, 0, 0), u))
+    for u in range(100, 120):
+        rows.append((datetime.datetime(2024, 1, 6, 12, 0, 0), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    d = str(tmp_path / "sf_gap")
+    df.write.parquet(f"{d}/events.parquet")
+
+    out = {r["day"].isoformat(): (r["n_active_7d"], r["within_tol"])
+           for r in SPECS["sketch_hll_rolling_window"].fn(spark, d).collect()}
+    # every day Jan 1..6 present — including the four gap days
+    assert sorted(out) == [f"2024-01-0{i}" for i in range(1, 7)], out
+    for day in ("2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"):
+        assert out[day][0] == 40, out          # trailing Jan-1 cohort
+    assert out["2024-01-06"][0] == 60, out     # both cohorts in window
+    # HLL at these cardinalities is exact-ish; the tol boolean holds
+    assert all(v[1] for v in out.values()), out

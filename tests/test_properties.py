@@ -1678,7 +1678,10 @@ def test_bloom_rolling_equals_exact_windowed_anti_join(
     (key seen in [w-lookback, w-1] => dropped) on random sighting
     ledgers, with a deliberately TINY per-window bitmap (128 bits)
     forcing heavy false-positive traffic through the recheck leg, plus
-    NULL-key and NULL-window rows (both kept — anti-join semantics)."""
+    NULL-key and NULL-window rows (both kept — anti-join semantics).
+    Both recheck routes: broadcast pair-set AND the shuffled windowed
+    anti-join fallback (r13 ADVICE — the escape hatch for ledgers
+    whose survivor volume is ledger-sized)."""
     from mapreduce_implementation_spark.operators.caching import (
         release_persisted,
     )
@@ -1697,14 +1700,15 @@ def test_bloom_rolling_equals_exact_windowed_anti_join(
             & (F.col("h.d") <= F.col("l.d") - 1),
             "left_anti").collect()), key=str)
     try:
-        got = sorted(
-            ((r["d"], r["k"]) for r in bloom_anti_join_rolling(
-                df, "k", "d", lookback,
-                num_bits=128, num_hashes=3).collect()), key=str)
+        for bc in (True, False):
+            got = sorted(
+                ((r["d"], r["k"]) for r in bloom_anti_join_rolling(
+                    df, "k", "d", lookback, num_bits=128, num_hashes=3,
+                    broadcast_recheck=bc).collect()), key=str)
+            assert got == want, (bc, lookback,
+                                 set(map(str, got)) ^ set(map(str, want)))
     finally:
         release_persisted()
-    assert got == want, (lookback,
-                         set(map(str, got)) ^ set(map(str, want)))
 
 
 def test_bloom_anti_join_float_keys_normalized(spark):
