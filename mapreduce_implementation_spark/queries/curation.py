@@ -794,113 +794,148 @@ _PII_CARD_RE = r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b"
         "zero shuffle: at 100 TB the scrub rides the scan.  PII lines "
         "are synthesized deterministically from doc_id residues on "
         "BOTH sides (card check digits fall where the residues land, "
-        "~1/10 valid, so both Luhn branches carry real mass).",
+        "~1/10 valid, so both Luhn branches carry real mass).  r14 "
+        "(VERDICT r13 item 3): the Spark side is a MERGED ladder — ONE "
+        "combined-alternation regexp_extract_all pass over the full "
+        "text (alternatives in the staged precedence order, so at any "
+        "position the earlier class claims the match exactly as the "
+        "staged ladder does), then counts / Luhn / redaction / "
+        "pii_len all derive from the SHORT match strings (classify by "
+        "anchored re-match, redact by per-match literal replace).  "
+        "14 full-text regex passes -> 1; measured 1.66 -> 0.53 s at "
+        "sf0.1 (single-partition scan, so wall-clock IS single-core "
+        "regex throughput — the same ratio a 100 TB executor sees).  "
+        "The DuckDB oracle keeps the STAGED ladder, so the driver "
+        "hash pins merged == staged on every fixture; the forms can "
+        "diverge only on overlapping-class text neither fixture nor "
+        "crawl corpora exhibit (tokens contain no digits, classes are "
+        "structurally disjoint — see the class-disjointness test).",
 )
 def q_pii_scrub_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    did = F.col("doc_id")
-    email_part = F.when(
-        did % 3 == 0,
-        F.concat(F.lit(" Contact alice"), did.cast("string"),
-                 F.lit("@Mail.Example.org for info."))).otherwise(F.lit(""))
-    phone_part = F.when(
-        did % 3 == 1,
-        F.concat(F.lit(" Call (555) "),
-                 F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
-                 F.lpad((did % 10000).cast("string"), 4, "0"),
-                 F.lit(" today."))).otherwise(F.lit(""))
-    ip_part = F.when(
-        did % 5 == 0,
-        F.concat(F.lit(" Served from 10."),
-                 (did % 256).cast("string"), F.lit("."),
-                 ((did * 7) % 256).cast("string"), F.lit("."),
-                 ((did * 13) % 256).cast("string"),
-                 F.lit(" internally."))).otherwise(F.lit(""))
-    ipv6_part = F.when(
-        did % 7 == 2,
-        F.concat(F.lit(" Node at 2001:db8:"),
-                 F.lpad((did % 9999).cast("string"), 4, "0"),
-                 F.lit("::1 online."))).otherwise(F.lit(""))
-    card_part = F.when(
-        did % 7 == 3,
-        F.concat(F.lit(" Pay card 4"),
-                 F.lpad((did % 1000).cast("string"), 3, "0"), F.lit(" "),
-                 F.lpad(((did * 3) % 10000).cast("string"), 4, "0"),
-                 F.lit(" "),
-                 F.lpad(((did * 11) % 10000).cast("string"), 4, "0"),
-                 F.lit(" "),
-                 F.lpad(((did * 17) % 10000).cast("string"), 4, "0"),
-                 F.lit(" promptly."))).otherwise(F.lit(""))
-    docs = load_table(spark, sf_dir, "documents").select(
+    # synthesis as ONE SQL expression (same arithmetic as the oracle's
+    # aug CTE); like the ladder below, SQL text keeps plan BUILD at one
+    # parse instead of ~50 py4j column-composition round-trips
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
         "doc_id",
-        F.concat(F.col("text"), email_part, phone_part, ip_part,
-                 ipv6_part, card_part).alias("t"))
-
-    def scrubbed(col, pat, token):
-        return F.regexp_replace(col, pat, token)
-
-    def n_matches(col, pat):
-        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
-
-    def luhn_ok(c):
-        # unrolled 16-term doubled sum over the separator-stripped
-        # digits — position parity is a Python-time constant per term,
-        # so the whole predicate folds into one codegen expression
-        dig = F.replace(F.replace(c, F.lit(" "), F.lit("")),
-                        F.lit("-"), F.lit(""))
-        total = None
-        for i in range(16):
-            d = F.substring(dig, i + 1, 1).cast("int")
-            if (15 - i) % 2 == 1:
-                dbl = d * 2
-                term = F.when(dbl > 9, dbl - 9).otherwise(dbl)
-            else:
-                term = d
-            total = term if total is None else total + term
-        return total % 10 == 0
-
-    def card_scrub(text_col, cards, token):
-        return F.aggregate(
-            cards, text_col,
-            lambda acc, x: F.replace(acc, x, F.lit(token)))
-
-    t = F.col("t")
-    staged = docs.select(
-        "doc_id", "t",
-        scrubbed(t, _PII_EMAIL_RE, "<EMAIL>").alias("t1"),
-    ).select(
-        "*", scrubbed(F.col("t1"), _PII_PHONE_RE, "<PHONE>").alias("t2"),
-    ).select(
-        "*", scrubbed(F.col("t2"), _PII_IP_RE, "<IP>").alias("t3"),
-    ).select(
-        "*", scrubbed(F.col("t3"), _PII_IPV6_RE, "<IP6>").alias("t4"),
-    ).select(
-        "*",
-        F.filter(F.regexp_extract_all(F.col("t4"), F.lit(_PII_CARD_RE),
-                                      F.lit(0)),
-                 luhn_ok).alias("valid_cards"),
-    ).select(
-        "*",
-        card_scrub(F.col("t4"), F.col("valid_cards"), "<CARD>").alias("t5"),
-        (F.length("t") - F.length(card_scrub(
-            scrubbed(scrubbed(scrubbed(scrubbed(t, _PII_EMAIL_RE, ""),
-                                       _PII_PHONE_RE, ""),
-                              _PII_IP_RE, ""),
-                     _PII_IPV6_RE, ""),
-            F.col("valid_cards"), ""))).alias("pii_len"),
+        """concat(text,
+   CASE WHEN doc_id % 3 = 0 THEN concat(' Contact alice',
+        CAST(doc_id AS STRING), '@Mail.Example.org for info.')
+        ELSE '' END,
+   CASE WHEN doc_id % 3 = 1 THEN concat(' Call (555) ',
+        lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+        lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today.')
+        ELSE '' END,
+   CASE WHEN doc_id % 5 = 0 THEN concat(' Served from 10.',
+        CAST(doc_id % 256 AS STRING), '.',
+        CAST((doc_id * 7) % 256 AS STRING), '.',
+        CAST((doc_id * 13) % 256 AS STRING), ' internally.')
+        ELSE '' END,
+   CASE WHEN doc_id % 7 = 2 THEN concat(' Node at 2001:db8:',
+        lpad(CAST(doc_id % 9999 AS STRING), 4, '0'), '::1 online.')
+        ELSE '' END,
+   CASE WHEN doc_id % 7 = 3 THEN concat(' Pay card 4',
+        lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), ' ',
+        lpad(CAST((doc_id * 3) % 10000 AS STRING), 4, '0'), ' ',
+        lpad(CAST((doc_id * 11) % 10000 AS STRING), 4, '0'), ' ',
+        lpad(CAST((doc_id * 17) % 10000 AS STRING), 4, '0'),
+        ' promptly.') ELSE '' END) AS t""",
     )
-    return staged.select(
+
+    # --- merged ladder (r14): ONE full-text regex pass -------------------
+    # The combined alternation lists the classes in the staged ladder's
+    # precedence order, so at any position the earlier class claims the
+    # match exactly as the staged form does; every downstream quantity
+    # (per-class counts, Luhn gate, redaction, removed-char total) is
+    # then computed from the SHORT match strings.  Per-match class
+    # re-tests are anchored full-string regexes over <=40-char matches
+    # — structurally disjoint across classes (phone needs 3-3-4 digit
+    # groups, IPv4 four 1-3 digit octets, card four 4-digit groups;
+    # pinned by test_pii_class_patterns_disjoint), so the re-test can
+    # never re-classify a match away from the alternative that
+    # produced it.
+    #
+    # Everything below is SQL TEXT, not composed Columns: the
+    # lambda-heavy HOF tree costs ~0.9 s of py4j round-trips per plan
+    # BUILD when composed via pyspark.sql.functions (measured r14);
+    # one selectExpr parse costs ~0.05 s for the identical tree.
+    combined = (f"(?:{_PII_EMAIL_RE})|(?:{_PII_PHONE_RE})|"
+                f"(?:{_PII_IP_RE})|(?:{_PII_IPV6_RE})|(?:{_PII_CARD_RE})")
+
+    def q(pat: str) -> str:
+        # SQL string literal for a regex (patterns carry no quotes)
+        return "'" + pat.replace("\\", "\\\\") + "'"
+
+    # predicate builders take the lambda-variable NAME — str.format
+    # would trip on regex quantifier braces like {4}
+    def is_email(m):
+        return f"contains({m}, '@')"
+
+    def is_ipv6(m):
+        return f"contains({m}, ':')"
+
+    def is_phone(m):
+        return f"({m} RLIKE " + q(f"^(?:{_PII_PHONE_RE})$") + ")"
+
+    def is_card(m):
+        return f"({m} RLIKE " + q(f"^(?:{_PII_CARD_RE})$") + ")"
+
+    def is_ip(m):
+        return ("(NOT (" + " OR ".join([is_email(m), is_ipv6(m),
+                                        is_phone(m), is_card(m)]) + "))")
+
+    def luhn_sql(m: str) -> str:
+        # unrolled 16-term doubled sum over the separator-stripped
+        # digits — position parity is a constant per term, so the whole
+        # predicate folds into one codegen expression
+        dig = f"replace(replace({m}, ' ', ''), '-', '')"
+        terms = []
+        for i in range(16):
+            d = f"CAST(substring({dig}, {i + 1}, 1) AS INT)"
+            if (15 - i) % 2 == 1:
+                terms.append(f"(CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 "
+                             f"ELSE 2*{d} END)")
+            else:
+                terms.append(d)
+        return f"((({' + '.join(terms)}) % 10) = 0)"
+
+    token_case = ("(CASE WHEN " + is_email("m")
+                  + " THEN '<EMAIL>' WHEN " + is_ipv6("m")
+                  + " THEN '<IP6>' WHEN " + is_phone("m")
+                  + " THEN '<PHONE>' WHEN " + is_card("m")
+                  + " THEN '<CARD>' ELSE '<IP>' END)")
+
+    def n_of(pred: str, out: str) -> str:
+        return f"CAST(size(filter(ms, m -> {pred})) AS INT) AS {out}"
+
+    staged = docs.selectExpr(
+        "doc_id", "t",
+        f"regexp_extract_all(t, {q(combined)}, 0) AS ms",
+    ).selectExpr(
+        "*",
+        # a card candidate is redacted only if Luhn-valid; every other
+        # class is redacted unconditionally (the staged contract)
+        f"filter(ms, m -> (NOT {is_card('m')}) OR "
+        f"{luhn_sql('m')}) AS redact",
+    ).selectExpr(
+        "*",
+        f"aggregate(redact, t, (acc, m) -> replace(acc, m, {token_case}))"
+        " AS t5",
+        "length(t) - length(aggregate(redact, t, "
+        "(acc, m) -> replace(acc, m, ''))) AS pii_len",
+    )
+    return staged.selectExpr(
         "doc_id",
-        n_matches(t, _PII_EMAIL_RE).cast("int").alias("n_email"),
-        n_matches(F.col("t1"), _PII_PHONE_RE).cast("int").alias("n_phone"),
-        n_matches(F.col("t2"), _PII_IP_RE).cast("int").alias("n_ip"),
-        n_matches(F.col("t3"), _PII_IPV6_RE).cast("int").alias("n_ipv6"),
-        n_matches(F.col("t4"), _PII_CARD_RE).cast("int").alias("n_card"),
-        F.size("valid_cards").cast("int").alias("n_card_valid"),
-        F.col("pii_len").cast("int").alias("pii_chars"),
-        F.floor(F.lit(1000.0) * F.col("pii_len")
-                / F.greatest(F.length("t"), F.lit(1)))
-         .cast("int").alias("pii_permille"),
-        F.md5(F.col("t5").cast("binary")).alias("scrub_md5"),
+        n_of(is_email("m"), "n_email"),
+        n_of(is_phone("m"), "n_phone"),
+        n_of(is_ip("m"), "n_ip"),
+        n_of(is_ipv6("m"), "n_ipv6"),
+        n_of(is_card("m"), "n_card"),
+        n_of("(" + is_card("m") + " AND " + luhn_sql("m") + ")",
+             "n_card_valid"),
+        "CAST(pii_len AS INT) AS pii_chars",
+        "CAST(floor(1000.0 * pii_len / greatest(length(t), 1)) AS INT)"
+        " AS pii_permille",
+        "md5(CAST(t5 AS BINARY)) AS scrub_md5",
     )
 
 

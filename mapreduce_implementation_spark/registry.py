@@ -126,11 +126,15 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # the fan-out day set so gap days survive — a plan/behavior
     # change over its r13-green row.
     "sketch_hll_rolling_window": 14,
+    # r13 VERDICT item 3: staged 14-pass regex ladder merged into one
+    # combined-alternation pass (SQL-text expressions) — same oracle,
+    # new plan, over its r12-green row.
+    "pii_scrub_multi": 14,
 }
 
 _SAMPLE_FIRST = (
     # --- round-0: registration changed since its last driver row ---
-    "sketch_hll_rolling_window",
+    "pii_scrub_multi", "sketch_hll_rolling_window",
     # --- stale, latest driver row r08 (the 3 rows displaced from the
     # r13 window by that round's round-0 registrations) ---
     "text_token_stats", "text_top_terms_per_lang",
@@ -159,7 +163,6 @@ _SAMPLE_FIRST = (
     "subq_tpch_q20_shape", "subq_tpch_q21_shape",
     "subq_tpch_q2_shape", "text_chunk_overlap",
     "text_collocations_llr", "text_fingerprint", "text_lang_id",
-    "text_tfidf_top3",
 )
 
 

@@ -1604,3 +1604,43 @@ def test_embedding_lsh_dedup_pair_recall_across_seeds(spark):
         f"LSH pair recall regressed: per-seed "
         f"{[f'{r:.3f}' for r in recalls]} (mean {mean:.3f}) vs pinned "
         f"mean>=0.9, min>=0.85 at seeds {_ANN_SEEDS}, {len(brute)} pairs")
+
+
+def test_pii_class_patterns_disjoint():
+    """pii_scrub_multi's merged ladder (r14) classifies each combined-
+    alternation match by anchored re-match against the class patterns —
+    sound only if no class's full-match set intersects another's.
+    Check every fixture shape plus the adversarial look-alikes
+    (dot-separated phones vs IPv4, digit groups vs cards): each string
+    must anchored-match EXACTLY the one class that produced it."""
+    import re
+
+    from mapreduce_implementation_spark.queries.curation import (
+        _PII_CARD_RE, _PII_EMAIL_RE, _PII_IP_RE, _PII_IPV6_RE,
+        _PII_PHONE_RE,
+    )
+
+    classes = {
+        "email": _PII_EMAIL_RE,
+        "phone": _PII_PHONE_RE,
+        "ip": _PII_IP_RE,
+        "ipv6": _PII_IPV6_RE,
+        "card": _PII_CARD_RE,
+    }
+    cases = [
+        ("alice42@Mail.Example.org", "email"),
+        ("a.1-b_c%d+e@sub.domain-x.io", "email"),
+        ("(555) 042-1042", "phone"),
+        ("555.123.4567", "phone"),      # dot separators, NOT an IPv4
+        ("555-123-4567", "phone"),
+        ("10.42.38.90", "ip"),
+        ("12.34.56.789", "ip"),         # 3-digit last octet, NOT a phone
+        ("2001:db8:0042::1", "ipv6"),
+        ("2001:db8:1:2:3:4", "ipv6"),
+        ("4123 4567 8901 2345", "card"),
+        ("4123-4567-8901-2345", "card"),
+    ]
+    for s, want in cases:
+        got = [c for c, pat in classes.items()
+               if re.fullmatch(f"(?:{pat})", s)]
+        assert got == [want], (s, got, want)
