@@ -1977,7 +1977,9 @@ def bpe_train_merges(docs: DataFrame, text_col: str,
 
 
 def bpe_train_merges_batched(docs: DataFrame, text_col: str,
-                             n_merges: int) -> DataFrame:
+                             n_merges: int,
+                             batch_merges: int = 1,
+                             strict: bool = True) -> DataFrame:
     """Vocabulary-scale BPE TRAINING — the batched escape hatch for
     ``bpe_train_merges``'s measured ~250-round plan-depth ceiling
     (SCALE.md r12: the declarative trainer chains one ``replace`` per
@@ -2022,6 +2024,43 @@ def bpe_train_merges_batched(docs: DataFrame, text_col: str,
     Returns the same (merge_rank, lhs, rhs, n_pairs) frame as the
     declarative trainer; stops early (fewer rows) if the vocabulary
     runs out of pairs before ``n_merges`` rounds.
+
+    ``batch_merges=m`` (r13 VERDICT item 4 — the multi-merge lever for
+    real vocab sizes, where 50k one-merge rounds ≈ 14 h of driver-loop
+    LATENCY): each scan selects up to m merges instead of one — the
+    maximal pairwise SYMBOL-DISJOINT **prefix** of the (count desc,
+    lhs, rhs)-sorted candidates (selection stops at the FIRST
+    candidate overlapping an already-selected pair), all applied in
+    ONE mapInPandas pass.  Why this equals the sequential trainer:
+    disjoint merges commute, and a pair's corpus count is INVARIANT
+    under a symbol-disjoint merge, so after applying the first j-1
+    batch members (i) every original pair ranked above batch member j
+    is itself a batch member (prefix property — a higher-ranked
+    overlapping pair would have truncated the batch), (ii) pairs
+    overlapping earlier members can only LOSE count (merging (a,b)
+    only removes a/b occurrences; new adjacencies involve only the
+    merged symbol), and (iii) a pair newly CREATED by member i has
+    count <= the overlapping original pair (x,a_i)/(b_i,y) it
+    descends from, which is ranked below member j — so member j is
+    still the round-j argmax.  The ONE residual divergence class is
+    an exact-count TIE against a newly created pair whose
+    concatenated symbol sorts differently (the batch-boundary
+    tie-order caveat); test_bpe_train_multi_merge_parity pins
+    m∈{4,16} == m=1 for 40 rounds on the fixture corpus, and the
+    50k-word throughput ladder is measured in SCALE.md r14.
+
+    ``strict=False`` is the PRODUCTION-BUILD mode: overlapping
+    candidates are skipped (greedy disjoint top-m) instead of
+    truncating the batch, and the tie-guard is off — batches run at
+    full m, so a 50k-merge vocabulary trains in ~n_merges/m rounds
+    (SCALE.md r14 has the measured ladder).  The merge TABLE may then
+    differ from the sequential trainer's near batch boundaries (order
+    of equal-frequency chains, e.g. co+lu vs lu+m while building
+    'column'); each batch is still pairwise symbol-disjoint, every
+    recorded n_pairs is still the exact corpus count at batch time,
+    and the learned pair SET stays in the sequential table's
+    frequency band — the trade every fastBPE/YouTokenToMe-style
+    frequency-batched tokenizer build makes.
     """
     from typing import Iterator
 
@@ -2054,11 +2093,29 @@ def bpe_train_merges_batched(docs: DataFrame, text_col: str,
                     {"a": [k[0] for k in acc], "b": [k[1] for k in acc],
                      "n": list(acc.values())})
 
-    def apply_merge(a: str, b: str):
+    def apply_merges(pairs: list):
+        # ONE fused left-to-right scan applies the whole batch —
+        # sound because batch pairs are pairwise symbol-DISJOINT (no
+        # two can claim the same position) and a merged symbol is a
+        # brand-new string no batch pair refers to, so the fused scan
+        # equals applying the pairs one at a time in any order (and
+        # for m=1 it is exactly _bpe_apply_merge's greedy scan);
+        # O(len) per word instead of O(m*len)
+        table = {pair: pair[0] + pair[1] for pair in pairs}
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def apply_all(s):
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and (s[i], s[i + 1]) in table:
+                        out.append(table[(s[i], s[i + 1])])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                return out
             for pdf in batches:
-                merged = pdf["syms"].map(
-                    lambda s: _bpe_apply_merge(list(s), a, b))
+                merged = pdf["syms"].map(apply_all)
                 keep = merged.map(len) > 1
                 yield pd.DataFrame({"syms": merged[keep],
                                     "cnt": pdf["cnt"][keep]})
@@ -2069,20 +2126,62 @@ def bpe_train_merges_batched(docs: DataFrame, text_col: str,
     # the previous merge AND materializes the truncation point — ONE
     # job per training round (measured: the eager form's separate
     # checkpoint job doubled per-round wall time)
+    m = max(1, int(batch_merges))
     cur = w.mapInPandas(to_syms, schema=sym_schema).localCheckpoint(
         eager=False)
     learned: list[tuple] = []
-    for i in range(1, n_merges + 1):
-        top = (cur.mapInPandas(count_pairs, schema="a string, b string, n bigint")
-               .groupBy("a", "b").agg(F.sum("n").alias("n"))
-               .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-               .limit(1).collect())
-        if not top:
+    while len(learned) < n_merges:
+        k = min(m, n_merges - len(learned))
+        # collect enough sorted candidates to find k disjoint pairs —
+        # bounded model state (<= 4k+64 rows), the graph-loop
+        # convention; a shortfall just means a smaller batch, never a
+        # wrong merge.  k=1 keeps the original limit(1) plan exactly.
+        cand = (cur.mapInPandas(count_pairs,
+                                schema="a string, b string, n bigint")
+                .groupBy("a", "b").agg(F.sum("n").alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1 if k == 1 else 4 * k + 64).collect())
+        if not cand:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        learned.append((i, a, b, n))
-        if i < n_merges:
-            cur = cur.mapInPandas(apply_merge(a, b),
+        used: set = set()
+        sel: list[tuple] = []
+        for r in cand:
+            if len(sel) >= k:
+                break
+            if r["a"] in used or r["b"] in used:
+                if not strict:
+                    continue  # greedy disjoint top-m (production mode)
+                # PREFIX truncation, not greedy skip: the equivalence
+                # proof needs every candidate ranked above a selected
+                # pair to itself be selected — skipping an overlapping
+                # pair and continuing would let a lower-ranked pair
+                # into the batch that sequential would not pick next
+                break
+            sel.append((r["a"], r["b"], int(r["n"])))
+            used.update((r["a"], r["b"]))
+        if strict and len(sel) > 1:
+            # Tie-guard (the one residual divergence class): a pair
+            # CREATED by merging member i has count <= the count of an
+            # overlapping original pair (x,a_i)/(b_i,y), so it can tie
+            # into the sequential order only at counts reached by
+            # candidates that overlap the selected symbols.  Keep only
+            # members whose count strictly exceeds that band (p_1 is
+            # unconditionally the true round argmax).  Kept members
+            # stay a rank prefix automatically: counts are sorted, so
+            # a dropped member forces every later one out too.
+            skeys = {(a, b) for a, b, _ in sel}
+            t_guard = max((int(r["n"]) for r in cand
+                           if (r["a"], r["b"]) not in skeys
+                           and (r["a"] in used or r["b"] in used)),
+                          default=0)
+            if len(cand) >= 4 * k + 64:
+                # full window: deeper (unseen) candidates may overlap
+                t_guard = max(t_guard, int(cand[-1]["n"]))
+            sel = sel[:1] + [p for p in sel[1:] if p[2] > t_guard]
+        for a, b, n in sel:
+            learned.append((len(learned) + 1, a, b, n))
+        if len(learned) < n_merges:
+            cur = cur.mapInPandas(apply_merges([(a, b) for a, b, _ in sel]),
                                   schema=sym_schema).localCheckpoint(
                 eager=False)
     return spark.createDataFrame(

@@ -130,11 +130,16 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # combined-alternation pass (SQL-text expressions) — same oracle,
     # new plan, over its r12-green row.
     "pii_scrub_multi": 14,
+    # r13 VERDICT item 4: the batched trainer gained multi-merge
+    # batching; the registered m=1 path now runs the fused-scan apply
+    # (parity-pinned, but changed code) — over its r13-green row.
+    "text_bpe_train_merges_batched": 14,
 }
 
 _SAMPLE_FIRST = (
     # --- round-0: registration changed since its last driver row ---
     "pii_scrub_multi", "sketch_hll_rolling_window",
+    "text_bpe_train_merges_batched",
     # --- stale, latest driver row r08 (the 3 rows displaced from the
     # r13 window by that round's round-0 registrations) ---
     "text_token_stats", "text_top_terms_per_lang",
@@ -162,7 +167,7 @@ _SAMPLE_FIRST = (
     "subq_tpch_q16_shape", "subq_tpch_q17_shape",
     "subq_tpch_q20_shape", "subq_tpch_q21_shape",
     "subq_tpch_q2_shape", "text_chunk_overlap",
-    "text_collocations_llr", "text_fingerprint", "text_lang_id",
+    "text_collocations_llr", "text_fingerprint",
 )
 
 

@@ -996,6 +996,85 @@ def test_bpe_train_batched_matches_reference_past_ceiling(spark):
     assert got == want, (got[:3], want[:3])
 
 
+def test_bpe_train_multi_merge_parity(spark):
+    """Multi-merge batching (r13 VERDICT item 4): batch_merges=m
+    selects the maximal symbol-disjoint PREFIX of the sorted pair
+    candidates, tie-guarded against created-pair count collisions
+    (the two refinements that make the batch provably equal to the
+    sequential trainer — see the operator docstring).  Pin m∈{4,16}
+    == m=1 — ranks, pairs, AND counts — on BOTH a uniform-random
+    corpus (tie-dense: greedy-skip batching diverged at rank 3 here)
+    and the real fixture documents (where plain prefix truncation
+    without the tie-guard diverged at rank 14, the 'column'
+    created-pair tie)."""
+    import random
+
+    from mapreduce_implementation_spark.queries.textanalysis import (
+        bpe_train_merges_batched,
+    )
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    rng = random.Random(1307)
+    words = ["".join(rng.choice("theranois")
+                     for _ in range(rng.randint(2, 12)))
+             for _ in range(400)]
+    corpora = [
+        spark.createDataFrame([(w,) for w in words], "text string"),
+        load_table(spark, SF_DIR_001, "documents"),
+    ]
+    for corpus in corpora:
+        want = [tuple(r) for r in
+                bpe_train_merges_batched(corpus, "text", 40).collect()]
+        for m in (4, 16):
+            got = [tuple(r) for r in
+                   bpe_train_merges_batched(corpus, "text", 40,
+                                            batch_merges=m).collect()]
+            first_diff = next((i for i, (g, w_) in
+                               enumerate(zip(got, want)) if g != w_), None)
+            assert got == want, (m, first_diff,
+                                 got[first_diff] if first_diff is not None
+                                 else None,
+                                 want[first_diff] if first_diff is not None
+                                 else None)
+
+
+def test_bpe_train_fast_mode_quality(spark):
+    """strict=False (the production-build mode): batches run at full m
+    with greedy disjoint selection, so the merge table may reorder or
+    re-path near batch boundaries (co+lu vs lu+m while building
+    'column' — pair IDENTITIES differ even when the learned tokens
+    converge).  The defensible quality pin is the objective BPE
+    greedily optimizes: corpus COMPRESSION.  Encoding the corpus with
+    the fast-mode table must land within 5% of the sequential table's
+    total token count at the same merge budget (same length, exact
+    positive counts too)."""
+    from pyspark.sql import functions as SF
+
+    from mapreduce_implementation_spark.queries.textanalysis import (
+        bpe_encode_batched, bpe_train_merges_batched,
+    )
+    from mapreduce_implementation_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    docs = load_table(spark, SF_DIR_001, "documents").select("text")
+    seq = [tuple(r) for r in
+           bpe_train_merges_batched(docs, "text", 40).collect()]
+    fast = [tuple(r) for r in
+            bpe_train_merges_batched(docs, "text", 40, batch_merges=16,
+                                     strict=False).collect()]
+    assert len(fast) == len(seq) == 40
+    assert all(n > 0 for _, _, _, n in fast)
+
+    def total_tokens(table):
+        enc = bpe_encode_batched(docs, "text",
+                                 merges=[(a, b) for _, a, b, _ in table])
+        return enc.agg(SF.sum(SF.size("bpe_tokens"))).collect()[0][0]
+
+    n_seq, n_fast = total_tokens(seq), total_tokens(fast)
+    assert n_fast <= n_seq * 1.05, (n_fast, n_seq)
+
+
 # --- r12: random-graph reference models for the remaining graph ops ---------
 # (the BPE-lesson idiom: each operator's oracle twin unrolls the SAME
 # formulation in SQL, so a mis-formulated algorithm could hash-match;
