@@ -158,6 +158,9 @@ HEADLINE = [
     # round 13: content-defined chunking (one doc-keyed window pass,
     # O(tokens) shuffle — the insertion-robust chunk-dedup primitive)
     "dedup_chunks_content_defined",
+    # round 14: CDC chunk-level cross-doc duplicate mass (the chunk
+    # pass + aggregate-only exchanges; the shifted-dup-robust rollup)
+    "dedup_cdc_duplicate_mass",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -1652,9 +1652,11 @@ def q_dedup_bloom_frontier_rolling(spark: SparkSession,
 _CDC_BUCKETS = 8  # boundary where trigram-window hash % 8 == 0 -> ~8-token chunks
 
 
-@register(
-    "dedup_chunks_content_defined",
-    oracle=f"""
+# CDC chunk table as composable DuckDB CTEs (doc_id, source, chunk_id,
+# ch, n_tok) — shared by the chunk-stats and duplicate-mass oracles so
+# the boundary rule exists in exactly one SQL form (the r13-review
+# composition discipline).
+_CDC_CHUNKS_CTES = f"""
     WITH tok AS (
       SELECT doc_id, source,
              list_filter(string_split(lower(regexp_replace(text,
@@ -1688,7 +1690,12 @@ _CDC_BUCKETS = 8  # boundary where trigram-window hash % 8 == 0 -> ~8-token chun
              md5(string_agg(tok, ' ' ORDER BY i)) AS ch,
              count(*) AS n_tok
       FROM assigned GROUP BY doc_id, source, chunk_id
-    )
+    )"""
+
+
+@register(
+    "dedup_chunks_content_defined",
+    oracle=_CDC_CHUNKS_CTES + """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
@@ -1734,4 +1741,80 @@ def q_dedup_chunks_content_defined(spark: SparkSession,
                   .alias("dup_permille"),
                  F.floor(F.sum("n_tok") * F.lit(1.0) / F.count(F.lit(1)))
                   .cast("long").alias("avg_chunk_tokens"))
+            .orderBy("source"))
+
+
+@register(
+    "dedup_cdc_duplicate_mass",
+    oracle=_CDC_CHUNKS_CTES + """
+    , nd AS (
+      SELECT ch, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY ch
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(c.n_tok) AS BIGINT) AS token_mass,
+           CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(CASE WHEN nd.ndocs >= 2 THEN c.n_tok ELSE 0 END)
+                AS BIGINT) AS dup_token_mass,
+           CAST(floor(1000.0 * sum(CASE WHEN nd.ndocs >= 2
+                                        THEN c.n_tok ELSE 0 END)
+                      / greatest(sum(c.n_tok), 1)) AS INTEGER)
+             AS dup_mass_permille
+    FROM chunks c JOIN nd ON c.ch = nd.ch
+    GROUP BY c.source ORDER BY c.source
+    """,
+    doc="CDC chunk-level duplicate MASS (r13 VERDICT item 5 — the "
+        "composition the corpus pipeline actually runs): "
+        "content_defined_chunks -> chunk-hash grouping -> per-source "
+        "cross-document duplicate-mass stats, the content-defined "
+        "analogue of dedup_chunk_signature's fixed-stride rollup.  A "
+        "chunk occurrence is DUPLICATE MASS when its hash appears in "
+        ">=2 distinct documents — exactly the storage a chunk-store "
+        "dedups away and the text a crawl pipeline flags as shared "
+        "boilerplate; because boundaries are content-defined, a "
+        "SHIFTED duplicate (one token inserted up front) still lands "
+        "here, which the fixed-stride path structurally misses "
+        "(test_cdc_finds_shifted_duplicate_fixed_stride_misses pins "
+        "the head-to-head).  Shape: the CDC chunk pass (one doc-keyed "
+        "window exchange, O(tokens)), per-(ch, source) partial "
+        "aggregates, ONE window over the |distinct chunks|-sized "
+        "frame keyed on ch for the cross-doc count (sum of per-source "
+        "distinct-doc partials — doc -> source is functional), then a "
+        "|sources| rollup: every exchange after the chunk pass "
+        "carries aggregates, never token rows.  Oracle composes the "
+        "same _CDC_CHUNKS_CTES as dedup_chunks_content_defined, so "
+        "the boundary rule exists in exactly one SQL form.",
+)
+def q_dedup_cdc_duplicate_mass(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import content_defined_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = content_defined_chunks(docs, "doc_id", "text",
+                                    buckets=_CDC_BUCKETS,
+                                    extra_cols=["source"])
+    # per-(ch, source) partials: one aggregate over the chunk frame;
+    # doc -> source is functional, so summing per-source distinct-doc
+    # counts over a ch gives the ch's cross-document count exactly
+    occ = (chunks.groupBy("ch", "source")
+           .agg(F.count(F.lit(1)).alias("_n_occ"),
+                F.sum("n_tok").alias("_mass"),
+                F.count_distinct("doc_id").alias("_nd_src")))
+    nd = F.sum("_nd_src").over(Window.partitionBy("ch"))
+    dup = (F.col("_ndocs") >= 2)
+    return (occ.withColumn("_ndocs", nd)
+            .groupBy("source")
+            .agg(F.sum("_n_occ").alias("n_chunks"),
+                 F.sum("_mass").alias("token_mass"),
+                 F.sum(F.when(dup, F.col("_n_occ")).otherwise(0))
+                  .alias("n_dup_chunks"),
+                 F.sum(F.when(dup, F.col("_mass")).otherwise(0))
+                  .alias("dup_token_mass"),
+                 F.floor(F.lit(1000.0)
+                         * F.sum(F.when(dup, F.col("_mass")).otherwise(0))
+                         / F.greatest(F.sum("_mass"), F.lit(1)))
+                  .cast("int").alias("dup_mass_permille"))
             .orderBy("source"))

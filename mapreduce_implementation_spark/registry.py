@@ -137,6 +137,8 @@ _CHANGED_IN_ROUND: dict[str, int] = {
 }
 
 _SAMPLE_FIRST = (
+    # --- round-0: new registration this round ---
+    "dedup_cdc_duplicate_mass",
     # --- round-0: registration changed since its last driver row ---
     "pii_scrub_multi", "sketch_hll_rolling_window",
     "text_bpe_train_merges_batched",
@@ -167,7 +169,7 @@ _SAMPLE_FIRST = (
     "subq_tpch_q16_shape", "subq_tpch_q17_shape",
     "subq_tpch_q20_shape", "subq_tpch_q21_shape",
     "subq_tpch_q2_shape", "text_chunk_overlap",
-    "text_collocations_llr", "text_fingerprint",
+    "text_collocations_llr",
 )
 
 

@@ -875,3 +875,47 @@ def test_content_defined_chunks_survive_insertion(spark):
         fx[r["doc_id"]].add(r["ch"])
     fixed_frac = len(fx[1] & fx[2]) / max(len(fx[1]), 1)
     assert fixed_frac < frac, (fixed_frac, frac)
+
+
+def test_cdc_finds_shifted_duplicate_fixed_stride_misses(spark):
+    """r13 VERDICT item 5 done-bar: at PAIR level, a front-shifted
+    duplicate is detected by CDC chunk sharing (>=2 shared chunk
+    hashes — the dedup_chunk_signature survival rule applied to
+    content-defined chunks, the dedup_cdc_duplicate_mass composition)
+    and MISSED by the fixed-stride signature (one inserted token
+    shifts every 256-char window, so the pair shares fewer than 2
+    fixed chunks and never surfaces)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_implementation_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    rng = random.Random(1717)
+    words = ["".join(rng.choice("theranois")
+                     for _ in range(rng.randint(2, 9)))
+             for _ in range(400)]
+    v1 = " ".join(words)
+    v2 = " ".join(["zzshift"] + words)  # pure front insertion
+    df = spark.createDataFrame([(1, v1), (2, v2)],
+                               "doc_id long, text string")
+
+    def pairs_with_shared_ge2(chunks):
+        a = chunks.select(F.col("doc_id").alias("a"), "ch").distinct()
+        b = chunks.select(F.col("doc_id").alias("b"), "ch").distinct()
+        return {(r["a"], r["b"]) for r in
+                (a.join(b, "ch").filter(F.col("a") < F.col("b"))
+                 .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") >= 2)).collect()}
+
+    cdc = content_defined_chunks(df, "doc_id", "text", buckets=8)
+    assert (1, 2) in pairs_with_shared_ge2(cdc)
+
+    offs = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)),
+                      F.lit(256))
+    fixed = (df.select("doc_id", F.explode(offs).alias("o"), "text")
+             .select("doc_id", F.md5(F.expr("substring(text, o, 64)")
+                                     .cast("binary")).alias("ch")))
+    assert (1, 2) not in pairs_with_shared_ge2(fixed)

@@ -141,6 +141,8 @@ _REPRESENTATIVES = [
     "text_bpe_train_merges_batched", # batched trainer over empty vocab
     "sketch_hll_rolling_window",     # sketch unions over zero days
     "dedup_chunks_content_defined",  # CDC chunking of zero docs
+    # round-14 families
+    "dedup_cdc_duplicate_mass",      # cross-doc chunk mass of nothing
 ]
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
