@@ -114,10 +114,13 @@ _LOADED = False
 # entries at the front, displacing the alphabetical tail.
 #
 # Pre-computed r15 window (assuming CORRECTNESS_r14 lands with the 50
-# below): the 10 remaining r09-row queries + the first 40 r10-row
-# queries alphabetically, minus one tail slot per new r14
-# registration.  The guard test recomputes the truth either way —
-# a head start, NOT an answer; trust only the recomputation.
+# below): the 14 remaining r09-row queries (the 10 never in an r14
+# slot + the 4 the round-0 entries displaced: text_fingerprint,
+# text_lang_id, text_tfidf_top3, timeseries_ewma_daily) + the first
+# 36 r10-row queries alphabetically, minus one tail slot per new r15
+# registration/change flag.  The guard test recomputes the truth
+# either way — a head start, NOT an answer; trust only the
+# recomputation.
 _CHANGED_IN_ROUND: dict[str, int] = {
     # New r14 registrations have no driver row and enter as round-0
     # via _SAMPLE_FIRST ordering (a _CHANGED_IN_ROUND entry would be
