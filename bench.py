@@ -161,6 +161,16 @@ HEADLINE = [
     # round 14: CDC chunk-level cross-doc duplicate mass (the chunk
     # pass + aggregate-only exchanges; the shifted-dup-robust rollup)
     "dedup_cdc_duplicate_mass",
+    # round 14: Poisson-bootstrap per-source CIs (one scan, x200
+    # map-side fan-out, |sources|x200 partial-agged exchange) and
+    # retrieval eval metrics (one scored scan + salted top-10/probe).
+    # At 70 queries the stdout payload rides the 0-decimal tier (nd=0);
+    # BENCH_DETAIL carries the 3-decimal numbers.
+    "stats_bootstrap_ci",
+    "retrieval_eval_ndcg",
+    # round 14: PSI drift monitor (one scan, broadcast decile edges,
+    # (year,bin) partial-agged exchange)
+    "stats_psi_drift",
 ]
 
 # r01 headline set (first 12): sum of their mins is comparable round-over-

@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 from ..functions.textfn import tokens_array
 
 __all__ = [
-    "EN_STOPWORDS", "token_stats", "quality_score", "quality_prob", "lang_id",
-    "fingerprint", "tf_idf_top_terms",
+    "EN_STOPWORDS", "token_stats", "quality_score", "quality_score_parts",
+    "quality_prob", "lang_id", "fingerprint", "tf_idf_top_terms",
 ]
 
 # tiny deterministic stopword profile (shared with the DuckDB oracle)
@@ -71,21 +71,8 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the grouped avg and to DuckDB's avg(length(tok))."""
     toks = F.filter(tokens_array(F.col(text_col)), lambda t: t != F.lit(""))
     with_toks = df.select(F.col(id_col), F.col(text_col), toks.alias("_toks"))
-    n_tok = F.size("_toks")
-    wlen_sum = F.aggregate(
-        "_toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    mean_wlen = F.when(
-        n_tok > 0, wlen_sum.cast("double") / n_tok).otherwise(F.lit(0.0))
-    n_stop = F.size(F.filter("_toks", lambda t: t.isin(*EN_STOPWORDS)))
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")) /
-        F.greatest(F.length(text_col), F.lit(1))
-    )
-    len_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.3)
-    wlen_band = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.4)
-    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
-    stop_band = F.when(stop_ratio >= 0.02, 1.0).otherwise(0.5)
-    score = 0.3 * len_band + 0.25 * wlen_band + 0.25 * stop_band + 0.2 * alpha_ratio
+    n_tok, stop_ratio, mean_wlen, alpha_ratio, score = quality_score_parts(
+        F.col("_toks"), F.col(text_col))
     return with_toks.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
@@ -94,6 +81,32 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(score, 6).alias("quality_score"),
     )
+
+
+def quality_score_parts(toks: Column, text: Column):
+    """(n_tok, stop_ratio, mean_wlen, alpha_ratio, score) column tuple
+    given a pre-projected NON-EMPTY token array column — the single
+    source of the quality-score formulation, shared by quality_score
+    (which projects ``_toks`` once so the tokenizer regex runs once per
+    row) and by composition queries (stats_cohens_kappa) that build the
+    score inline next to other raters in one scan."""
+    n_tok = F.size(toks)
+    wlen_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    mean_wlen = F.when(
+        n_tok > 0, wlen_sum.cast("double") / n_tok).otherwise(F.lit(0.0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, "[^A-Za-z]", "")) /
+        F.greatest(F.length(text), F.lit(1))
+    )
+    len_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.3)
+    wlen_band = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.4)
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    stop_band = F.when(stop_ratio >= 0.02, 1.0).otherwise(0.5)
+    score = (0.3 * len_band + 0.25 * wlen_band + 0.25 * stop_band
+             + 0.2 * alpha_ratio)
+    return n_tok, stop_ratio, mean_wlen, alpha_ratio, score
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1159,3 +1159,109 @@ def q_pipeline_shard_assignment(spark: SparkSession,
                  F.max("hv").alias("max_hash"),
                  F.expr("bit_xor(hv)").alias("xor_hash"))
             .orderBy("shard"))
+
+
+# Poisson(1) inverse-CDF thresholds on the 24-bit md5 bucket space
+# (floor(CDF(k) * 2^24) for k = 0..7; bucket >= the last threshold
+# draws weight 8, the 1e-5 tail).  Integer constants so the weight
+# ladder is pure integer comparison — zero cross-engine FP risk.
+_POISSON_CDF_24BIT = (6171992, 12343985, 15429982, 16458647,
+                      16715813, 16767247, 16775819, 16777044)
+_BOOT_REPLICAS = 200
+
+_BOOT_W_CASE = ("CASE " + " ".join(
+    f"WHEN b < {t} THEN {k}" for k, t in enumerate(_POISSON_CDF_24BIT))
+    + " ELSE 8 END")
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, r, n_chars, {_BOOT_W_CASE} AS w
+      FROM (
+        SELECT d.source, reps.r, d.n_chars,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                   || CAST(reps.r AS VARCHAR)), 1, 6))::BIGINT
+                 AS b
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, {_BOOT_REPLICAS})) AS r) reps
+      )
+    ),
+    rep AS (
+      SELECT source, r,
+             round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 6) AS m
+      FROM w GROUP BY source, r HAVING sum(w) > 0
+    ),
+    ci AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_replicas,
+             round(quantile_cont(m, 0.025), 6) AS ci_lo,
+             round(quantile_cont(m, 0.975), 6) AS ci_hi,
+             round(stddev_samp(m), 6) AS se_boot
+      FROM rep GROUP BY source
+    ),
+    base AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             round(avg(n_chars), 6) AS mean_chars
+      FROM documents GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.mean_chars,
+           c.n_replicas, c.ci_lo, c.ci_hi, c.se_boot
+    FROM base b JOIN ci c USING (source)
+    """,
+    doc="Poisson-bootstrap confidence intervals for per-source mean doc "
+        "length — THE uncertainty-quantification idiom for massive data "
+        "(Chamandy/Muralidharan/Najmi/Naidu, 'Estimating uncertainty "
+        "for massive data streams', Google 2012): classical bootstrap "
+        "resampling needs N draws per replica (a shuffle per replica); "
+        "Poisson bootstrap replaces it with an independent Poisson(1) "
+        "weight per (row, replica), so ALL 200 replicas ride ONE scan. "
+        "Weights are DETERMINISTIC — md5(doc_id ':' r) -> 24-bit "
+        "bucket -> integer inverse-CDF ladder — so the 'randomness' is "
+        "reproducible across engines, retries and reruns (the same "
+        "discipline as the md5 split/sample family).  Every arithmetic "
+        "step until the final division is INTEGER-exact (w and n_chars "
+        "are ints; sums < 2^53), so replica means are bit-identical in "
+        "both engines before rounding.  Scale shape: the x200 fan-out "
+        "is map-side compute (explode of a literal sequence, no "
+        "pre-agg exchange); the one shuffle carries |sources| x 200 "
+        "partial-agged rows, then a |sources|-group quantile over 200 "
+        "replica means each.  At 100 TB: one pass over (doc_id, "
+        "source, n_chars) — never the text — per-row cost 200 short "
+        "md5s; CI width scales 1/sqrt(n) per source exactly as the "
+        "replicas estimate.",
+)
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rep = docs.select(
+        "source", "doc_id", "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPLICAS - 1))).alias("r"))
+    b = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.col("r").cast("string"))), 1, 6),
+        16, 10).cast("long")
+    w = F.when(b < _POISSON_CDF_24BIT[0], 0)
+    for k in range(1, 8):
+        w = w.when(b < _POISSON_CDF_24BIT[k], k)
+    w = w.otherwise(8)
+    repm = (rep.select("source", "r", "n_chars", w.alias("w"))
+            .groupBy("source", "r")
+            .agg(F.sum("w").alias("wn"),
+                 F.sum(F.col("w") * F.col("n_chars")).alias("wx"))
+            .filter(F.col("wn") > 0)
+            .select("source",
+                    F.round(F.col("wx").cast("double") / F.col("wn"), 6)
+                    .alias("m")))
+    ci = (repm.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n_replicas"),
+               F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+               F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+               F.round(F.stddev_samp("m"), 6).alias("se_boot")))
+    base = (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("mean_chars")))
+    return base.join(ci, "source").select(
+        "source", "n_docs", "mean_chars",
+        "n_replicas", "ci_lo", "ci_hi", "se_boot")

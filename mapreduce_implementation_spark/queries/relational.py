@@ -1172,3 +1172,99 @@ def q_agg_geometric_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_hm", 6).alias("mean_harm"),
         ((F.col("_gm") <= F.col("_am")) & (F.col("_hm") <= F.col("_gm")))
          .alias("am_gm_hm_holds"))
+
+
+_PSI_REF_YEAR = 1995
+_PSI_QS = [q / 10.0 for q in range(1, 10)]
+
+
+@register(
+    "stats_psi_drift",
+    oracle=f"""
+    WITH ref AS (
+      SELECT [{", ".join(f"round(quantile_cont(o_totalprice, {q}), 2)"
+                         for q in _PSI_QS)}] AS bounds,
+             count(*) AS n_ref
+      FROM orders WHERE year(o_orderdate) = {_PSI_REF_YEAR}
+    ),
+    binned AS (
+      SELECT year(o_orderdate) AS y,
+             1 + len(list_filter(ref.bounds, b -> o_totalprice > b)) AS bin
+      FROM orders, ref
+    ),
+    refc AS (
+      SELECT bin, count(*) AS c FROM binned
+      WHERE y = {_PSI_REF_YEAR} GROUP BY bin
+    ),
+    curc AS (
+      SELECT y, bin, count(*) AS c FROM binned
+      WHERE y > {_PSI_REF_YEAR} GROUP BY y, bin
+    ),
+    ny AS (SELECT y, CAST(sum(c) AS BIGINT) AS n_y FROM curc GROUP BY y),
+    grid AS (
+      SELECT ny.y, ny.n_y, g.bin,
+             coalesce(curc.c, 0) AS c_y, refc.c AS c_ref, ref.n_ref
+      FROM ny
+      CROSS JOIN (SELECT unnest(range(1, 11)) AS bin) g
+      CROSS JOIN ref
+      LEFT JOIN curc ON curc.y = ny.y AND curc.bin = g.bin
+      JOIN refc ON refc.bin = g.bin
+    )
+    SELECT y AS year, n_y AS n_orders,
+           round(sum(((c_y + 0.5) / (n_y + 5.0)
+                      - (c_ref + 0.5) / (n_ref + 5.0))
+                     * ln(((c_y + 0.5) / (n_y + 5.0))
+                          / ((c_ref + 0.5) / (n_ref + 5.0)))), 6) AS psi
+    FROM grid GROUP BY y, n_y
+    """,
+    doc="Population Stability Index drift monitor — the standard "
+        "production check that a feature/score distribution still "
+        "matches the one a model (or a curation threshold) was "
+        "calibrated on: decile bins are frozen from the reference year "
+        "(1995 order totalprice), every later year's distribution is "
+        "binned against those SAME edges, and "
+        "PSI = sum((p_i - q_i) * ln(p_i / q_i)) with +0.5 Laplace "
+        "smoothing so empty bins stay finite (rule of thumb: <0.1 "
+        "stable, >0.25 drifted).  Bin edges are round-2 quantile_cont/"
+        "percentile values — the engine-identical quantile pairing the "
+        "percentile family pins — so both engines bin every row "
+        "identically, and all counts are integer-exact until the one "
+        "10-term smoothed log sum.  Scale shape: ONE pass over orders "
+        "(the reference-year quantile agg), then the bin mapping rides "
+        "a 9-element broadcast array inside the scan and the exchange "
+        "carries only (year, bin) partial-agged counts — 10 x |years| "
+        "rows; at 100 TB, PSI over any column is one scan + a "
+        "dimension-sized shuffle, which is why it is THE drift metric "
+        "data warehouses run daily.",
+)
+def q_stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(F.year("o_orderdate").alias("y"), "o_totalprice")
+    ref = (o.filter(F.col("y") == _PSI_REF_YEAR)
+           .agg(F.array(*[F.round(F.expr(f"percentile(o_totalprice, {q})"),
+                                  2)
+                          for q in _PSI_QS]).alias("bounds"),
+                F.count(F.lit(1)).alias("n_ref")))
+    binned = (o.crossJoin(F.broadcast(ref))
+              .select("y", "n_ref",
+                      (F.lit(1) + F.size(F.filter(
+                          F.col("bounds"),
+                          lambda b: F.col("o_totalprice") > b)))
+                      .alias("bin")))
+    refc = (binned.filter(F.col("y") == _PSI_REF_YEAR)
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("c_ref")))
+    curc = (binned.filter(F.col("y") > _PSI_REF_YEAR)
+            .groupBy("y", "bin")
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.first("n_ref").alias("n_ref")))
+    ny = curc.groupBy("y", "n_ref").agg(F.sum("c").alias("n_y"))
+    bins = F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bin")
+    grid = (ny.select("y", "n_y", "n_ref", bins)
+            .join(curc.select("y", "bin", "c"), ["y", "bin"], "left")
+            .fillna({"c": 0})
+            .join(F.broadcast(refc), "bin"))
+    p = (F.col("c") + 0.5) / (F.col("n_y") + 5.0)
+    q_ = (F.col("c_ref") + 0.5) / (F.col("n_ref") + 5.0)
+    return (grid.groupBy(F.col("y").alias("year"),
+                         F.col("n_y").cast("long").alias("n_orders"))
+            .agg(F.round(F.sum((p - q_) * F.log(p / q_)), 6).alias("psi")))

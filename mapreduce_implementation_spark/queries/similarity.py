@@ -709,3 +709,120 @@ def q_embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.orderBy(d2dec.desc(), F.col("vec_id"))
             .limit(20)
             .select("vec_id", F.round(d2dec, 2).cast("double").alias("z2")))
+
+
+# Rank discounts 1/log2(rank+1) for ranks 1..10 and their running sums
+# (the ideal-DCG ladder), precomputed in Python and embedded as double
+# literals in BOTH engines: neither engine's libm log2 is in the data
+# path, so the only cross-engine FP surface is the <=10-term dcg sum.
+import math as _math
+
+_NDCG_DISC = tuple(1.0 / _math.log2(k + 1) for k in range(1, 11))
+_NDCG_IDCG = tuple(sum(_NDCG_DISC[:k]) for k in range(1, 11))
+_DISC_SQL = "[" + ", ".join(repr(d) for d in _NDCG_DISC) + "]"
+_IDCG_SQL = "[" + ", ".join(repr(v) for v in _NDCG_IDCG) + "]"
+
+
+@register(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT q.qid, q.ql, b.vec_id, b.label,
+             round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   6) AS cos
+      FROM q JOIN embeddings b ON b.vec_id <> q.qid
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT qid, ql, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= 10
+    ),
+    perq AS (
+      SELECT qid,
+             sum(CASE WHEN label = ql THEN 1 ELSE 0 END) AS rel10,
+             sum(CASE WHEN label = ql THEN ({_DISC_SQL})[rn]
+                      ELSE 0 END) AS dcg,
+             min(CASE WHEN label = ql THEN rn END) AS first_rel
+      FROM top GROUP BY qid
+    ),
+    lab AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+    SELECT CAST(q.qid AS BIGINT) AS qid,
+           CAST(lab.n - 1 AS BIGINT) AS n_rel,
+           CAST(p.rel10 AS BIGINT) AS rel_in_10,
+           round(p.rel10 / 10.0, 6) AS p_at_10,
+           round(coalesce(1.0 / p.first_rel, 0), 6) AS mrr_at_10,
+           round(CASE WHEN lab.n <= 1 THEN 0
+                 ELSE p.dcg / ({_IDCG_SQL})[least(10, lab.n - 1)]
+                 END, 6) AS ndcg_at_10
+    FROM q
+    JOIN lab ON lab.label = q.ql
+    JOIN perq p ON p.qid = q.qid
+    """,
+    doc="Retrieval-quality EVALUATION metrics — the eval loop every "
+        "embedding-model data pipeline closes with (train on mined "
+        "pairs -> index -> measure ranking quality): for each probe "
+        "(every 25th vector), rank the corpus by cosine and score the "
+        "ranking against label-match relevance with nDCG@10, MRR@10 "
+        "and P@10, plus the per-query relevant-population size n_rel. "
+        "Rank discounts and ideal-DCG denominators are PRECOMPUTED "
+        "double constants indexed by integer rank (no libm log2 in "
+        "either engine's data path); candidates rank on the round-6 "
+        "cosine with vec_id tie-break, the engine-independent ordering "
+        "discipline of the similarity family.  Scale shape: probes "
+        "broadcast (|corpus|/25 rows at this layout; a FIXED eval set "
+        "in production), scoring is one corpus scan of JVM cosines, "
+        "and per-probe top-10 runs through operators/windows."
+        "top_k_per_group_salted — no task ever sorts a probe's full "
+        "candidate set; the metric aggregation then touches only "
+        "|probes| x 10 rows, and n_rel rides a |labels|-row broadcast "
+        "join.  At 100 TB the eval cost is exactly one scored scan — "
+        "the same shape as retrieval_hard_negatives mining.",
+)
+def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectorfn import cosine
+    from ..operators.windows import top_k_per_group_salted
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") % 25 == 0)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qe"),
+                 F.col("label").alias("ql")))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "ql", "vec_id", "label",
+                F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+                .alias("cos")))
+    top = top_k_per_group_salted(
+        scored, ["qid"], [F.desc("cos"), F.asc("vec_id")], k=10,
+        salt_col=F.col("vec_id"), out_rank="rnk")
+    rel = F.col("label") == F.col("ql")
+    disc = F.element_at(F.array(*[F.lit(d) for d in _NDCG_DISC]),
+                        F.col("rnk"))
+    perq = top.groupBy("qid").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).alias("rel10"),
+        F.sum(F.when(rel, disc).otherwise(F.lit(0.0))).alias("dcg"),
+        F.min(F.when(rel, F.col("rnk"))).alias("first_rel"))
+    lab = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    idcg = F.element_at(F.array(*[F.lit(v) for v in _NDCG_IDCG]),
+                        F.least(F.lit(10), (F.col("n") - 1).cast("int")))
+    return (q.join(F.broadcast(lab), F.col("ql") == F.col("label"))
+            .join(perq, "qid")
+            .select(F.col("qid").cast("long").alias("qid"),
+                    (F.col("n") - 1).cast("long").alias("n_rel"),
+                    F.col("rel10").cast("long").alias("rel_in_10"),
+                    F.round(F.col("rel10") / F.lit(10.0), 6)
+                    .alias("p_at_10"),
+                    F.round(F.coalesce(F.lit(1.0) / F.col("first_rel"),
+                                       F.lit(0.0)), 6).alias("mrr_at_10"),
+                    F.round(F.when(F.col("n") <= 1, F.lit(0.0))
+                            .otherwise(F.col("dcg") / idcg), 6)
+                    .alias("ndcg_at_10")))

@@ -114,10 +114,11 @@ _LOADED = False
 # entries at the front, displacing the alphabetical tail.
 #
 # Pre-computed r15 window (assuming CORRECTNESS_r14 lands with the 50
-# below): the 14 remaining r09-row queries (the 10 never in an r14
-# slot + the 4 the round-0 entries displaced: text_fingerprint,
+# below): the 17 remaining r09-row queries (the 10 never in an r14
+# slot + the 7 the round-0 entries displaced: subq_tpch_q2_shape,
+# text_chunk_overlap, text_collocations_llr, text_fingerprint,
 # text_lang_id, text_tfidf_top3, timeseries_ewma_daily) + the first
-# 36 r10-row queries alphabetically, minus one tail slot per new r15
+# 33 r10-row queries alphabetically, minus one tail slot per new r15
 # registration/change flag.  The guard test recomputes the truth
 # either way — a head start, NOT an answer; trust only the
 # recomputation.
@@ -141,7 +142,8 @@ _CHANGED_IN_ROUND: dict[str, int] = {
 
 _SAMPLE_FIRST = (
     # --- round-0: new registration this round ---
-    "dedup_cdc_duplicate_mass",
+    "dedup_cdc_duplicate_mass", "retrieval_eval_ndcg",
+    "stats_bootstrap_ci", "stats_psi_drift",
     # --- round-0: registration changed since its last driver row ---
     "pii_scrub_multi", "sketch_hll_rolling_window",
     "text_bpe_train_merges_batched",
@@ -171,8 +173,6 @@ _SAMPLE_FIRST = (
     "sql_recursive_cte_chain", "subq_tpch_q11_shape",
     "subq_tpch_q16_shape", "subq_tpch_q17_shape",
     "subq_tpch_q20_shape", "subq_tpch_q21_shape",
-    "subq_tpch_q2_shape", "text_chunk_overlap",
-    "text_collocations_llr",
 )
 
 

@@ -1644,3 +1644,148 @@ def test_pii_class_patterns_disjoint():
         got = [c for c, pat in classes.items()
                if re.fullmatch(f"(?:{pat})", s)]
         assert got == [want], (s, got, want)
+
+
+def test_bootstrap_ci_matches_python(spark):
+    """stats_bootstrap_ci vs a pure-Python Poisson-bootstrap fold:
+    hashlib.md5-derived weights (independent of both engines' md5),
+    exact integer replica sums, numpy linear-interp quantiles.  The
+    oracle twin shares the md5/ladder formulation, so this is the
+    third leg proving the STATISTIC, not just engine agreement."""
+    import hashlib
+
+    from mapreduce_implementation_spark.queries.curation import (
+        _BOOT_REPLICAS, _POISSON_CDF_24BIT)
+
+    # the ladder itself vs math.exp-computed Poisson(1) CDF
+    lam_cdf, p = [], math.exp(-1.0)
+    c = 0.0
+    for k in range(8):
+        c += p
+        lam_cdf.append(math.floor(c * 2**24))
+        p /= (k + 1)
+    assert tuple(lam_cdf) == _POISSON_CDF_24BIT
+
+    docs = _pdf("documents")
+    reps: dict[str, list[float]] = {}
+    base: dict[str, list[int]] = {}
+    for src, grp in docs.groupby("source"):
+        base[src] = grp["n_chars"].tolist()
+        means = []
+        for r in range(_BOOT_REPLICAS):
+            wn = wx = 0
+            for did, x in zip(grp["doc_id"], grp["n_chars"]):
+                b = int(hashlib.md5(f"{did}:{r}".encode()).hexdigest()[:6],
+                        16)
+                w = 8
+                for k, t in enumerate(_POISSON_CDF_24BIT):
+                    if b < t:
+                        w = k
+                        break
+                wn += w
+                wx += w * int(x)
+            if wn > 0:
+                means.append(round(wx / wn, 6))
+        reps[src] = means
+
+    out = {r["source"]: r for r in
+           SPECS["stats_bootstrap_ci"].fn(spark, SF_DIR_001).collect()}
+    assert set(out) == set(reps)
+    for src, means in reps.items():
+        row = out[src]
+        assert row["n_docs"] == len(base[src])
+        assert row["n_replicas"] == len(means)
+        assert math.isclose(row["mean_chars"],
+                            sum(base[src]) / len(base[src]), abs_tol=1e-5)
+        lo, hi = np.percentile(means, [2.5, 97.5])
+        assert math.isclose(row["ci_lo"], lo, abs_tol=1e-5), (src, row, lo)
+        assert math.isclose(row["ci_hi"], hi, abs_tol=1e-5), (src, row, hi)
+        assert math.isclose(row["se_boot"], np.std(means, ddof=1),
+                            abs_tol=1e-5)
+        # the interval is a real interval around the point estimate
+        assert row["ci_lo"] <= row["ci_hi"]
+        assert row["ci_lo"] <= row["mean_chars"] <= row["ci_hi"], src
+
+
+def test_ndcg_matches_python(spark):
+    """retrieval_eval_ndcg vs a numpy brute-force re-rank + textbook
+    metric formulas (Jarvelin & Kekalainen nDCG, MRR, P@10) — the
+    independent leg for the eval-metric math, since Spark and the
+    oracle share the precomputed-discount formulation."""
+    emb = _pdf("embeddings")
+    V = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    norms = np.linalg.norm(V, axis=1)
+
+    out = {r["qid"]: r for r in
+           SPECS["retrieval_eval_ndcg"].fn(spark, SF_DIR_001).collect()}
+    qids = [int(i) for i in ids if i % 25 == 0]
+    assert set(out) == set(qids)
+    for qid in qids:
+        qi = int(np.where(ids == qid)[0][0])
+        ql = labels[qi]
+        cos = V @ V[qi] / (norms * norms[qi])
+        cand = [(round(float(cos[j]), 6), int(ids[j]), labels[j] == ql)
+                for j in range(len(ids)) if ids[j] != qid]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        top = cand[:10]
+        rel_flags = [c[2] for c in top]
+        dcg = sum(1.0 / math.log2(i + 2)
+                  for i, f in enumerate(rel_flags) if f)
+        n_rel = int((labels == ql).sum()) - 1
+        idcg = sum(1.0 / math.log2(i + 2) for i in range(min(10, n_rel)))
+        row = out[qid]
+        assert row["n_rel"] == n_rel
+        assert row["rel_in_10"] == sum(rel_flags)
+        assert math.isclose(row["p_at_10"], sum(rel_flags) / 10.0,
+                            abs_tol=1e-6)
+        first = next((i + 1 for i, f in enumerate(rel_flags) if f), None)
+        assert math.isclose(row["mrr_at_10"],
+                            0.0 if first is None else 1.0 / first,
+                            abs_tol=1e-6)
+        assert math.isclose(row["ndcg_at_10"],
+                            0.0 if idcg == 0 else dcg / idcg,
+                            abs_tol=1e-5), (qid, row["ndcg_at_10"], dcg, idcg)
+
+
+def test_psi_drift_matches_python(spark):
+    """stats_psi_drift vs a numpy re-derivation: decile edges from
+    numpy.percentile (linear interp == percentile/quantile_cont),
+    binning and smoothed PSI in pure Python over pyarrow-read orders."""
+    from mapreduce_implementation_spark.queries.relational import (
+        _PSI_QS, _PSI_REF_YEAR)
+
+    o = _pdf("orders")
+    years = o["o_orderdate"].dt.year
+    x = o["o_totalprice"].to_numpy(dtype=float)
+    ref = x[years == _PSI_REF_YEAR]
+    bounds = [round(float(b), 2)
+              for b in np.percentile(ref, [100 * q for q in _PSI_QS])]
+
+    def bin_of(v):
+        return 1 + sum(1 for b in bounds if v > b)
+
+    ref_c = [0] * 10
+    for v in ref:
+        ref_c[bin_of(v) - 1] += 1
+    n_ref = len(ref)
+
+    out = {r["year"]: r for r in
+           SPECS["stats_psi_drift"].fn(spark, SF_DIR_001).collect()}
+    expect_years = sorted(set(int(y) for y in years if y > _PSI_REF_YEAR))
+    assert sorted(out) == expect_years
+    for y in expect_years:
+        cur = x[years == y]
+        c = [0] * 10
+        for v in cur:
+            c[bin_of(v) - 1] += 1
+        n_y = len(cur)
+        psi = sum((p - q) * math.log(p / q)
+                  for p, q in (((ci + 0.5) / (n_y + 5.0),
+                                (ri + 0.5) / (n_ref + 5.0))
+                               for ci, ri in zip(c, ref_c)))
+        row = out[y]
+        assert row["n_orders"] == n_y
+        assert math.isclose(row["psi"], psi, abs_tol=1e-5), (y, row, psi)
+        assert row["psi"] >= 0 or abs(row["psi"]) < 1e-3
