@@ -128,11 +128,18 @@ def minhash_signatures(shingled: DataFrame, id_col: str,
     them — recall/estimate quality is pinned in tests).
     """
     pre = shingled.withColumn("_h", F.xxhash64(F.col("shingle")))
-    aggs = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"mh{seed}")
-        for seed in range(num_hashes)
-    ]
-    return pre.groupBy(id_col).agg(*aggs)
+    # The 64 min-aggregates are emitted as ONE parsed SQL expression
+    # (array of aggregates) + ONE selectExpr unpack (r14 opt): composing
+    # them as nested Column objects cost ~260 py4j round-trips of pure
+    # plan-build per query construction.  Catalyst still plans the same
+    # 64 partial-aggregable min() functions (the array wrapper lives in
+    # the aggregate's result projection), so the physical plan — and
+    # every signature value — is unchanged.
+    arr = "array(" + ", ".join(
+        f"min(xxhash64(_h, {seed}))" for seed in range(num_hashes)) + ")"
+    return (pre.groupBy(id_col).agg(F.expr(arr).alias("_mharr"))
+            .selectExpr(f"`{id_col}`",
+                        *[f"_mharr[{i}] AS mh{i}" for i in range(num_hashes)]))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
@@ -154,13 +161,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     value.  ``None`` disables the guard (used by the labeled recall
     tests at fixture scale).
     """
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b)).alias("bh"),
-        )
-        for b in range(bands)
-    ])
+    # ONE parsed expression for the 16-struct band array (r14 opt: the
+    # Column-object form cost ~160 py4j round-trips per construction;
+    # the parsed tree, and with it the plan and every bucket hash, is
+    # identical)
+    band_structs = F.expr("array(" + ", ".join(
+        "named_struct('band', {b}, 'bh', xxhash64({cols}, {b}))".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(bands)) + ")")
     buckets = (
         signatures.select(F.col(id_col), F.explode(band_structs).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -203,9 +211,10 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     sig = tracked_persist(sig)
     cand = lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows,
                                bucket_cap=bucket_cap)
-    sig_arr = sig.select(
-        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    sig_arr = sig.selectExpr(
+        f"`{id_col}`",
+        "array(" + ", ".join(f"mh{i}" for i in range(num_hashes))
+        + ") AS sig")
     a_sig = sig_arr.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     b_sig = sig_arr.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     agree = F.aggregate(
@@ -227,19 +236,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         .filter(F.col("tok") != "")
         .withColumn("_h", F.xxhash64("tok"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_s{i}")
-        for i in range(bits)
-    ]
-    summed = toks.groupBy(id_col).agg(*bit_sums)
-    sh = None
-    for i in range(bits):
-        bit = F.when(F.col(f"_s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sh = term if sh is None else sh.bitwiseOR(term)
-    return summed.select(id_col, sh.alias("simhash"))
+    # Both 64-term expression trees are emitted as ONE parsed SQL string
+    # each (r14 opt, the minhash_signatures discipline): the Column-
+    # object forms cost ~600 py4j round-trips of plan-build per
+    # construction; the parsed trees — and every signature bit — are
+    # identical.
+    sums = "array(" + ", ".join(
+        f"sum(CASE WHEN ((shiftright(_h, {i}) & 1) = 1) THEN 1 ELSE -1 END)"
+        for i in range(bits)) + ")"
+    summed = (toks.groupBy(id_col).agg(F.expr(sums).alias("_sarr"))
+              .selectExpr(f"`{id_col}`",
+                          *[f"_sarr[{i}] AS _s{i}" for i in range(bits)]))
+    sh = " | ".join(
+        f"shiftleft(CASE WHEN _s{i} > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END, {i})"
+        for i in range(bits))
+    return summed.selectExpr(f"`{id_col}`", f"({sh}) AS simhash")
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -472,16 +484,47 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     ordered = tracked_persist(ordered)
     # prefix length |g| - ceil(t*|g|) + 1  (ceil via -floor(-x))
     plen = F.col("_sz") - (-F.floor(-F.lit(float(min_jaccard)) * F.col("_sz"))).cast("int") + 1
+    # posexplode keeps each prefix gram's 1-based position in the doc's
+    # globally-ordered gram array — the input to PPJoin's positional
+    # filter below (slice starts at 1, so position = pos_in_slice + 1).
     pref = ordered.select(
         id_col, "_sz",
-        F.explode(F.slice("_grams", 1, plen)).alias("_pg"),
-    )
-    a = pref.select(F.col(id_col).alias("a"), F.col("_sz").alias("sz_a"), "_pg")
-    b = pref.select(F.col(id_col).alias("b"), F.col("_sz").alias("sz_b"), "_pg")
+        F.posexplode(F.slice("_grams", 1, plen)).alias("_i0", "_pg"),
+    ).select(id_col, "_sz", "_pg", (F.col("_i0") + 1).alias("_p"))
+    a = pref.select(F.col(id_col).alias("a"), F.col("_sz").alias("sz_a"),
+                    "_pg", F.col("_p").alias("_pa"))
+    b = pref.select(F.col(id_col).alias("b"), F.col("_sz").alias("sz_b"),
+                    "_pg", F.col("_p").alias("_pb"))
+    t = float(min_jaccard)
+    # LENGTH filter (Arasu/Bayardo; lossless): J(A,B) >= t forces
+    # min(|A|,|B|) >= t * max(|A|,|B|) because the intersection can
+    # never exceed the smaller set.  Applied INSIDE the posting join so
+    # pruned pairs never reach the candidate aggregate.  The 1e-9 slack
+    # keeps the float comparison conservative (keep, never drop, on an
+    # exact-boundary tie).
+    len_ok = (F.least("sz_a", "sz_b")
+              >= F.lit(t) * F.greatest("sz_a", "sz_b") - F.lit(1e-9))
+    # POSITIONAL filter (Xiao et al. WWW'08 PPJoin, lossless): both
+    # arrays share ONE global gram order, so positions are monotone in
+    # it, and the common prefix gram minimizing _pa is the same gram
+    # minimizing _pb — the pair's FIRST common gram g*.  Every common
+    # gram is g* or ordered after it in BOTH sets, hence
+    # overlap <= 1 + min(|A| - pa*, |B| - pb*); J >= t needs
+    # overlap * (1 + t) >= t * (|A| + |B|), so pairs whose positional
+    # upper bound can't reach that are dropped before the verify join
+    # ever carries their gram arrays.
+    alpha_ok = ((F.lit(1) + F.least(F.col("sz_a") - F.col("_mpa"),
+                                    F.col("sz_b") - F.col("_mpb")))
+                * F.lit(1.0 + t)
+                >= F.lit(t) * (F.col("sz_a") + F.col("sz_b"))
+                - F.lit(1e-9))
     cand = (
-        a.join(b, "_pg").filter(F.col("a") < F.col("b"))
+        a.join(b, "_pg")
+        .filter((F.col("a") < F.col("b")) & len_ok)
+        .groupBy("a", "b", "sz_a", "sz_b")
+        .agg(F.min("_pa").alias("_mpa"), F.min("_pb").alias("_mpb"))
+        .filter(alpha_ok)
         .select("a", "b", "sz_a", "sz_b")
-        .dropDuplicates(["a", "b"])
     )
     ga = ordered.select(F.col(id_col).alias("a"), F.col("_grams").alias("_ga"))
     gb = ordered.select(F.col(id_col).alias("b"), F.col("_grams").alias("_gb"))
@@ -825,12 +868,21 @@ def duplicate_substring_spans(df: DataFrame, id_col: str, text_col: str,
                 F.expr(f"substring(_t, pos, {width})").alias("w"))
     )
     key = F.xxhash64("w").alias("k") if hash_key else F.col("w").alias("k")
-    wins = wins.select(id_col, "pos", key)
+    # persisted: the window stream feeds BOTH the dup-key aggregate and
+    # the hit semi-join — without the persist the scan + explode +
+    # substring pass (the corpus-sized leg) ran twice per query (r14
+    # opt; the char_shingles-persist convention)
+    wins = tracked_persist(wins.select(id_col, "pos", key))
     dup = (wins.groupBy("k")
            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
            .where(F.col("_nd") >= 2)
            .select("k"))
-    hits = wins.join(dup, "k").select(id_col, "pos").distinct()
+    # LEFT SEMI, no .distinct(): (id, pos) is unique in ``wins`` by
+    # construction (one row per exploded stride position) and a semi
+    # join never duplicates probe rows, so the old distinct was a
+    # full extra exchange of the hit stream re-proving uniqueness
+    # (r14 opt; row set unchanged)
+    hits = wins.join(dup, "k", "left_semi").select(id_col, "pos")
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w_doc) <= width,
                  F.lit(0)).otherwise(F.lit(1))

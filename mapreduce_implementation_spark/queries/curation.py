@@ -1092,10 +1092,19 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("is_test").alias("_ta")), "a")
                .join(split.select(F.col("doc_id").alias("b"),
                                   F.col("is_test").alias("_tb")), "b"))
-    leaky = (flagged.where(F.col("_ta") & ~F.col("_tb")).select(
-                 F.col("a").alias("d"))
-             .unionByName(flagged.where(F.col("_tb") & ~F.col("_ta"))
-                          .select(F.col("b").alias("d")))
+    # ONE pass over the flagged pairs (r14 opt): the previous
+    # two-branch unionByName re-executed the entire prefix-join pair
+    # pipeline once PER leak direction (the physical plan carried two
+    # full copies of the PPJoin candidate+verify subtree under the
+    # Union).  The two branch predicates are disjoint on the same rows,
+    # so a single filter + conditional projection emits the identical
+    # row multiset: a pair with _ta & ~_tb contributes its test side a,
+    # one with _tb & ~_ta contributes b — exactly the old branches.
+    leaky = (flagged
+             .where((F.col("_ta") & ~F.col("_tb"))
+                    | (F.col("_tb") & ~F.col("_ta")))
+             .select(F.when(F.col("_ta"), F.col("a"))
+                     .otherwise(F.col("b")).alias("d"))
              .distinct())
     test = split.where("is_test")
     return (test.join(leaky, test["doc_id"] == leaky["d"], "left")

@@ -1245,18 +1245,29 @@ def q_stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   2)
                           for q in _PSI_QS]).alias("bounds"),
                 F.count(F.lit(1)).alias("n_ref")))
+    from ..operators.caching import tracked_persist
+
     binned = (o.crossJoin(F.broadcast(ref))
               .select("y", "n_ref",
                       (F.lit(1) + F.size(F.filter(
                           F.col("bounds"),
                           lambda b: F.col("o_totalprice") > b)))
                       .alias("bin")))
-    refc = (binned.filter(F.col("y") == _PSI_REF_YEAR)
-            .groupBy("bin").agg(F.count(F.lit(1)).alias("c_ref")))
-    curc = (binned.filter(F.col("y") > _PSI_REF_YEAR)
-            .groupBy("y", "bin")
-            .agg(F.count(F.lit(1)).alias("c"),
-                 F.first("n_ref").alias("n_ref")))
+    # ONE (year, bin) aggregation over the scan (r14 opt): the previous
+    # refc/curc pair each re-ran the full orders scan + quantile-ref
+    # broadcast + bin mapping — two complete passes for two slices of
+    # the same tiny grouped frame.  Aggregate once (|years| x 10 rows,
+    # persisted), then slice the reference year and the later years out
+    # of the cached result; counts are identical, so the PSI terms and
+    # the oracle hash are unchanged.
+    allc = tracked_persist(
+        binned.filter(F.col("y") >= _PSI_REF_YEAR)
+        .groupBy("y", "bin")
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.first("n_ref").alias("n_ref")))
+    refc = (allc.filter(F.col("y") == _PSI_REF_YEAR)
+            .select("bin", F.col("c").alias("c_ref")))
+    curc = allc.filter(F.col("y") > _PSI_REF_YEAR)
     ny = curc.groupBy("y", "n_ref").agg(F.sum("c").alias("n_y"))
     bins = F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bin")
     grid = (ny.select("y", "n_y", "n_ref", bins)

@@ -1414,6 +1414,15 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import word_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
+    # g2 feeds two consumers (the shared-gram aggregate and the join
+    # probe) and recomputes per branch — examined and deliberately NOT
+    # persisted in the r14 optimization pass: an A/B at sf0.1 measured
+    # the persist form ~40% SLOWER (min-of-warm 2.07-2.21 s vs
+    # 1.41-1.51 s, two interleaved sessions) because materializing the
+    # corpus-sized distinct-gram cache costs more than re-running the
+    # scan+explode+distinct; the same holds at scale, where the cache
+    # would spill the full gram stream to disk while the recompute is
+    # one extra columnar scan.
     g2 = (word_ngrams(docs, "doc_id", "text", n=3)
           .select("doc_id", "ngram").distinct())
     shared = (g2.groupBy("ngram")
@@ -2280,4 +2289,15 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_train_merges_batched(docs, "text", _BPE_TRAIN_ROUNDS)
+    # r14 opt: train the 6 merges through the strict multi-merge batch
+    # (batch_merges=6) instead of 6 one-merge rounds.  strict=True is
+    # PROVABLY sequential-equal (disjoint-prefix selection + created-
+    # pair tie-guard; proof in the operator docstring, parity pinned by
+    # test_bpe_train_multi_merge_parity on both the fixture and the
+    # tie-dense adversarial corpus), so the merge table — and the
+    # driver hash against the sequential DuckDB oracle — is unchanged;
+    # only the round count (and with it the per-round job latency)
+    # drops: 6 scans -> as few as 2-3 depending on tie-guard
+    # truncation.
+    return bpe_train_merges_batched(docs, "text", _BPE_TRAIN_ROUNDS,
+                                    batch_merges=_BPE_TRAIN_ROUNDS)

@@ -360,6 +360,40 @@ def test_prefix_jaccard_identical_and_prunes(spark):
         n_prefix_postings, n_full_postings)
 
 
+def test_prefix_jaccard_filters_keep_boundary_and_stay_lossless(spark):
+    """r14 opt: the prefix join gained PPJoin's length + positional
+    filters.  Two adversarial pins: (1) a pair at EXACTLY J = t (the
+    float-slack boundary both filters must keep: equal sizes for the
+    length filter, first common gram LAST in both prefixes so the
+    positional bound lands exactly on the required overlap) survives
+    with the right score; (2) on a corpus full of late-shared-gram
+    near-miss pairs the prefix path stays identical to the full
+    inverted-index join — the filters only ever drop pairs the verify
+    step would have rejected."""
+    from mapreduce_implementation_spark.operators.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_pairs_prefix,
+    )
+
+    # J(A,B) = 2 / (3 + 3 - 2) = 0.5 exactly; the shared grams sort
+    # LAST in the global (df, gram) order, so the positional upper
+    # bound equals the required overlap with zero slack.
+    rows = [(1, "a b c d e"), (2, "a b c d f")]
+    # near-miss chaff: each pair of chaff docs shares exactly one gram
+    # placed late in the prefix (J well under 0.5) — the class the
+    # positional filter prunes before the verify join.
+    rows += [(10 + i, f"x{i} y{i} z{i} q w r{i} s{i} t{i}")
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pref = {(r.a, r.b): r.jaccard for r in
+            ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=3,
+                                       min_jaccard=0.5).collect()}
+    full = {(r.a, r.b): r.jaccard for r in
+            ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                min_jaccard=0.5).collect()}
+    assert pref == full
+    assert pref[(1, 2)] == 0.5
+
+
 def test_cluster_representatives_semantics(spark):
     """Survivor set = exactly one per component (the longest member, min-id
     tiebreak) + every unpaired doc as a singleton."""
