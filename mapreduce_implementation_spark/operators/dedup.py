@@ -66,6 +66,11 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 9,
     exchange).  Jaccard/size consumers need set semantics — keep the
     default there.
     """
+    from ..sources.tables import spread_small_input
+
+    # the shingle explode + downstream hashing is the family's dominant
+    # per-row cost; a sub-split input caps it at ONE core (r14 opt)
+    df = spread_small_input(df)
     norm = F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z ]", ""))
     out = (
         df.select(F.col(id_col), norm.alias("_t"))
@@ -114,7 +119,8 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str,
-                       num_hashes: int = 64) -> DataFrame:
+                       num_hashes: int = 64,
+                       as_array: bool = False) -> DataFrame:
     """(id, mh0..mh{n-1}) — one fused aggregation over the shingle stream.
 
     The shingle string is hashed ONCE (variable-length byte path), and
@@ -126,25 +132,36 @@ def minhash_signatures(shingled: DataFrame, id_col: str,
     MinHash estimator is unchanged; only the signature VALUES differ
     from the hash-the-string-per-seed formulation (no oracle depends on
     them — recall/estimate quality is pinned in tests).
+
+    ``as_array=True`` returns (id, sig array<long>) instead of the 64
+    unpacked columns — the r14 schema-width fix for every downstream
+    stage of the dedup pipeline: a 64-column schema makes Catalyst
+    generate enormous per-stage code (measured multi-second codegen
+    stalls on the banding join and the agreement join even over a
+    CACHED 5,000-row signature frame), while the single array column
+    carries the identical longs through one narrow slot.  Values are
+    byte-identical either way (``sig[i] == mh{i}``).
     """
     pre = shingled.withColumn("_h", F.xxhash64(F.col("shingle")))
     # The 64 min-aggregates are emitted as ONE parsed SQL expression
-    # (array of aggregates) + ONE selectExpr unpack (r14 opt): composing
-    # them as nested Column objects cost ~260 py4j round-trips of pure
-    # plan-build per query construction.  Catalyst still plans the same
-    # 64 partial-aggregable min() functions (the array wrapper lives in
-    # the aggregate's result projection), so the physical plan — and
-    # every signature value — is unchanged.
+    # (array of aggregates): composing them as nested Column objects
+    # cost ~260 py4j round-trips of pure plan-build per query
+    # construction.  Catalyst still plans the same 64 partial-aggregable
+    # min() functions (the array wrapper lives in the aggregate's
+    # result projection), so every signature value is unchanged.
     arr = "array(" + ", ".join(
         f"min(xxhash64(_h, {seed}))" for seed in range(num_hashes)) + ")"
-    return (pre.groupBy(id_col).agg(F.expr(arr).alias("_mharr"))
-            .selectExpr(f"`{id_col}`",
-                        *[f"_mharr[{i}] AS mh{i}" for i in range(num_hashes)]))
+    agg = pre.groupBy(id_col).agg(F.expr(arr).alias("sig"))
+    if as_array:
+        return agg
+    return agg.selectExpr(
+        f"`{id_col}`", *[f"sig[{i}] AS mh{i}" for i in range(num_hashes)])
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
                         bands: int = 16, rows: int = 4,
-                        bucket_cap: int | None = 1000) -> DataFrame:
+                        bucket_cap: int | None = 1000,
+                        sig_col: str | None = None) -> DataFrame:
     """(a, b) candidate pairs sharing >=1 LSH band bucket (a < b).
 
     ``bucket_cap`` is the hard guard against adversarial/degenerate
@@ -164,10 +181,13 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     # ONE parsed expression for the 16-struct band array (r14 opt: the
     # Column-object form cost ~160 py4j round-trips per construction;
     # the parsed tree, and with it the plan and every bucket hash, is
-    # identical)
+    # identical).  ``sig_col`` reads the band inputs out of the single
+    # array column instead of 64 unpacked mh columns — same longs,
+    # 64x narrower input schema for this stage's generated code.
+    ref = (lambda i: f"{sig_col}[{i}]") if sig_col else (lambda i: f"mh{i}")
     band_structs = F.expr("array(" + ", ".join(
         "named_struct('band', {b}, 'bh', xxhash64({cols}, {b}))".format(
-            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows)))
+            b=b, cols=", ".join(ref(b * rows + r) for r in range(rows)))
         for b in range(bands)) + ")")
     buckets = (
         signatures.select(F.col(id_col), F.explode(band_structs).alias("bb"))
@@ -202,7 +222,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     exchange in the signature build is the 64-longs-per-doc partial
     aggregate."""
     sh = char_shingles(df, id_col, text_col, k=shingle_k, distinct=False)
-    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    # array-form signatures end to end (r14 opt): the unpacked 64-column
+    # schema made Catalyst generate multi-second-to-compile code for the
+    # banding and agreement stages (measured even over a CACHED 5k-row
+    # frame); the single array column carries the identical longs
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes,
+                             as_array=True)
     # The signature frame feeds three consumers (banding, a-side, b-side);
     # without a persist the shingle scan — the dominant cost, ~|corpus| —
     # runs three times.  Signatures are tiny (64 longs/doc), so caching
@@ -210,13 +235,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     # long-lived sessions release via caching.release_persisted().
     sig = tracked_persist(sig)
     cand = lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows,
-                               bucket_cap=bucket_cap)
-    sig_arr = sig.selectExpr(
-        f"`{id_col}`",
-        "array(" + ", ".join(f"mh{i}" for i in range(num_hashes))
-        + ") AS sig")
-    a_sig = sig_arr.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
-    b_sig = sig_arr.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+                               bucket_cap=bucket_cap, sig_col="sig")
+    a_sig = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    b_sig = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, x: acc + x,
@@ -231,6 +252,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """(id, simhash) — 64-bit SimHash over the token stream: per bit, the
     sign of sum(+1/-1) across token hashes."""
+    from ..sources.tables import spread_small_input
+
+    df = spread_small_input(df)  # 64 bit-sums/token: unlock every core
     toks = (
         df.select(id_col, F.explode(tokens_array(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
@@ -244,11 +268,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     sums = "array(" + ", ".join(
         f"sum(CASE WHEN ((shiftright(_h, {i}) & 1) = 1) THEN 1 ELSE -1 END)"
         for i in range(bits)) + ")"
-    summed = (toks.groupBy(id_col).agg(F.expr(sums).alias("_sarr"))
-              .selectExpr(f"`{id_col}`",
-                          *[f"_sarr[{i}] AS _s{i}" for i in range(bits)]))
+    summed = toks.groupBy(id_col).agg(F.expr(sums).alias("_sarr"))
+    # the sign/packing chain reads the sum array directly — no 64-column
+    # intermediate schema anywhere (the r14 codegen-width discipline)
     sh = " | ".join(
-        f"shiftleft(CASE WHEN _s{i} > 0 THEN CAST(1 AS BIGINT) "
+        f"shiftleft(CASE WHEN _sarr[{i}] > 0 THEN CAST(1 AS BIGINT) "
         f"ELSE CAST(0 AS BIGINT) END, {i})"
         for i in range(bits))
     return summed.selectExpr(f"`{id_col}`", f"({sh}) AS simhash")
@@ -287,7 +311,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """(a, b, jaccard) — EXACT n-gram Jaccard similarity join: pairs from
     shared n-grams (inverted-index join), |A∩B| by count, |A∪B| by
     inclusion-exclusion.  SQL-expressible -> full DuckDB oracle."""
-    grams = tracked_persist(word_ngrams(df, id_col, text_col, n=n)
+    from ..sources.tables import spread_small_input
+
+    grams = tracked_persist(word_ngrams(spread_small_input(df), id_col,
+                                        text_col, n=n)
                             .select(id_col, "ngram").distinct())
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("a"), "ngram")
@@ -327,7 +354,10 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
     stop-gram frequency cap applies unchanged; the exact form here IS
     the verify step of that path.
     """
-    grams = tracked_persist(word_ngrams(df, id_col, text_col, n=n)
+    from ..sources.tables import spread_small_input
+
+    grams = tracked_persist(word_ngrams(spread_small_input(df), id_col,
+                                        text_col, n=n)
                             .select(id_col, "ngram").distinct())
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("a"), "ngram")
@@ -467,7 +497,10 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     array copy per doc per side) for the exact ``array_intersect``
     verification — the standard records-pair verify step.
     """
-    grams = word_ngrams(df, id_col, text_col, n=n).select(id_col, "ngram").distinct()
+    from ..sources.tables import spread_small_input
+
+    grams = (word_ngrams(spread_small_input(df), id_col, text_col, n=n)
+             .select(id_col, "ngram").distinct())
     dfreq = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (
         grams.join(dfreq, "ngram")
@@ -855,8 +888,10 @@ def duplicate_substring_spans(df: DataFrame, id_col: str, text_col: str,
     """
     from pyspark.sql import Window
 
+    from ..sources.tables import spread_small_input
+
     norm = F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z ]", ""))
-    base = (df.select(F.col(id_col), norm.alias("_t"))
+    base = (spread_small_input(df).select(F.col(id_col), norm.alias("_t"))
             .where(F.length("_t") >= width))
     wins = (
         base.select(

@@ -88,6 +88,11 @@ def hyperplane_bucket_keys(df: DataFrame, vec_col: str, dim: int,
     the 64-hyperplane embedding-dedup query.  Per-row work is identical
     and embarrassingly parallel, so this scales as a pure map stage.
     """
+    from ..sources.tables import spread_small_input
+
+    # the matmul pandas_udf runs one task per input partition; a
+    # sub-split input serializes the whole corpus through one worker
+    df = spread_small_input(df)
     planes = np.vstack([_hyperplanes(dim, bits, seed + t)
                         for t in range(tables)])  # (tables*bits, dim)
     weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
