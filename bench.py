@@ -164,8 +164,8 @@ HEADLINE = [
     # round 14: Poisson-bootstrap per-source CIs (one scan, x200
     # map-side fan-out, |sources|x200 partial-agged exchange) and
     # retrieval eval metrics (one scored scan + salted top-10/probe).
-    # At 70 queries the stdout payload rides the 0-decimal tier (nd=0);
-    # BENCH_DETAIL carries the 3-decimal numbers.
+    # At 71 queries the stdout payload rides the decisecond tier
+    # (nd=-1, "qunit":"ds"); BENCH_DETAIL carries 3-decimal numbers.
     "stats_bootstrap_ci",
     "retrieval_eval_ndcg",
     # round 14: PSI drift monitor (one scan, broadcast decile edges,
@@ -403,21 +403,46 @@ def _stdout_payload(total, sf, probe_ok, timings) -> str | None:
     # Budget: the driver stores the LAST 2000 chars of stdout, and fd 1
     # is rerouted for the whole run so stdout carries EXACTLY this line
     # — the only consumer of the margin is the trailing newline.  1990
-    # leaves 9 spare chars; the old 1950 cap was so conservative it
-    # forced a precision drop one byte past the cliff (r14: the "nd"
-    # field itself pushed the 67-query 1-decimal payload to 1951).
-    # nd=0 emits true integers (not x.0 floats) — 2 bytes/query cheaper.
-    for nd in (2, 1, 0):
-        payload = json.dumps({
+    # leaves 9 spare chars.
+    #
+    # r14 postmortem (VERDICT r14 item 1): at 71 queries the 1-decimal
+    # payload overflowed and the old nd=0 fallback rounded 13 sub-0.5 s
+    # queries to 0 — the driver's comparator read them as DROPPED, ~25
+    # quantization "regressions" polluted PERF, and the geomean
+    # inverted.  Two fixes, methodology untouched (same timings, same
+    # min-of-warm; only the stdout ENCODING changes — BENCH_DETAIL
+    # still carries the 3-decimal numbers):
+    # * every tier CLAMPS a nonzero timing to >= 1 unit, so a query
+    #   that ran can never serialize as 0;
+    # * an integer-DECISECOND tier (nd=-1, flagged "qunit":"ds":
+    #   4.9 s -> 49) sits before the 0-decimal fallback.  Dropping the
+    #   decimal point saves ~1.5 chars/entry vs nd=1, which keeps
+    #   >= 0.1 s per-query resolution to ~90 queries (measured on the
+    #   r14 timings: nd=1 mixed 2047 chars, ds 1970).
+    # Values integral at the chosen precision are emitted as ints
+    # (2.0 -> 2): identical JSON number, 2 bytes/query cheaper.
+    def _enc(t: float, nd: int):
+        if nd == -1:
+            return max(1, int(round(t * 10))) if t > 0 else 0
+        unit = 10 ** -nd
+        q = round(t, nd)
+        if t > 0 and q < unit:
+            q = unit
+        return int(q) if q == int(q) else q
+
+    for nd in (2, 1, -1, 0):
+        body = {
             "metric": "headline_suite_sec",
             "value": total,
             "unit": "sec",
             "sf": sf,
             "nd": nd,
             "idle_probe_ok": probe_ok,
-            "queries": {n: (int(round(t)) if nd == 0 else round(t, nd))
-                        for n, t in timings.items()},
-        }, separators=(",", ":"))
+            "queries": {n: _enc(t, nd) for n, t in timings.items()},
+        }
+        if nd == -1:
+            body["qunit"] = "ds"  # per-query values are deciseconds
+        payload = json.dumps(body, separators=(",", ":"))
         if len(payload) < 1990:
             return payload
     return None

@@ -88,8 +88,8 @@ def quality_score_parts(toks: Column, text: Column):
     given a pre-projected NON-EMPTY token array column — the single
     source of the quality-score formulation, shared by quality_score
     (which projects ``_toks`` once so the tokenizer regex runs once per
-    row) and by composition queries (stats_cohens_kappa) that build the
-    score inline next to other raters in one scan."""
+    row); composition queries can build the score inline next to other
+    per-row signals in one scan."""
     n_tok = F.size(toks)
     wlen_sum = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))

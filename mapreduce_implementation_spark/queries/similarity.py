@@ -114,9 +114,12 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "across sf0.001/0.01/0.1).",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import tracked_persist
     from ..operators.ivf import ivf_topk, kmeans_fit
 
-    emb = load_table(spark, sf_dir, "embeddings").cache()
+    # tracked (VERDICT r14 item 9): a bare .cache() here outlived
+    # release_persisted() — a session-lifetime leak in repeat callers.
+    emb = tracked_persist(load_table(spark, sf_dir, "embeddings"))
     qv = _query_vec(spark, sf_dir)
     centroids = kmeans_fit(emb, "embedding", dim=_DIM, k=8, iters=3)
     ann = ivf_topk(emb, "vec_id", "embedding", qv,

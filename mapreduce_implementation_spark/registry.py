@@ -103,76 +103,67 @@ _LOADED = False
 # the checked-in CORRECTNESS files and fails once a new round's file
 # lands — fixing it IS the rotation step.
 #
-# r14 window: CORRECTNESS_r13 landed 50/50 green (all full hash
-# matches).  Recomputed from the checked-in CORRECTNESS files (the
-# r13 prediction comment was WRONG — it said "10 r09 + 40 r10"; the
-# truth, machine-recomputed and judge-confirmed in VERDICT r13, is):
-# the 3 displaced r08-row queries (text_token_stats,
-# text_top_terms_per_lang, unpivot_lineitem_measures) + the first 47
-# r09-row queries alphabetically (agg_regression_price_qty ..
-# timeseries_ewma_daily).  New r14 registrations slot in as round-0
-# entries at the front, displacing the alphabetical tail.
-#
-# Pre-computed r15 window (assuming CORRECTNESS_r14 lands with the 50
-# below): the 17 remaining r09-row queries (the 10 never in an r14
-# slot + the 7 the round-0 entries displaced: subq_tpch_q2_shape,
-# text_chunk_overlap, text_collocations_llr, text_fingerprint,
-# text_lang_id, text_tfidf_top3, timeseries_ewma_daily) + the first
-# 33 r10-row queries alphabetically, minus one tail slot per new r15
-# registration/change flag.  The guard test recomputes the truth
-# either way — a head start, NOT an answer; trust only the
-# recomputation.
+# r15 window: CORRECTNESS_r14 landed 50/50 green (all full hash
+# matches), expiring the three r14 change flags.  Per VERDICT r14
+# item 3, the queries the r14 optimizer changed (plan/behavior over a
+# pre-change driver row) are flagged 15 below, entering as round-0 so
+# driver hash rows land on exactly the changed set.  ("stats_cohens_
+# kappa" from the VERDICT list is not a registered query — it was a
+# phantom name in a textstats docstring, now removed; the
+# quality_score_parts hoist's only consumer is text_quality_score,
+# whose plan was verified unchanged in r14.)  Recomputed window:
+# 9 round-0 change flags + the 8 remaining r09-row queries + the
+# first 33 r10-row queries alphabetically.
 _CHANGED_IN_ROUND: dict[str, int] = {
-    # New r14 registrations have no driver row and enter as round-0
-    # via _SAMPLE_FIRST ordering (a _CHANGED_IN_ROUND entry would be
-    # redundant: latest[q] is already unset).
-    # r13 ADVICE (medium) fix: the sketch-merge leg is now keyed on
-    # the fan-out day set so gap days survive — a plan/behavior
-    # change over its r13-green row.
-    "sketch_hll_rolling_window": 14,
-    # r13 VERDICT item 3: staged 14-pass regex ladder merged into one
-    # combined-alternation pass (SQL-text expressions) — same oracle,
-    # new plan, over its r12-green row.
-    "pii_scrub_multi": 14,
-    # r13 VERDICT item 4: the batched trainer gained multi-merge
-    # batching; the registered m=1 path now runs the fused-scan apply
-    # (parity-pinned, but changed code) — over its r13-green row.
-    "text_bpe_train_merges_batched": 14,
+    # r14 optimizer changes without an r14 driver row (VERDICT r14
+    # item 3): array-form MinHash/SimHash signatures + expr-string
+    # plan build; PPJoin length/positional filters; union
+    # elimination; persist + LEFT SEMI restructure; spread/hoist
+    # touches on the text trio.
+    "dedup_minhash_lsh": 15,
+    "dedup_simhash": 15,
+    "dedup_ngram_jaccard": 15,
+    "dedup_ngram_jaccard_prefix": 15,
+    "split_leakage_audit": 15,
+    "dedup_substring_spans": 15,
+    "text_perplexity_buckets": 15,
+    "text_keyphrase_rake": 15,
+    "text_bigram_logprob": 15,
 }
 
 _SAMPLE_FIRST = (
-    # --- round-0: new registration this round ---
-    "dedup_cdc_duplicate_mass", "retrieval_eval_ndcg",
-    "stats_bootstrap_ci", "stats_psi_drift",
-    # --- round-0: registration changed since its last driver row ---
-    "pii_scrub_multi", "sketch_hll_rolling_window",
-    "text_bpe_train_merges_batched",
-    # --- stale, latest driver row r08 (the 3 rows displaced from the
-    # r13 window by that round's round-0 registrations) ---
-    "text_token_stats", "text_top_terms_per_lang",
-    "unpivot_lineitem_measures",
-    # --- stale, latest driver row r09 (alphabetical prefix; each
+    # --- round-0: registration changed since its last driver row
+    # (_CHANGED_IN_ROUND = 15 above) ---
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix", "dedup_simhash",
+    "dedup_substring_spans", "split_leakage_audit",
+    "text_bigram_logprob", "text_keyphrase_rake",
+    "text_perplexity_buckets",
+    # --- stale, latest driver row r09 (the remainder after the r14
+    # window consumed the alphabetical prefix) ---
+    "subq_tpch_q2_shape", "text_chunk_overlap",
+    "text_collocations_llr", "text_fingerprint", "text_lang_id",
+    "text_tfidf_top3", "timeseries_ewma_daily",
+    "variant_json_surface",
+    # --- stale, latest driver row r10 (alphabetical prefix; each
     # round-0 slot above displaces one from this tail) ---
-    "agg_regression_price_qty", "agg_skew_kurtosis",
-    "agg_trimmed_mean", "agg_weighted_median",
-    "agg_weighted_median_by_flag", "cohort_retention",
-    "corpus_length_quantiles_by_source", "corpus_overlap_sources",
-    "corpus_quality_deciles_by_source", "corpus_source_topp",
-    "dedup_containment_overlap", "dedup_embedding_lsh",
-    "dedup_minhash_estimate", "dedup_simhash_estimate",
-    "dedup_source_stats", "dq_rule_report",
-    "events_markov_transitions", "funnel_conversion",
-    "join_tpch_q12_shape", "join_tpch_q14_shape",
-    "join_tpch_q8_shape", "json_extract_events",
-    "multimodal_audio_rms", "multimodal_decode_png",
-    "multimodal_image_dhash_pairs", "pattern_sequence_detect",
-    "pipeline_corpus_build", "retrieval_rrf_fusion",
-    "set_intersect_all", "similarity_maxsim_multivector",
-    "sketch_countmin_stopwords", "sketch_hll_rollup",
-    "source_python_datasource", "split_train_valid_hash",
-    "sql_recursive_cte_chain", "subq_tpch_q11_shape",
-    "subq_tpch_q16_shape", "subq_tpch_q17_shape",
-    "subq_tpch_q20_shape", "subq_tpch_q21_shape",
+    "agg_conditional_filter", "agg_geometric_harmonic_means",
+    "agg_gini_spend", "agg_minmax_multi_key",
+    "agg_ols_normal_equations", "agg_percentiles",
+    "asof_join_latest_order", "curation_domain_cap",
+    "embedding_outlier_zscore", "graph_pagerank_trade",
+    "graph_sssp_weighted", "join_bloom_prefilter",
+    "multimodal_video_framesample", "pandas_udaf_rms_spend",
+    "pandas_udf_charge", "pipeline_budget_resample",
+    "pipeline_fingerprint_dedup", "rfm_segments",
+    "sample_weighted_systematic", "scd2_intervals",
+    "scd2_point_in_time_join", "sessions_interval_overlap",
+    "similarity_ann_ivf", "similarity_ann_lsh",
+    "sort_nulls_ordering", "subq_custdist",
+    "subq_exists_late_ship", "subq_in_large_orders",
+    "subq_scalar_anti_q22", "text_bm25_top10",
+    "text_contamination_4gram", "text_dedup_exact_normalized",
+    "text_pmi_pairs",
 )
 
 
