@@ -112,8 +112,8 @@ _LOADED = False
 # phantom name in a textstats docstring, now removed; the
 # quality_score_parts hoist's only consumer is text_quality_score,
 # whose plan was verified unchanged in r14.)  Recomputed window:
-# 9 round-0 change flags + the 8 remaining r09-row queries + the
-# first 33 r10-row queries alphabetically.
+# 10 round-0 change flags + the 8 remaining r09-row queries + the
+# first 32 r10-row queries alphabetically.
 _CHANGED_IN_ROUND: dict[str, int] = {
     # r14 optimizer changes without an r14 driver row (VERDICT r14
     # item 3): array-form MinHash/SimHash signatures + expr-string
@@ -129,6 +129,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "text_perplexity_buckets": 15,
     "text_keyphrase_rake": 15,
     "text_bigram_logprob": 15,
+    # r15 optimizer change: spread_small_input added at the
+    # span_chunks entry (the missed compute-bound map phase) — a
+    # Repartition node over its r14 driver row's plan.
+    "dedup_span_rebuild": 15,
 }
 
 _SAMPLE_FIRST = (
@@ -136,7 +140,8 @@ _SAMPLE_FIRST = (
     # (_CHANGED_IN_ROUND = 15 above) ---
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_prefix", "dedup_simhash",
-    "dedup_substring_spans", "split_leakage_audit",
+    "dedup_span_rebuild", "dedup_substring_spans",
+    "split_leakage_audit",
     "text_bigram_logprob", "text_keyphrase_rake",
     "text_perplexity_buckets",
     # --- stale, latest driver row r09 (the remainder after the r14
@@ -163,7 +168,6 @@ _SAMPLE_FIRST = (
     "subq_exists_late_ship", "subq_in_large_orders",
     "subq_scalar_anti_q22", "text_bm25_top10",
     "text_contamination_4gram", "text_dedup_exact_normalized",
-    "text_pmi_pairs",
 )
 
 

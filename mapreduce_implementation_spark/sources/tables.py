@@ -81,6 +81,16 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     sub-second relational queries) and inserts a Repartition node into
     plans whose zero/one-shuffle shape is a pinned scale property.
     Row values are unchanged; every oracle hash is order-insensitive.
+
+    CONTRACT (r14 ADVICE): pass SCAN-LEVEL frames only — a base table
+    read plus row-local projections/filters, nothing downstream of a
+    shuffle.  The guard reads ``df.rdd.getNumPartitions()``, and under
+    AQE accessing ``.rdd`` finalizes the physical plan and EAGERLY
+    RUNS any upstream shuffle stages as real jobs that the returned
+    DataFrame then re-executes.  Every current call site is scan-level
+    (char shingles, word n-grams, substring windows, the bootstrap
+    ladder, BPE/tokenize entries), where ``.rdd`` is a metadata-only
+    probe of the scan's split count.
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism

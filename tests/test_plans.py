@@ -318,17 +318,23 @@ def test_percent_rank_single_window_pass(spark):
 
 
 def test_span_generation_zero_shuffle(spark):
-    """C4 span cutting is in-row array slicing: no Exchange and no Window
+    """C4 span cutting is in-row array slicing: no Window, and no
+    Exchange except the input spread's ROUND-ROBIN repartition (r15)
     until the occurrence-ranking stage (which is fed spans, not docs).
     Drives the operator's OWN span stage (span_chunks) so a regression
-    to explode+window renumbering in shipped code fails here."""
+    to explode+window renumbering in shipped code fails here: a
+    renumber would show up as a Window or a hash/range exchange."""
     from mapreduce_implementation_spark.operators.dedup import span_chunks
 
     docs = load_table(spark, SF_DIR_01, "documents")
     df = span_chunks(docs, "doc_id", "text", span_tokens=10)
     plan = plan_string(df)
-    assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+    low = plan.lower()
+    if "exchange" in low:
+        assert "roundrobinpartitioning" in low, plan
+        assert "hashpartitioning" not in low, plan
+        assert "rangepartitioning" not in low, plan
 
 
 def test_unpivot_is_expand_single_scan(spark):

@@ -266,3 +266,44 @@ def test_tracked_persist_release(spark):
     assert n == len(tracked)
     assert caching.persisted_count() == 0
     assert all(not t.is_cached for t in tracked)
+
+
+def test_expr_interpolated_identifiers_rejected(spark):
+    """The minhash/simhash/LSH operators interpolate id_col/sig_col into
+    parsed SQL expression strings (the r14 plan-build optimization); a
+    column name that is not a plain identifier must be rejected loudly
+    instead of splicing into the parsed tree (r14 ADVICE)."""
+    import pytest
+
+    from mapreduce_implementation_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, simhash)
+
+    df = spark.range(1).selectExpr("id AS `my id`", "'abc' AS text",
+                                   "'abc' AS shingle")
+    with pytest.raises(ValueError, match="plain identifier"):
+        minhash_signatures(df, "my id")
+    with pytest.raises(ValueError, match="plain identifier"):
+        simhash(df, "my id", "text")
+    with pytest.raises(ValueError, match="plain identifier"):
+        lsh_candidate_pairs(df, "id", sig_col="sig`[0]")
+
+
+def test_spread_small_input_guard(spark):
+    """spread_small_input (r14 opt) must round-robin a sub-parallelism
+    input up to the session's core count — and PASS THROUGH untouched
+    (the very same DataFrame object, no Repartition node) once the
+    input already has >= defaultParallelism partitions, so a
+    production-scale multi-split table never pays the exchange."""
+    from mapreduce_implementation_spark.sources.tables import (
+        spread_small_input,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.range(0, 1000).coalesce(1)
+    assert small.rdd.getNumPartitions() == 1
+    out = spread_small_input(small)
+    assert out.rdd.getNumPartitions() == par
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+    big = spark.range(0, 1000).repartition(par)
+    assert spread_small_input(big) is big
